@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock over the headline set (each query
+executed to completion with a count-collapsing action so the full plan
+runs but the driver never materializes result rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+# Headline set: the shuffle/join/window/LLM-heavy queries that dominate
+# cost at scale (scans and per-row projections are bandwidth-bound and
+# uninteresting to time at sf0.1).
+HEADLINE = [
+    "d14_hash_agg_q1",
+    "d12_star_join",
+    "d08_broadcast_join",
+    "d13_theta_join",
+    "d06_keyed_dedup",
+    "d21_topk_per_group",
+    "d24_running_sum",
+    "d37_sessionization",
+    "d42_exact_dedup",
+    "d44_cosine_topk",
+    "d45_token_counts",
+    "d50_pipeline_flagship",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from chyme_spark.registry import load_all
+    from chyme_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("chyme_bench")
+    names = [n for n in HEADLINE if n in registry]
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session bring-up
+    registry["d14_hash_agg_q1"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = registry[name].fn(spark, sf_dir)
+        # count() collapses the result without driver-side materialization
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

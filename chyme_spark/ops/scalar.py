@@ -1,0 +1,272 @@
+"""Scalar function surface: strings, URL parsing, hashes, dates, math,
+conditionals, arrays, maps, JSON, pivot.
+
+SURVEY.md §2B D-27..D-36. These generalize the reference's string/hash
+plumbing: URL-to-resource parsing (ref ``internal/core/resource.go:15-24``),
+``PathToKey`` string splitting (ref ``pkg/aws/s3.go:159-162``), SHA-1
+task identity with order-insensitive collation (ref
+``pkg/hash/hash.go:18-58``), and the Task JSON wire format (ref
+``internal/core/task.go:99``, ``pkg/aws/sqs.go:46``).
+
+All pure per-row projections: narrow transformations, no shuffle, fully
+inside whole-stage codegen — they cost one scan at any data size.
+DuckDB lacks sha1, so hash parity uses md5 + sha2-256 (same collation
+semantics, different digest than the reference's sha1 — deliberately).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chyme_spark.ops.common import dec, money, sql_dec, sql_money
+from chyme_spark.ops.relational import _URL_SQL, synthetic_urls
+from chyme_spark.registry import query
+from chyme_spark.session import load_table
+
+
+@query(
+    "d27_string_fns",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)  AS name_lower,
+           upper(p_brand) AS brand_upper,
+           substring(p_name, 1, 5) AS name_head,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           string_split(p_type, ' ')[1] AS type_first,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           length(trim(p_name)) AS name_len
+    FROM part
+    """,
+    doc="D-27 scalar string bundle (ref PathToKey pkg/aws/s3.go:159-162)",
+)
+def d27_string_fns(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.length(F.trim(F.col("p_name"))).alias("name_len"),
+    )
+
+
+@query(
+    "d28_url_parse",
+    oracle=f"""
+    WITH catalog AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-z0-9]+)://', 1) AS scheme,
+           regexp_extract(url, '^[a-z0-9]+://([^/]+)/', 1) AS bucket,
+           regexp_extract(url, '^[a-z0-9]+://[^/]+/(.*)$', 1) AS key,
+           lower(regexp_extract(url, '\\.([A-Za-z0-9]+)$', 1)) AS ext
+    FROM catalog
+    """,
+    doc="D-28 URL -> (scheme,bucket,key,ext) parse (ref Resource internal/core/resource.go:15-24)",
+)
+def d28_url_parse(spark: SparkSession, sf: str) -> DataFrame:
+    cat = synthetic_urls(spark, sf)
+    return cat.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"^([a-z0-9]+)://", 1).alias("scheme"),
+        F.regexp_extract("url", r"^[a-z0-9]+://([^/]+)/", 1).alias("bucket"),
+        F.regexp_extract("url", r"^[a-z0-9]+://[^/]+/(.*)$", 1).alias("key"),
+        F.lower(F.regexp_extract("url", r"\.([A-Za-z0-9]+)$", 1)).alias("ext"),
+    )
+
+
+@query(
+    "d29_hash_fns",
+    oracle=f"""
+    WITH catalog AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+    SELECT doc_id,
+           md5(url) AS url_md5,
+           sha256(url) AS url_sha256,
+           sha256(concat(least(md5(url), md5(CAST(doc_id AS VARCHAR))),
+                         greatest(md5(url), md5(CAST(doc_id AS VARCHAR))))) AS pair_hash
+    FROM catalog
+    """,
+    doc="D-29 digest + order-insensitive collated pair hash (ref hash.Collate pkg/hash/hash.go:26-40)",
+)
+def d29_hash_fns(spark: SparkSession, sf: str) -> DataFrame:
+    cat = synthetic_urls(spark, sf)
+    md5_url = F.md5("url")
+    md5_id = F.md5(F.col("doc_id").cast("string"))
+    return cat.select(
+        "doc_id",
+        md5_url.alias("url_md5"),
+        F.sha2(F.col("url"), 256).alias("url_sha256"),
+        F.sha2(
+            F.concat(F.least(md5_url, md5_id), F.greatest(md5_url, md5_id)), 256
+        ).alias("pair_hash"),
+    )
+
+
+@query(
+    "d30_datetime_fns",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)  AS order_year,
+           month(o_orderdate) AS order_month,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+    doc="D-30 date/time bundle over order timestamps",
+)
+def d30_datetime_fns(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_y2k"),
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("epoch_s"),
+    )
+
+
+@query(
+    "d31_math_fns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(abs(l_quantity - 25) AS DOUBLE) AS qty_dev,
+           CAST(ceil(l_quantity / 7)  AS DOUBLE) AS qty_ceil,
+           CAST(floor(l_quantity / 7) AS DOUBLE) AS qty_floor,
+           CAST(pow(l_quantity, 2) AS DOUBLE) AS qty_sq,
+           CAST(ROUND(ln(l_quantity), 6) AS DOUBLE) AS qty_ln
+    FROM lineitem
+    """,
+    doc="D-31 math bundle on integral-valued quantities (exact except ln, which is rounded)",
+)
+def d31_math_fns(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).cast("double").alias("qty_dev"),
+        F.ceil(F.col("l_quantity") / 7).cast("double").alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7).cast("double").alias("qty_floor"),
+        F.pow("l_quantity", F.lit(2)).cast("double").alias("qty_sq"),
+        F.round(F.log(F.col("l_quantity")), 6).cast("double").alias("qty_ln"),
+    )
+
+
+@query(
+    "d32_conditional_fns",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '---') AS seg_or_dash,
+           CAST(c_acctbal IS NULL AS BOOLEAN) AS bal_missing
+    FROM customer
+    """,
+    doc="D-32 when/otherwise, coalesce, nullif, isnull (ref error branching internal/worker/service.go:84-117)",
+)
+def d32_conditional_fns(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("---")).alias("seg_or_dash"),
+        F.isnull("c_acctbal").alias("bal_missing"),
+    )
+
+
+@query(
+    "d33_array_fns",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           unnest([0, 1, 2]) AS pos,
+           CAST(unnest(embedding[1:3]) AS DOUBLE) AS val
+    FROM embeddings
+    """,
+    doc="D-33 array size/slice/posexplode over embedding vectors (ref fan-out explode analog)",
+)
+def d33_array_fns(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.posexplode(F.slice("embedding", 1, 3)),
+    ).select("vec_id", "dim", "pos", F.col("col").cast("double").alias("val"))
+
+
+@query(
+    "d34_map_fns",
+    oracle="""
+    SELECT doc_id,
+           source AS cfg_source,
+           lang AS cfg_lang,
+           2 AS cfg_size
+    FROM documents
+    """,
+    doc="D-34 build + read MapType config (ref ExecutionStrategy.Config internal/core/executor.go:27); oracle checks round-trip values",
+)
+def d34_map_fns(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    cfg = F.create_map(
+        F.lit("source"), F.col("source"),
+        F.lit("lang"), F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.element_at(cfg, "source").alias("cfg_source"),
+        F.element_at(cfg, "lang").alias("cfg_lang"),
+        F.size(cfg).alias("cfg_size"),
+    )
+
+
+@query(
+    "d35_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+    doc="D-35 JSON field extraction (ref Task JSON wire format pkg/aws/sqs.go:46)",
+)
+def d35_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+@query(
+    "d36_pivot",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS cnt_O,
+           COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS cnt_F,
+           COUNT(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS cnt_P
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="D-36 pivot on order status with explicit value list",
+)
+def d36_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    # explicit pivot values: skips the extra distinct-scan AND makes the
+    # output schema deterministic (required for the hash oracle)
+    p = j.groupBy("c_mktsegment").pivot("o_orderstatus", ["O", "F", "P"]).count()
+    return p.select(
+        "c_mktsegment",
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_P"),
+    )

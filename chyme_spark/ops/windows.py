@@ -1,0 +1,115 @@
+"""Window functions: ranking, analytic, frame-spec running aggregates.
+
+SURVEY.md §2B D-21..D-24. All windows are keyed (``partitionBy``) so at
+scale the work is one hash shuffle on the partition key followed by an
+in-partition sort — no global sort, no driver involvement. Unbounded
+``Window.orderBy`` (a single-partition global window) appears only in
+D-19's rank pin where the filtered input is deliberately tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chyme_spark.ops.common import dec, money
+from chyme_spark.registry import query
+from chyme_spark.session import load_table
+
+
+@query(
+    "d21_topk_per_group",
+    oracle="""
+    SELECT c.c_nationkey, o.o_orderkey, o.o_totalprice,
+           row_number() OVER (PARTITION BY c.c_nationkey
+                              ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    QUALIFY rn <= 3
+    """,
+    doc="D-21 top-k per group via ranked window",
+)
+def d21_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_nationkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "d22_ranking_windows",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="D-22 rank / dense_rank / ntile over one window spec",
+)
+def d22_ranking_windows(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "d23_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="D-23 analytic lag/lead over event time (ref poll-tick sequencing cmd/tasker.go:85-99)",
+)
+def d23_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@query(
+    "d24_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+           AS running_value
+    FROM events
+    """,
+    doc="D-24 frame-spec running sum; decimal accumulation keeps both engines exact",
+)
+def d24_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        money(F.sum(dec("value")).over(w)).alias("running_value"),
+    )

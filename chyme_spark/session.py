@@ -1,0 +1,118 @@
+"""SparkSession builder tuned for the engine.
+
+Local test posture is ``local[N]`` (single JVM), but every config here is
+chosen to also be the right default on a 1000-executor cluster reading
+100 TB: AQE on (runtime re-plan, partition coalescing, skew-join
+splitting), Arrow on (all pandas-UDF paths are vectorized), UTC session
+timezone (stable timestamp semantics vs the DuckDB oracle and across
+clusters), shuffle partitions sized to the actual parallelism instead of
+the legacy 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+_DEFAULTS: dict[str, str] = {
+    # Adaptive query execution: runtime join-strategy switch (sort-merge ->
+    # broadcast), post-shuffle partition coalescing, skew-join splitting.
+    # These are exactly the knobs that keep a 100 TB shuffle healthy.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for every pandas_udf / mapInPandas / applyInPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics; matches DuckDB's UTC-naive reads.
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet vectorized reader (columnar batches into codegen).
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # Don't let tiny local runs produce one giant partition per file.
+    "spark.sql.files.maxPartitionBytes": "128m",
+    # The synthetic events table stores TIMESTAMP(NANOS) parquet, which the
+    # vectorized reader rejects; read the raw int64 and convert in
+    # load_table (integer DIV — double division would corrupt 1e18 nanos).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Quiet the UI for headless runs.
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def default_parallelism() -> int:
+    """Shuffle-partition count: the env override, else the local core count.
+
+    On a real cluster this should be ~2-3x total executor cores (set via
+    ``SPARK_GRAFT_CPUS`` / spark-submit conf); the principle is the same:
+    size the shuffle to the parallelism actually available, never the
+    legacy 200.
+    """
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "chyme_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falls back to
+    ``local[*]``) so the same entry point works under the driver harness
+    and under spark-submit on a cluster (where master is pre-set and this
+    argument is left None and ignored by getOrCreate).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(default_parallelism())
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one synthetic table (see TESTDATA.md) as a DataFrame.
+
+    ``events.ts`` arrives as int64 nanoseconds (see the nanosAsLong conf);
+    it is converted to a TIMESTAMP at microsecond precision with integer
+    division, which is exact — the generator emits whole microseconds.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view (for spark.sql paths)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
