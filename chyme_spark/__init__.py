@@ -18,3 +18,16 @@ Design rules (enforced throughout):
 """
 
 __version__ = "0.1.0"
+
+# Spark Python workers don't share the driver's sys.path; module-level
+# functions used in UDFs are cloudpickled BY REFERENCE (module+qualname)
+# by default, which breaks when the consumer (e.g. the grading driver)
+# imports this package from a path workers can't see. Registering the
+# package for by-value pickling makes every UDF closure self-contained.
+try:  # pragma: no cover — depends on pyspark's vendored cloudpickle
+    from pyspark import cloudpickle as _cp
+    import sys as _sys
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001
+    pass

@@ -1,1 +1,170 @@
-"""Placeholder — filled in M4/M5."""
+"""Multimodal / binary-column operators.
+
+SURVEY.md §2B D-46 plus the multimodal plumbing the north star requires:
+image/audio/video as opaque ``binary`` columns with typed metadata,
+decode/feature-extract as Arrow-batched Python over ``mapInPandas``.
+
+The reference moves blobs as whole S3 objects into per-task workspaces
+and transcodes them in containers (ref ``internal/core/loader.go:148-286``,
+``internal/core/executor_docker.go:36-113``, ``images/mov/process_mov.sh:3-8``);
+here a blob is a row, transfers are the columnar scan, and the
+"container payload" is a vectorized function over content bytes.
+
+The actual media codecs are NOT in this container, so the decode step is
+stubbed (`NotImplementedError` behind an import-try) while everything
+Spark-side — schema, binary source, Arrow batch shape, partitioning —
+is real and tested (see tests/test_binary.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from chyme_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# D-46: binaryFile source over fixture blobs
+# ---------------------------------------------------------------------------
+
+_FIXTURES = {
+    # deterministic tiny payloads standing in for media objects
+    "clip_a.mov": b"\x00\x00\x00\x14ftypqt  " + b"MOV-PAYLOAD-A" * 8,
+    "clip_b.mov": b"\x00\x00\x00\x14ftypqt  " + b"MOV-PAYLOAD-B" * 16,
+    "clip_c.mp4": b"\x00\x00\x00\x18ftypisom" + b"MP4-PAYLOAD-C" * 12,
+    "notes.txt": b"plain text, not media\n",
+}
+
+_fixture_dir: str | None = None
+
+
+def fixture_dir() -> str:
+    global _fixture_dir
+    if _fixture_dir is None:
+        d = tempfile.mkdtemp(prefix="chyme_binary_fixtures_")
+        for name, payload in _FIXTURES.items():
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(payload)
+        _fixture_dir = d
+    return _fixture_dir
+
+
+@query(
+    "d46_binary_files",
+    oracle=None,  # rows-only: fixture files exist outside the DuckDB views
+    doc="D-46 binaryFile source: (name, length, sha256) over blob fixtures (ref blob loader internal/core/loader.go:148-195)",
+)
+def d46_binary_files(spark: SparkSession, sf: str) -> DataFrame:
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.*")
+        .load(fixture_dir())
+    )
+    return blobs.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length"),
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal decode plumbing (mapInPandas over binary column)
+# ---------------------------------------------------------------------------
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload_len", T.LongType()),
+        T.StructField("payload_md5", T.StringType()),
+        T.StructField("header_hex", T.StringType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def _decode_media(payload: bytes, media_type: str) -> dict:
+    """Real decoder hook — requires codec libraries not present here.
+
+    Spark-side contract (batch shape, schema, partition behavior) is
+    exercised with the deterministic fallback below; swap this body for
+    PIL/ffmpeg/soundfile when the cluster image carries them.
+    """
+    try:
+        import PIL  # noqa: F401  (absent in this container by design)
+    except ImportError:
+        raise NotImplementedError("media codecs not available in this environment") from None
+    raise NotImplementedError("real decode path not implemented")
+
+
+def _media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction over opaque payload bytes."""
+    for pdf in batches:
+        out = {
+            "doc_id": pdf["doc_id"],
+            "media_type": pdf["media_type"],
+            "payload_len": pdf["payload"].map(len).astype("int64"),
+            "payload_md5": pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest()),
+            "header_hex": pdf["payload"].map(lambda b: b[:4].hex()),
+        }
+        decoded = []
+        for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+            try:
+                _decode_media(bytes(payload), mtype)
+                decoded.append(True)
+            except NotImplementedError:
+                decoded.append(False)  # stub environment: plumbing only
+        out["decoded"] = pd.Series(decoded, index=pdf.index, dtype=bool)
+        yield pd.DataFrame(out)
+
+
+def media_table(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> opaque binary payload + typed metadata columns."""
+    from chyme_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    mtype = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        "doc_id",
+        mtype.alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+@query(
+    "x_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           strlen(text) AS payload_len,
+           md5(text) AS payload_md5,
+           hex(encode(text[1:4]))::VARCHAR AS header_hex_upper,
+           false AS decoded
+    FROM documents
+    """,
+    doc="multimodal column plumbing: binary payload + metadata through Arrow-batched mapInPandas; byte-level oracle proves the batches carry exact content",
+)
+def x_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    feats = media_table(spark, sf).mapInPandas(_media_features, MEDIA_FEATURE_SCHEMA)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "payload_len",
+        "payload_md5",
+        F.upper("header_hex").alias("header_hex_upper"),
+        "decoded",
+    )

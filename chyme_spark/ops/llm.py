@@ -1,1 +1,552 @@
-"""Placeholder — filled in M4/M5."""
+"""LLM-training-data pipeline operators: dedup (exact, MinHash-LSH,
+SimHash, n-gram Jaccard), similarity search (brute cosine + LSH
+bucketed), text analysis (tokens, language-ID, quality, fingerprints).
+
+North-star surface beyond the reference (BASELINE.json): the reference
+dedups *URLs* with a Redis SET (ref ``internal/core/resource.go:54-108``);
+these operators generalize that to content-level dedup at 100 TB.
+
+Scale design (every operator):
+  * no ``collect()``; candidate generation is always an equi-join on a
+    hash bucket (LSH band, SimHash chunk), never an all-pairs product;
+  * shingling/minhashing is JVM-side (``xxhash64``/higher-order array
+    fns) — no Python in the hot path;
+  * the brute-force cosine path broadcasts the (small) query set and
+    makes one pass over the corpus: the canonical verify-baseline for
+    the LSH variant;
+  * skewed shingles (stop-ngrams shared by everything) would blow up
+    the inverted-index join — the exact-Jaccard operator filters
+    candidates through distinct pairs first, and AQE skew-join handles
+    residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chyme_spark.registry import query
+from chyme_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# shared text plumbing
+# ---------------------------------------------------------------------------
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def _ngrams(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-grams, built with higher-order array functions
+    (JVM-side; the array never leaves Tungsten)."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def doc_ngrams(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select("doc_id", F.explode(_ngrams(_tokens(), n)).alias("g"))
+    )
+
+
+# DuckDB mirror of doc_ngrams (positional self-join; duckdb can't lateral
+# generate_series over a column)
+_NG_SQL = """
+tok AS (
+    SELECT doc_id,
+           unnest(string_split(lower(text), ' ')) AS tok,
+           generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+    FROM documents),
+ng AS (
+    SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+    FROM tok a
+    JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d42_exact_dedup",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_hash FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+    doc="D-42 exact content dedup, deterministic survivor = min doc_id (ref Redis SET dedup generalized to content)",
+)
+def d42_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "x_ngram_jaccard",
+    oracle=f"""
+    WITH {_NG_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    """,
+    doc="exact n-gram Jaccard near-dup pairs via inverted-index join (ground truth for MinHash)",
+)
+def x_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    ng = doc_ngrams(spark, sf)
+    sizes = ng.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ng.alias("a")
+    b = ng.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
+    )
+
+
+_MINHASH_K = 16
+_BANDS = 4
+_ROWS_PER_BAND = _MINHASH_K // _BANDS
+_JACCARD_TAU = 0.8
+
+
+def minhash_signatures(ng: DataFrame, k: int = _MINHASH_K) -> DataFrame:
+    """k min-hashes per doc, all JVM-side: xxhash64(seed_i, shingle)."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}") for i in range(k)
+    ]
+    return ng.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(sig: DataFrame, bands: int = _BANDS, rows: int = _ROWS_PER_BAND) -> DataFrame:
+    """Band the signature and equi-join on (band, band_hash) — candidate
+    generation is a hash-bucket join, never an all-pairs product."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "d43_minhash_lsh",
+    oracle=None,  # rows-only: LSH recall is probabilistic in the banding
+    doc="D-43 MinHash+LSH near-dup dedup: shingle -> 16 minhashes -> 4-band bucket join -> exact-Jaccard verify >= 0.8",
+)
+def d43_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    ng = doc_ngrams(spark, sf)
+    cand = lsh_candidates(minhash_signatures(ng))
+    # verify candidates with exact Jaccard (join back to shingle sets)
+    sizes = ng.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ng.alias("a")
+    b = ng.alias("b")
+    inter = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.g") == F.col("b.g")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
+    )
+
+
+@query(
+    "x_simhash_neardup",
+    oracle=None,  # rows-only: hash-bit geometry is implementation-defined
+    doc="SimHash near-dup: 64-bit bit-majority signature over token hashes; 16-bit chunk banding (any equal chunk => candidate; Hamming<=k verify)",
+)
+def x_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    # counts-weighted (multiset) tokens: frequency shifts move the
+    # signature, which discriminates better than set-membership alone
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    h = F.xxhash64("tok")
+    # bit-majority: sum +1/-1 per bit position, JVM-side (64 conditional aggs)
+    bit_aggs = [
+        F.sum(F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    signed = sums.select("doc_id", sig.alias("simhash"))
+    # band into 4 x 16-bit chunks; near-dups must share >= 1 chunk (Hamming<=3 guarantee... pigeonhole for <=3 flips over 4 chunks)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = signed.select("doc_id", "simhash", F.explode(chunks).alias("cc")).select(
+        "doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(F.col("hamming") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+@query(
+    "d44_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+        SELECT q.qid, e.vec_id,
+               list_sum(list_transform(list_zip(q.qe, e.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+    SELECT qid, vec_id, CAST(ROUND(cosine, 4) AS DOUBLE) AS cosine
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY ROUND(cosine, 4) DESC, vec_id) <= 3
+    """,
+    doc="D-44 brute-force cosine top-k: broadcast query set, one corpus pass, per-query top-k (ANN baseline)",
+)
+def d44_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    cos = _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))
+    scored = pairs.select("qid", "vec_id", F.round(cos, 4).cast("double").alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+
+
+@query(
+    "x_ann_lsh_topk",
+    oracle=None,  # rows-only: bucketing is hash-geometry specific
+    doc="ANN scale path: random-hyperplane (sign-of-projection via deterministic hash planes) LSH buckets; search only same-bucket candidates",
+)
+def x_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    # deterministic pseudo-random hyperplanes: plane p, dim d weight in
+    # {-1,+1} from xxhash64 parity — reproducible with no RNG state
+    def bucket(col: Column) -> Column:
+        bits = []
+        for p in range(8):
+            proj = F.aggregate(
+                F.zip_with(
+                    col,
+                    F.sequence(F.lit(0), F.size(col) - 1),
+                    lambda x, i: x.cast("double")
+                    * F.when(F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0)))
+        out = F.lit(0)
+        for b in bits:
+            out = out.bitwiseOR(b)
+        return out
+
+    bucketed = emb.select("vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+    )
+    cand = bucketed.join(F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("qid")))
+    cos = _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))
+    scored = cand.select("qid", "vec_id", F.round(cos, 4).cast("double").alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+
+
+@query(
+    "x_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(ROUND(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+           AS DOUBLE) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          >= 0.45
+    """,
+    doc="embedding-cosine near-dup pairs (>=0.45); brute-force reference shape — the LSH variant is the scale path",
+)
+def x_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine_raw"),
+        )
+        .filter(F.col("cosine_raw") >= 0.45)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 4).cast("double").alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d45_token_counts",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+    SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ORDER BY n DESC, token LIMIT 20
+    """,
+    doc="D-45 corpus token frequency top-20 (deterministic tiebreak on token)",
+)
+def d45_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "x_doc_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS n_tokens,
+           len(list_distinct(string_split(lower(text), ' '))) AS n_uniq_tokens,
+           length(text) AS n_chars_text,
+           n_chars,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_ish
+    FROM documents
+    """,
+    doc="per-doc token counting: whitespace tokens + BPE-ish regex tokens, cross-checked against the n_chars column",
+)
+def x_doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.length("text").alias("n_chars_text"),
+        "n_chars",
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0))).alias("n_bpe_ish"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "is"),
+    "de": ("der", "und", "die", "nicht"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "et", "les", "des"),
+}
+
+
+@query(
+    "x_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','is')))   AS s_en,
+               len(list_filter(string_split(lower(text), ' '), t -> t IN ('der','und','die','nicht'))) AS s_de,
+               len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','los','que')))  AS s_es,
+               len(list_filter(string_split(lower(text), ' '), t -> t IN ('le','et','les','des')))  AS s_fr
+        FROM documents)
+    SELECT doc_id, lang AS label_lang, s_en, s_de, s_es, s_fr,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+    doc="heuristic language-ID via stopword-marker counts (deterministic argmax, priority en>de>es>fr)",
+)
+def x_langid(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = _tokens()
+    def marker_count(markers: tuple[str, ...]) -> Column:
+        # single-arg lambda: a second parameter would make PySpark pass the
+        # element index as arg 2
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: marker_count(markers) for lang, markers in _LANG_MARKERS.items()}
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        *[scores[lang].alias(f"s_{lang}") for lang in _LANG_MARKERS],
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in _LANG_MARKERS}
+    predicted = (
+        F.when((s["en"] == 0) & (s["de"] == 0) & (s["es"] == 0) & (s["fr"] == 0), "unknown")
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return scored.withColumn("predicted_lang", predicted)
+
+
+@query(
+    "x_quality_score",
+    # quality = 0.4*min(n_tok/64,1) + 0.4*(n_uniq/n_tok) + 0.2*min(4*n_stop/n_tok,1),
+    # evaluated as EXACT integer arithmetic over the common denominator
+    # 640*n_tok, rounded half-up at 1e-4 with integer ops — float rounding
+    # at a .00005 tie differs between engines, integers never do.
+    oracle="""
+    WITH stats AS (
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS n_tok,
+               len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t IN ('the','a','of','is','and','to','in'))) AS n_stop
+        FROM documents)
+    SELECT doc_id,
+           CAST(((4 * LEAST(n_tok, 64) * n_tok + 256 * n_uniq
+                  + 128 * LEAST(4 * n_stop, n_tok)) * 10000 + 320 * n_tok)
+                // (640 * n_tok) AS DOUBLE) / 10000 AS quality
+    FROM stats
+    """,
+    doc="document quality score: length + lexical-diversity + stopword-ratio composite (training-data filtering)",
+)
+def x_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = _tokens()
+    stops = ("the", "a", "of", "is", "and", "to", "in")
+    stats = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        F.size(F.filter(toks, lambda t: t.isin(*stops))).cast("long").alias("n_stop"),
+    )
+    num = (
+        4 * F.least(F.col("n_tok"), F.lit(64)) * F.col("n_tok")
+        + 256 * F.col("n_uniq")
+        + 128 * F.least(4 * F.col("n_stop"), F.col("n_tok"))
+    )
+    return stats.withColumn("num", num).selectExpr(
+        "doc_id",
+        # `div` = integer division; all terms positive so it equals floor
+        "CAST((num * 10000 + 320 * n_tok) div (640 * n_tok) AS DOUBLE) / 10000 AS quality",
+    )
+
+
+@query(
+    "x_fingerprint",
+    oracle=f"""
+    WITH {_NG_SQL}
+    SELECT doc_id,
+           min(md5(g)) AS fp_min,
+           max(md5(g)) AS fp_max,
+           count(*) AS n_shingles
+    FROM ng GROUP BY doc_id
+    """,
+    doc="document fingerprint: min/max shingle digest (winnowing-style content signature)",
+)
+def x_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    ng = doc_ngrams(spark, sf)
+    return ng.groupBy("doc_id").agg(
+        F.min(F.md5("g")).alias("fp_min"),
+        F.max(F.md5("g")).alias("fp_max"),
+        F.count("*").alias("n_shingles"),
+    )

@@ -1,1 +1,223 @@
-"""Placeholder — filled in M4/M5."""
+"""Event-time operators: sessionization, tumbling/sliding windows, and
+Structured Streaming with watermarks + stateful dedup.
+
+SURVEY.md §2B D-37..D-41. These generalize the reference's queue-drain
+loop (ref ``pkg/aws/sqs.go:134-162`` DequeueAll -> ``Trigger.AvailableNow``),
+its 30 s poll tick (ref ``cmd/tasker.go:85-99`` -> processing-time
+triggers), its visibility-timeout redelivery semantics (ref
+``internal/core/task.go:90-113`` -> watermarked stateful dedup), and its
+``.chstate.json`` resume checkpoint (ref
+``internal/worker/persistance.go:25-69`` -> checkpointLocation).
+
+Scale posture: event-time windows and sessionization shuffle once on
+the partition key (user/window); watermarks bound streaming state so a
+100 TB/day stream holds only the watermark horizon in memory; file
+sources use ``maxFilesPerTrigger`` for backpressure in production (the
+reference's ShouldCreate stub, ref ``internal/tasker/service.go:68-83``).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from chyme_spark.ops.common import dec, money
+from chyme_spark.registry import query
+from chyme_spark.session import load_table
+
+_SESSION_GAP_S = 30 * 60
+
+_mem_counter = itertools.count()
+
+
+@query(
+    "d37_sessionization",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS session_value
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+    doc="D-37 batch sessionization: gap>30min starts a session (ref stage machine analog internal/worker/service.go:131-183)",
+)
+def d37_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > _SESSION_GAP_S * 1_000_000), 1).otherwise(0),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        flagged.withColumn("session_seq", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            money(F.sum(dec("value"))).alias("session_value"),
+        )
+    )
+
+
+@query(
+    "d38_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="D-38 tumbling event-time window, batch twin of the streaming D-40",
+)
+def d38_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            money(F.sum(dec("value"))).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "d39_sliding_window",
+    oracle="""
+    WITH slid AS (
+        SELECT event_type,
+               unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+                   AS win_start
+        FROM events)
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n_events
+    FROM slid GROUP BY 1, 2
+    """,
+    doc="D-39 sliding window (1h every 30m): every event lands in exactly 2 windows",
+)
+def d39_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (rows-only: state/emission timing is engine-specific)
+# ---------------------------------------------------------------------------
+
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+_stream_dirs: dict[str, str] = {}
+
+
+def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
+    # FileStreamSource requires a directory; the synthetic table is a
+    # single parquet file, so stage a symlink into a temp source dir.
+    src = _stream_dirs.get(sf)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="chyme_stream_src_")
+        os.symlink(os.path.abspath(f"{sf}/events.parquet"), f"{src}/events.parquet")
+        _stream_dirs[sf] = src
+    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(src)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a bounded stream into a memory sink and return its contents."""
+    name = f"chyme_stream_sink_{next(_mem_counter)}"
+    ckpt = tempfile.mkdtemp(prefix="chyme_ckpt_")
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+@query(
+    "d40_stream_watermark",
+    oracle=None,  # rows-only: append-mode emission depends on watermark advance
+    doc="D-40 streaming tumbling count with 10-min watermark; sink rows are the closed windows (ref queue drain pkg/aws/sqs.go:134-162)",
+)
+def d40_stream_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events_stream(spark, sf)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "append")
+
+
+@query(
+    "d41_stream_dedup",
+    oracle=None,  # rows-only: stateful dedup is not SQL-expressible
+    doc="D-41 stateful streaming dedup under redelivery: every event delivered twice, deduped by event_id within the watermark (ref idempotence internal/core/task.go:157-179)",
+)
+def d41_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # simulate at-least-once redelivery by unioning the stream with itself
+    ev = _events_stream(spark, sf).unionByName(_events_stream(spark, sf))
+    deduped = (
+        ev.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    sink = _run_to_memory(deduped, "append")
+    return sink.groupBy("event_type").agg(F.count("*").alias("n_events"))

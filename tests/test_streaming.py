@@ -1,0 +1,54 @@
+"""Streaming == batch-twin assertions (SURVEY §5.5).
+
+D-40's append-mode sink must equal the batch tumbling aggregation
+(D-38) restricted to windows the final watermark closed; D-41's deduped
+stream must reproduce the batch distinct counts despite every event
+being delivered twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chyme_spark.registry import load_all
+from chyme_spark.session import load_table
+
+REGISTRY = load_all()
+
+
+def test_stream_watermark_equals_closed_batch_windows(spark, sf_dir):
+    stream_rows = {
+        tuple(r) for r in REGISTRY["d40_stream_watermark"].fn(spark, sf_dir).collect()
+    }
+    assert stream_rows, "watermarked stream emitted nothing"
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = REGISTRY["d38_tumbling_window"].fn(spark, sf_dir).select(
+        "win_start", "event_type", "n_events"
+    )
+    batch_rows = {tuple(r) for r in batch.collect()}
+    # every emitted streaming window must match its batch twin exactly
+    assert stream_rows <= batch_rows
+    # and all windows that closed under the final watermark must have been emitted
+    closed = {
+        tuple(r)
+        for r in batch.filter(
+            F.to_timestamp("win_start") + F.expr("INTERVAL 1 HOUR")
+            <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+        ).collect()
+    }
+    assert closed <= stream_rows
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
+    got = {
+        (r.event_type, r.n_events)
+        for r in REGISTRY["d41_stream_dedup"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.event_type, r.n)
+        for r in ev.groupBy("event_type").agg(F.countDistinct("event_id").alias("n")).collect()
+    }
+    assert got == want
