@@ -24,9 +24,13 @@ from pyspark.sql import functions as F
 
 from chyme_spark.filters import compile_filter
 
-# `^(scheme)://(bucket)/(key)` — same shape the reference parses with
-# net/url (ref internal/core/resource.go:15-24).
-_URL_RE = r"^([a-z][a-z0-9+.-]*)://([^/]+)/(.+)$"
+# `scheme://authority/key` — same shape the reference parses with
+# net/url (ref internal/core/resource.go:15-24). The authority (bucket)
+# may be empty: Hadoop renders local paths as `file:/tmp/x` which we
+# normalize to `file:///tmp/x`.
+_SCHEME_RE = r"^([a-z][a-z0-9+.-]*)://"
+_BUCKET_RE = r"^[a-z][a-z0-9+.-]*://([^/]*)/"
+_KEY_RE = r"^[a-z][a-z0-9+.-]*://[^/]*/(.+)$"
 
 
 def with_resource_columns(urls: DataFrame, phony: bool = False) -> DataFrame:
@@ -35,10 +39,12 @@ def with_resource_columns(urls: DataFrame, phony: bool = False) -> DataFrame:
     resource_hash = sha1(url) — identical identity rule to the reference
     (ref ``internal/core/resource.go:27-34``, ``pkg/hash/hash.go:18-24``).
     """
+    normalized = F.regexp_replace("url", r"^([a-z][a-z0-9+.-]*):/(?!/)", "$1:///")
     return (
-        urls.withColumn("scheme", F.regexp_extract("url", _URL_RE, 1))
-        .withColumn("bucket", F.regexp_extract("url", _URL_RE, 2))
-        .withColumn("key", F.regexp_extract("url", _URL_RE, 3))
+        urls.withColumn("url", normalized)
+        .withColumn("scheme", F.regexp_extract("url", _SCHEME_RE, 1))
+        .withColumn("bucket", F.regexp_extract("url", _BUCKET_RE, 1))
+        .withColumn("key", F.regexp_extract("url", _KEY_RE, 1))
         .withColumn("ext", F.lower(F.regexp_extract("url", r"\.([A-Za-z0-9]+)$", 1)))
         .withColumn("phony", F.lit(phony))
         .withColumn("resource_hash", F.sha1(F.col("url")))
@@ -46,9 +52,39 @@ def with_resource_columns(urls: DataFrame, phony: bool = False) -> DataFrame:
 
 
 def split_malformed(catalog: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(well-formed, quarantine) — scheme regex decides validity."""
-    is_valid = F.col("scheme") != ""
+    """(well-formed, quarantine) — needs a scheme and a non-empty key."""
+    is_valid = (F.col("scheme") != "") & (F.col("key") != "")
     return catalog.filter(is_valid), catalog.filter(~is_valid)
+
+
+def list_files(spark, root: str, max_depth: int | None = None) -> DataFrame:
+    """Recursive object listing -> (url, size, mtime) DataFrame.
+
+    Parity with the reference's BFS lister (ref ``pkg/aws/s3.go:63-80``,
+    ``311-338``) including its ``--recursion`` depth bound — but with
+    correct pagination (Hadoop FS iterators page internally; the
+    reference dropped its ContinuationToken, ref ``pkg/aws/s3.go:344-356``).
+
+    Listing runs on the driver (it is metadata, same as Spark's own file
+    index); for buckets with millions of prefixes, parallelize by
+    listing top-level prefixes into a DataFrame and fanning out a
+    distributed list job per prefix.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(conf)
+    base_depth = root.rstrip("/").count("/")
+    rows = []
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if max_depth is not None and (p.count("/") - base_depth - 1) > max_depth:
+            continue
+        rows.append((p, st.getLen(), st.getModificationTime()))
+    return spark.createDataFrame(rows, "url string, size long, mtime long")
 
 
 def ingest(urls: DataFrame, filter_string: str = "identity/") -> DataFrame:

@@ -1,0 +1,168 @@
+"""CLI — the chyme verbs as Spark jobs (ref ``README.md:98-128`` usage).
+
+    chyme-spark ingest <root-or-url> --filter ext/mov [--recursion N] --catalog DIR
+    chyme-spark tasker --catalog DIR --ledger DIR --tasks DIR
+    chyme-spark worker --tasks DIR --ledger DIR --quarantine DIR
+    chyme-spark query <name> [--sf DIR] [--show N]
+    chyme-spark ls-queries
+
+The reference split these into three long-running services wired by
+Redis/SQS/HTTP (ref ``cmd/ingest.go``, ``cmd/tasker.go``,
+``cmd/worker.go``); here each verb is one idempotent batch job over
+parquet tables, and the scheduler/queue is Spark itself.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+from chyme_spark.session import get_spark
+
+
+def _read_or_none(spark, path: str):
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — first run: table doesn't exist yet
+        return None
+
+
+def cmd_ingest(args) -> int:
+    from chyme_spark.catalog import ingest, list_files, split_malformed, with_resource_columns
+
+    from chyme_spark.filters import compile_filter
+
+    try:
+        compile_filter(args.filter)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    spark = get_spark("chyme_ingest")
+    if "://" in args.root and not args.root.startswith("file://"):
+        urls = spark.createDataFrame([(args.root,)], "url string")
+    else:
+        urls = list_files(spark, args.root, args.recursion).select("url")
+    catalog = ingest(urls, args.filter)
+    # dedup against what's already cataloged (idempotent re-ingest)
+    existing = _read_or_none(spark, args.catalog)
+    if existing is not None:
+        catalog = catalog.join(existing.select("url"), "url", "left_anti")
+    n = catalog.count()
+    catalog.write.mode("append").parquet(args.catalog)
+    _, quarantine = split_malformed(with_resource_columns(urls))
+    nq = quarantine.count()
+    print(f"ingested {n} new resources -> {args.catalog} ({nq} malformed skipped)")
+    return 0
+
+
+def cmd_tasker(args) -> int:
+    from chyme_spark.tasker import create_tasks, empty_ledger
+    from chyme_spark.templates import DEFAULT_TEMPLATES, with_overrides
+
+    spark = get_spark("chyme_tasker")
+    catalog = spark.read.parquet(args.catalog)
+    ledger = _read_or_none(spark, args.ledger) or empty_ledger(spark)
+    templates = with_overrides(
+        DEFAULT_TEMPLATES, mirror_base=args.mirror_base, executor=args.executor, cmd=args.cmd
+    )
+    tasks = create_tasks(catalog, ledger, templates)
+    n = tasks.count()
+    tasks.write.mode("append").parquet(args.tasks)
+    print(f"created {n} tasks -> {args.tasks}")
+    return 0
+
+
+def cmd_worker(args) -> int:
+    from chyme_spark.runner import run_tasks
+    from chyme_spark.tasker import empty_ledger
+
+    spark = get_spark("chyme_worker")
+    tasks = spark.read.parquet(args.tasks)
+    ledger = _read_or_none(spark, args.ledger) or empty_ledger(spark)
+    todo = tasks.join(ledger.select("task_hash"), "task_hash", "left_anti")
+    if args.parallelism:
+        todo = todo.repartition(args.parallelism)
+    results = run_tasks(todo).cache()
+    done = results.filter(F.col("ok")).select(
+        "task_hash", "stage", F.current_timestamp().alias("completed_at")
+    )
+    failed = results.filter(~F.col("ok")).select(
+        "task_hash", F.col("error"), F.current_timestamp().alias("failed_at"),
+        F.col("stage").alias("failed_stage"),
+    )
+    n_ok, n_fail = done.count(), failed.count()
+    done.write.mode("append").parquet(args.ledger)
+    if n_fail:
+        failed.write.mode("append").parquet(args.quarantine)
+    results.unpersist()
+    print(f"completed {n_ok} tasks; quarantined {n_fail}")
+    return 0
+
+
+def cmd_query(args) -> int:
+    from chyme_spark.registry import load_all
+
+    registry = load_all()
+    if args.name not in registry:
+        print(f"unknown query {args.name!r}; see ls-queries", file=sys.stderr)
+        return 2
+    spark = get_spark("chyme_query")
+    df = registry[args.name].fn(spark, args.sf)
+    df.show(args.show, truncate=False)
+    print(f"{df.count()} rows")
+    return 0
+
+
+def cmd_ls(args) -> int:
+    from chyme_spark.registry import load_all
+
+    for name, q in sorted(load_all().items()):
+        kind = "oracle" if q.oracle else "rows-only"
+        print(f"{name:28s} [{kind}] {q.doc.strip().splitlines()[0] if q.doc else ''}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="chyme-spark", description=__doc__)
+    sub = ap.add_subparsers(dest="verb", required=True)
+
+    p = sub.add_parser("ingest", help="scan + filter + dedup into the resource catalog")
+    p.add_argument("root", help="directory, file://, or single object URL")
+    p.add_argument("--filter", default="identity/", help="e.g. ext/mov or ext/mov/mp4")
+    p.add_argument("--recursion", type=int, default=None, help="max listing depth")
+    p.add_argument("--catalog", required=True, help="catalog parquet dir")
+    p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser("tasker", help="expand catalog through templates into tasks")
+    p.add_argument("--catalog", required=True)
+    p.add_argument("--ledger", required=True)
+    p.add_argument("--tasks", required=True)
+    p.add_argument("--mirror-base", default=None, help="override template output base, e.g. file:///data/mirror")
+    p.add_argument("--executor", default=None, help="override executor: noop|subprocess|docker")
+    p.add_argument("--cmd", default=None, help="subprocess executor command ($IN/$OUT env)")
+    p.set_defaults(fn=cmd_tasker)
+
+    p = sub.add_parser("worker", help="execute tasks; append ledger + quarantine")
+    p.add_argument("--tasks", required=True)
+    p.add_argument("--ledger", required=True)
+    p.add_argument("--quarantine", required=True)
+    p.add_argument("--parallelism", type=int, default=None)
+    p.set_defaults(fn=cmd_worker)
+
+    p = sub.add_parser("query", help="run a registered query")
+    p.add_argument("name")
+    p.add_argument("--sf", default="/root/testdata/sf0.01")
+    p.add_argument("--show", type=int, default=20)
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("ls-queries", help="list registered queries")
+    p.set_defaults(fn=cmd_ls)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

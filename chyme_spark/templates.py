@@ -33,18 +33,17 @@ class Template:
 
     name: str
     ext: str  # guard: lowercased extension that activates this template
-    mirror_bucket: str
-    mirror_prefix: str
+    mirror_base: str  # e.g. "s3://chyme-mirror/dash" or "file:///data/mirror"
     image: str
     executor: str = "docker"
     timeout_s: int = 6 * 3600
     extra_config: dict[str, str] = field(default_factory=dict)
 
     def output_url(self) -> Column:
-        # s3://<mirror_bucket>/<prefix>/<src-bucket>/<key>/ — same rewrite
-        # as the reference (ref internal/tasker/template/mov.go:28-30)
+        # <mirror_base>/<src-bucket>/<key>/ — same rewrite as the
+        # reference (ref internal/tasker/template/mov.go:28-30)
         return F.concat(
-            F.lit(f"s3://{self.mirror_bucket}/{self.mirror_prefix}/"),
+            F.lit(self.mirror_base.rstrip("/") + "/"),
             F.col("bucket"),
             F.lit("/"),
             F.col("key"),
@@ -69,6 +68,8 @@ class Template:
             F.create_map(*config_pairs).alias("config"),
             F.lit(self.timeout_s).cast("long").alias("timeout_s"),
             F.lit("v1").alias("version"),
+            # propagate the skip-transfer flag (ref resource.go:18 Phony)
+            F.col("phony").alias("phony"),
         )
         return F.when(F.col("ext") == self.ext.lower(), task)
 
@@ -76,18 +77,37 @@ class Template:
 MOV = Template(
     name="mov",
     ext="mov",
-    mirror_bucket="chyme-mirror",
-    mirror_prefix="dash",
+    mirror_base="s3://chyme-mirror/dash",
     image="mov_converter:0.1",
 )
 
 MP4 = Template(
     name="mp4",
     ext="mp4",
-    mirror_bucket="chyme-mirror",
-    mirror_prefix="dash",
+    mirror_base="s3://chyme-mirror/dash",
     image="mp4_processor:0.1",
 )
+
+def with_overrides(
+    templates: tuple[Template, ...],
+    mirror_base: str | None = None,
+    executor: str | None = None,
+    cmd: str | None = None,
+) -> tuple[Template, ...]:
+    """Re-target templates (e.g. file:// mirror + subprocess payload)."""
+    from dataclasses import replace
+
+    out = []
+    for t in templates:
+        kw = {}
+        if mirror_base:
+            kw["mirror_base"] = mirror_base
+        if executor:
+            kw["executor"] = executor
+        if cmd:
+            kw["extra_config"] = {**t.extra_config, "cmd": cmd}
+        out.append(replace(t, **kw) if kw else t)
+    return tuple(out)
 
 DEFAULT_TEMPLATES: tuple[Template, ...] = (MOV, MP4)
 
