@@ -32,6 +32,7 @@ HEADLINE = [
     "d24_running_sum",
     "d37_sessionization",
     "d42_exact_dedup",
+    "d43_minhash_lsh",
     "d44_cosine_topk",
     "d45_token_counts",
     "d50_pipeline_flagship",

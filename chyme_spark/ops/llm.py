@@ -40,7 +40,13 @@ def _tokens(col: str = "text") -> Column:
 
 def _ngrams(tokens: Column, n: int = 3) -> Column:
     """Distinct word n-grams, built with higher-order array functions
-    (JVM-side; the array never leaves Tungsten)."""
+    (JVM-side; the array never leaves Tungsten).
+
+    ``tokens`` MUST be a bound attribute (a materialized column), not an
+    inline expression: the lambda references it per element, and an
+    inline ``split(...)`` would re-execute once per element — O(len^2)
+    row work. Callers stage the token array with a select first.
+    """
     idx = F.sequence(F.lit(0), F.size(tokens) - n)
     grams = F.transform(
         idx,
@@ -53,9 +59,8 @@ def _ngrams(tokens: Column, n: int = 3) -> Column:
 
 def doc_ngrams(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    return (
-        docs.select("doc_id", F.explode(_ngrams(_tokens(), n)).alias("g"))
-    )
+    staged = docs.select("doc_id", _tokens().alias("toks"))
+    return staged.select("doc_id", F.explode(_ngrams(F.col("toks"), n)).alias("g"))
 
 
 # DuckDB mirror of doc_ngrams (positional self-join; duckdb can't lateral
@@ -143,17 +148,57 @@ _ROWS_PER_BAND = _MINHASH_K // _BANDS
 _JACCARD_TAU = 0.8
 
 
-def minhash_signatures(ng: DataFrame, k: int = _MINHASH_K) -> DataFrame:
-    """k min-hashes per doc, all JVM-side: xxhash64(seed_i, shingle)."""
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}") for i in range(k)
+def doc_shingle_sets(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
+    """One row per doc: (doc_id, hs: distinct HASHED shingle array, n: |hs|).
+
+    Shingles are hashed to 64-bit longs directly from the token triple
+    (``xxhash64(t[i], t[i+1], t[i+2])``) — the gram string is never
+    materialized, the per-doc set is an array of longs, and the whole
+    MinHash pipeline stays shuffle-free until the LSH bucket groupBy.
+    64-bit collisions are negligible for Jaccard estimation (the same
+    trade every production near-dup pipeline makes)."""
+    docs = load_table(spark, sf, "documents")
+    # stage the token array as an attribute: referencing an inline
+    # split(...) inside the transform lambda would re-split per element
+    staged = docs.select("doc_id", _tokens().alias("toks"))
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.xxhash64(
+            *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return staged.select(
+        "doc_id",
+        F.array_distinct(grams).alias("hs"),
+    ).withColumn("n", F.size("hs"))
+
+
+def minhash_signatures(sets: DataFrame, k: int = _MINHASH_K) -> DataFrame:
+    """k min-hashes per doc as narrow array ops: array_min over
+    xxhash64(seed_i, shingle) — JVM-side, zero shuffles."""
+    def hasher(seed: int):
+        # single-param lambda: a second parameter would be interpreted by
+        # PySpark as the array-index argument, silently replacing the seed
+        return lambda h: F.xxhash64(F.lit(seed), h)
+
+    # k minhashes derived by hashing the 8-byte pre-hashed shingle —
+    # 16x cheaper than k string hashes, same independence properties
+    sigs = [
+        F.array_min(F.transform("hs", hasher(i))).alias(f"h{i}") for i in range(k)
     ]
-    return ng.groupBy("doc_id").agg(*aggs)
+    return sets.select("doc_id", *sigs)
 
 
 def lsh_candidates(sig: DataFrame, bands: int = _BANDS, rows: int = _ROWS_PER_BAND) -> DataFrame:
-    """Band the signature and equi-join on (band, band_hash) — candidate
-    generation is a hash-bucket join, never an all-pairs product."""
+    """Band the signature, group docs per (band, band_hash) bucket, and
+    emit in-bucket pairs — candidate generation is one hash shuffle,
+    never an all-pairs product, and never a self-join that would
+    recompute the signature subtree twice. Bucket sizes are bounded by
+    collision likelihood (near-dup clusters), so per-bucket pairing is
+    cheap; a pathological giant bucket means the band hash is degenerate
+    and should be re-seeded, not joined through."""
     band_structs = F.array(
         *[
             F.struct(
@@ -166,14 +211,20 @@ def lsh_candidates(sig: DataFrame, bands: int = _BANDS, rows: int = _ROWS_PER_BA
     banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+    return pairs.distinct()
 
 
 @query(
@@ -182,26 +233,26 @@ def lsh_candidates(sig: DataFrame, bands: int = _BANDS, rows: int = _ROWS_PER_BA
     doc="D-43 MinHash+LSH near-dup dedup: shingle -> 16 minhashes -> 4-band bucket join -> exact-Jaccard verify >= 0.8",
 )
 def d43_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    ng = doc_ngrams(spark, sf)
-    cand = lsh_candidates(minhash_signatures(ng))
-    # verify candidates with exact Jaccard (join back to shingle sets)
-    sizes = ng.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = ng.alias("a")
-    b = ng.alias("b")
-    inter = (
-        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(b, (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.g") == F.col("b.g")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    # persist = the in-session analog of staging the shingle-set table to
+    # storage (which is what a 100 TB run would do): the scan+shingle pass
+    # runs once, and the candidate branch + both verify joins reuse it
+    sets = doc_shingle_sets(spark, sf).persist()
+    cand = lsh_candidates(minhash_signatures(sets))
+    # Verify candidates with exact Jaccard over per-doc shingle-set
+    # arrays: the candidate list is tiny relative to the corpus (that is
+    # LSH's whole point), so two equi-joins against the 1-row-per-doc
+    # sets table + array_intersect beat re-joining an exploded
+    # (doc, shingle) table. Per-doc sets are bounded (doc length), so
+    # the arrays stay small at any corpus size.
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
+    jac = inter * 1.0 / (F.col("sa.n") + F.col("sb.n") - inter)
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= _JACCARD_TAU)
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
     )
 
 
