@@ -94,12 +94,14 @@ ng AS (
 )
 def d42_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    # min(doc_id) per content hash = deterministic survivor, as a hash
+    # aggregate with map-side combine (shuffles one row per distinct
+    # hash — a window row_number would shuffle and sort every row)
     return (
         docs.select("doc_id", F.md5("text").alias("content_hash"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_hash")
     )
 
 

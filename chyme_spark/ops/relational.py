@@ -151,11 +151,20 @@ def d05_distinct(spark: SparkSession, sf: str) -> DataFrame:
 )
 def d06_keyed_dedup(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
-    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy("l_linenumber", "l_suppkey")
+    # survivor = lexicographic min of (l_linenumber, l_suppkey) per key,
+    # expressed as min(struct) so it's a HASH AGGREGATE with map-side
+    # partial combine — at 100 TB this shuffles one row per key, where
+    # the equivalent row_number() window shuffles every input row and
+    # then sorts each partition
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(F.min(F.struct("l_linenumber", "l_suppkey", "l_quantity")).alias("w"))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.col("w.l_linenumber").alias("l_linenumber"),
+            F.col("w.l_quantity").alias("l_quantity"),
+        )
     )
 
 
