@@ -399,6 +399,44 @@ def x_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_ann_ivf_topk",
+    oracle=None,  # rows-only: centroid geometry is trainer-specific
+    doc="ANN scale path #2 — IVF: KMeans centroids partition the corpus; a query probes only its nprobe=2 nearest cells (MLlib, seed-pinned)",
+)
+def x_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf, "embeddings")
+    vecs = emb.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    model = KMeans(k=16, seed=42, maxIter=10).fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "embedding", F.col("prediction").alias("cell"))
+
+    # centroids are tiny (k x dim): a literal DataFrame, broadcast into the probe join
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    qdist = q.join(F.broadcast(centroids), how="cross").select(
+        "qid", "qe", "cell",
+        _dot(F.col("qe"), F.col("centroid")).alias("cdot"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cdot"), "cell")
+    probes = qdist.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= 2).select("qid", "qe", "cell")
+
+    # search only the probed cells: the join key is the cell id, so the
+    # corpus is scanned once and each query touches ~2/16 of it
+    cand = assigned.join(F.broadcast(probes), "cell").filter(F.col("vec_id") != F.col("qid"))
+    cos = _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))
+    scored = cand.select("qid", "vec_id", F.round(cos, 4).cast("double").alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+
+
+@query(
     "x_embedding_neardup",
     oracle="""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

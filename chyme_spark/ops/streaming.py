@@ -207,6 +207,42 @@ def d40_stream_watermark(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_stream_stateful_counts",
+    oracle=None,  # rows-only: custom state handling is not SQL-expressible
+    doc="custom stateful streaming operator via applyInPandasWithState: per-user running event count + value sum kept in state across micro-batches (ref process-state checkpoint internal/worker/persistance.go:25-69)",
+)
+def x_stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = _events_stream(spark, sf).select("user_id", "value")
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_to_memory(out, "update")
+    # keep the final state row per user (multiple micro-batches emit updates)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+
+
+@query(
     "d41_stream_dedup",
     oracle=None,  # rows-only: stateful dedup is not SQL-expressible
     doc="D-41 stateful streaming dedup under redelivery: every event delivered twice, deduped by event_id within the watermark (ref idempotence internal/core/task.go:157-179)",

@@ -1,0 +1,50 @@
+"""Quality/equivalence assertions for the approximate + stateful ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chyme_spark.registry import load_all
+from chyme_spark.session import load_table
+
+REGISTRY = load_all()
+
+
+def test_stateful_stream_counts_equal_batch(spark, sf_dir):
+    got = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in REGISTRY["x_stream_stateful_counts"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.user_id, r.n, r.v)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).cast("double").alias("v"),
+        )
+        .collect()
+    }
+    # counts must match exactly; sums are float-accumulated in pandas so
+    # compare counts strictly and totals within tolerance
+    assert {g[:2] for g in got} == {w[:2] for w in want}
+    want_by_user = {w[0]: w[2] for w in want}
+    for user_id, _n, total in got:
+        assert abs(total - want_by_user[user_id]) < 0.05
+
+
+def test_ivf_ann_overlaps_brute_force(spark, sf_dir):
+    ivf = REGISTRY["x_ann_ivf_topk"].fn(spark, sf_dir).collect()
+    brute = REGISTRY["d44_cosine_topk"].fn(spark, sf_dir).collect()
+    assert len(ivf) > 0
+    ivf_pairs = {(r.qid, r.vec_id) for r in ivf}
+    brute_pairs = {(r.qid, r.vec_id) for r in brute}
+    # IVF with nprobe=2/16 must recover a meaningful share of the true
+    # top-k (random 64-dim embeddings: clusters are weak, so demand
+    # overlap, not equality)
+    assert len(ivf_pairs & brute_pairs) >= len(brute_pairs) // 4
+    # and every IVF hit must carry the same cosine the brute path computes
+    brute_cos = {(r.qid, r.vec_id): r.cosine for r in brute}
+    for r in ivf:
+        if (r.qid, r.vec_id) in brute_cos:
+            assert abs(r.cosine - brute_cos[(r.qid, r.vec_id)]) < 1e-9
