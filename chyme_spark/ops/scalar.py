@@ -246,6 +246,66 @@ def d35_json_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_percentiles",
+    oracle="""
+    SELECT event_type,
+           CAST(ROUND(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)), 2) AS DOUBLE) AS p50,
+           CAST(ROUND(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,6)), 2) AS DOUBLE) AS p90,
+           CAST(min(value) AS DOUBLE) AS v_min,
+           CAST(max(value) AS DOUBLE) AS v_max
+    FROM events GROUP BY event_type
+    """,
+    doc="exact percentiles (linear interpolation) per group; min/max exact",
+)
+def x_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)").cast("decimal(18,6)"), 2).cast("double").alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)").cast("decimal(18,6)"), 2).cast("double").alias("p90"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+
+
+@query(
+    "x_stats_moments",
+    # stddev/variance built-ins accumulate doubles in partition order —
+    # nondeterministic across engines. Compute the moments from exact
+    # decimal power sums instead: identical doubles on both sides.
+    oracle="""
+    WITH s AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,4))) AS s1,
+               SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS s2
+        FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           CAST(ROUND(s1 / n, 2) AS DOUBLE) AS mean_value,
+           CAST(ROUND(CAST((n * s2 - s1 * s1) AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)), 2) AS DOUBLE)
+               AS var_value
+    FROM s
+    """,
+    doc="mean/variance from exact decimal power sums (order-insensitive where the stddev built-ins are not)",
+)
+def x_stats_moments(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).alias("s1"),
+        F.sum(dec("value") * dec("value")).alias("s2"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(F.col("s1") / F.col("n"), 2).cast("double").alias("mean_value"),
+        F.round(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1)),
+            2,
+        ).cast("double").alias("var_value"),
+    )
+
+
+@query(
     "d36_pivot",
     oracle=f"""
     SELECT c.c_mktsegment,

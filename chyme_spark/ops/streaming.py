@@ -139,6 +139,45 @@ def d39_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "x_time_rollup",
+    oracle="""
+    SELECT 'hour' AS resolution,
+           strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day' AS resolution,
+           strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 2, 3
+    """,
+    doc="hypertable-style multi-resolution time rollup (hour + day continuous aggregates in one result); at scale each resolution is an independently materialized/partitioned table",
+)
+def x_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+
+    def level(unit: str) -> DataFrame:
+        return (
+            ev.groupBy(F.date_trunc(unit, "ts").alias("b"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                money(F.sum(dec("value"))).alias("total_value"),
+            )
+            .select(
+                F.lit(unit).alias("resolution"),
+                F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+
+    return level("hour").unionByName(level("day"))
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming (rows-only: state/emission timing is engine-specific)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,62 @@
+"""Property-based spot checks (SURVEY §5.4), via hypothesis.
+
+Mirrors the reference invariants: order-insensitive task identity
+(ref ``pkg/hash/hash.go:31-40``), SET-semantics dedup idempotence
+(ref ``internal/core/resource.go:54-108``), and filter/dedup
+commutativity of the ingest pipeline.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from chyme_spark.catalog import ingest, with_resource_columns
+
+_ext = st.sampled_from(["mov", "MOV", "mp4", "txt", "json", ""])
+_name = st.text(alphabet="abcdefgh123", min_size=1, max_size=6)
+_url = st.builds(
+    lambda b, k, e: f"s3://{b}/{k}" + (f".{e}" if e else ""), _name, _name, _ext
+)
+_urls = st.lists(_url, min_size=1, max_size=12)
+
+_PROPERTY_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+@_PROPERTY_SETTINGS
+@given(urls=_urls)
+def test_ingest_idempotent_under_duplication(spark, urls):
+    once = sorted(r.url for r in ingest(_df(spark, urls), "ext/mov/mp4").collect())
+    doubled = sorted(r.url for r in ingest(_df(spark, urls + urls), "ext/mov/mp4").collect())
+    assert once == doubled
+
+
+@_PROPERTY_SETTINGS
+@given(urls=_urls)
+def test_filter_commutes_with_dedup(spark, urls):
+    cat = with_resource_columns(_df(spark, urls))
+    pred = F.lower(F.col("url")).rlike(r"^(.+)\.(mov)$")
+    a = sorted(r.url for r in cat.filter(pred).dropDuplicates(["url"]).collect())
+    b = sorted(r.url for r in cat.dropDuplicates(["url"]).filter(pred).collect())
+    assert a == b
+
+
+@_PROPERTY_SETTINGS
+@given(h1=st.text(min_size=1, max_size=20), h2=st.text(min_size=1, max_size=20))
+def test_collated_hash_order_insensitive(spark, h1, h2):
+    df = spark.range(1).select(
+        F.sha1(F.concat(F.least(F.lit(h1), F.lit(h2)), F.greatest(F.lit(h1), F.lit(h2)))).alias("a"),
+        F.sha1(F.concat(F.least(F.lit(h2), F.lit(h1)), F.greatest(F.lit(h2), F.lit(h1)))).alias("b"),
+    )
+    row = df.collect()[0]
+    assert row.a == row.b
