@@ -246,6 +246,129 @@ def d35_json_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_string_fns2",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_brand, p_type) AS brand_type_dist,
+           replace(p_name, ' ', '_') AS name_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           reverse(p_brand) AS brand_rev,
+           repeat('*', CAST(p_size % 5 AS INT)) AS stars,
+           contains(lower(p_type), 'brushed') AS is_brushed
+    FROM part
+    """,
+    doc="second string bundle: edit distance (near-dup scoring), replace/pad/reverse/repeat/contains",
+)
+def x_string_fns2(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
+        F.lower("p_type").contains("brushed").alias("is_brushed"),
+    )
+
+
+@query(
+    "x_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+                 CAST(c_nationkey AS DOUBLE) AS nationkey FROM customer)
+    UNPIVOT (val FOR metric IN (acctbal, nationkey))
+    """,
+    doc="unpivot/melt (pivot's inverse) via stack()",
+)
+def x_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    return cust.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', acctbal, 'nationkey', nationkey) AS (metric, val)",
+    )
+
+
+@query(
+    "x_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           json_structure(props) IS NOT NULL AS parsed_ok
+    FROM events
+    """,
+    doc="from_json with explicit schema into a typed struct (full D-35 surface: schema-on-read of the Task JSON analog)",
+)
+def x_from_json_struct(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        parsed.isNotNull().alias("parsed_ok"),
+    )
+
+
+@query(
+    "x_map_fns2",
+    oracle="""
+    SELECT doc_id,
+           2 AS n_keys,
+           concat('source,lang') AS keys_csv,
+           upper(source) AS source_upper
+    FROM documents
+    """,
+    doc="map transforms: map_keys ordering, transform_values; oracle checks round-trip values",
+)
+def x_map_fns2(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    cfg = F.create_map(
+        F.lit("source"), F.col("source"),
+        F.lit("lang"), F.col("lang"),
+    )
+    upped = F.transform_values(cfg, lambda k, v: F.upper(v))
+    return docs.select(
+        "doc_id",
+        F.size(cfg).alias("n_keys"),
+        F.array_join(F.map_keys(cfg), ",").alias("keys_csv"),
+        F.element_at(upped, "source").alias("source_upper"),
+    )
+
+
+@query(
+    "x_skew_salted_agg",
+    # correctness of the SALTING pattern: pre-aggregate on (key, salt),
+    # then final-aggregate on key — decimal sums make the two-phase
+    # result exactly equal to the direct group-by oracle.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="skew-mitigation salting: two-phase aggregate over (key, salt) then key; hash-identical to the direct aggregate",
+)
+def x_skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    # l_returnflag has ~3 values over the whole table — the canonical
+    # hot-key shape. Phase 1 spreads each key over 16 salts so no
+    # single reducer owns a whole key; phase 2 merges 3*16 tiny rows.
+    salted = li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16)))
+    phase1 = salted.groupBy("l_returnflag", "salt").agg(
+        F.count("*").alias("c"), F.sum(dec("l_quantity")).alias("s")
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("c").alias("n_rows"),
+        money(F.sum("s")).alias("sum_qty"),
+    )
+
+
+@query(
     "x_percentiles",
     oracle="""
     SELECT event_type,

@@ -14,7 +14,15 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("chyme_tests", master="local[4]", extra_conf={"spark.sql.shuffle.partitions": "4"})
+    s = get_spark(
+        "chyme_tests",
+        master="local[4]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "4",
+            # keep test-created tables (bucketing tests) out of the repo tree
+            "spark.sql.warehouse.dir": "/tmp/chyme_test_warehouse",
+        },
+    )
     yield s
 
 

@@ -41,6 +41,33 @@ def test_stream_watermark_equals_closed_batch_windows(spark, sf_dir):
     assert closed <= stream_rows
 
 
+def test_foreach_batch_sink_equals_batch(spark, sf_dir, tmp_path):
+    """foreachBatch: the exactly-once custom-sink path (the engine's
+    analog of the reference's SQS ack/commit, internal/core/task.go:116-129)."""
+    from chyme_spark.ops.streaming import _events_stream
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(df, epoch_id):
+        # idempotent per-epoch append: parquet subdir keyed by epoch
+        df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .select("event_id", "user_id", "value")
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.read.parquet(out).drop("epoch")
+    batch = REGISTRY  # noqa: F841 — keep import pattern consistent
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    assert sorted(map(tuple, sunk.collect())) == sorted(map(tuple, ev.collect()))
+
+
 def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
     got = {
         (r.event_type, r.n_events)
