@@ -1,0 +1,111 @@
+"""Optimizer-surface queries: correlated subqueries (Catalyst
+decorrelation), value-range window frames, null-safe joins, global
+aggregates.
+
+These exercise rewrites the reference never had (SURVEY §4 lists them
+as Catalyst freebies): a correlated scalar subquery decorrelates into
+an aggregate + join; a RANGE frame is computed per value window rather
+than per row; null-safe equality joins hash NULL as a real key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chyme_spark.ops.common import dec, money
+from chyme_spark.registry import query
+from chyme_spark.session import load_table
+
+
+@query(
+    "x_corr_scalar_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    doc="correlated scalar subquery — Catalyst decorrelates to agg+join (no per-row re-execution)",
+)
+def x_corr_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    cust.createOrReplaceTempView("__sub_customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_acctbal FROM __sub_customer c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM __sub_customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@query(
+    "x_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+           AS hour_value
+    FROM events
+    """,
+    doc="value-RANGE window frame: trailing 1-hour sum per user (peers included by value, not row position)",
+)
+def x_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts").cast("bigint"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        money(F.sum(dec("value")).over(w)).alias("hour_value"),
+    )
+
+
+@query(
+    "x_nullsafe_join",
+    oracle="""
+    WITH tagged AS (
+        SELECT nullif(lang, 'en') AS k, count(*) AS n FROM documents GROUP BY 1)
+    SELECT a.k AS k, a.n AS n_a, b.n AS n_b
+    FROM tagged a JOIN tagged b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    doc="null-safe equality join (<=>): NULL matches NULL as a real key",
+)
+def x_nullsafe_join(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    tagged = docs.groupBy(F.nullif("lang", F.lit("en")).alias("k")).agg(
+        F.count("*").alias("n")
+    )
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    return a.join(b, F.col("a.k").eqNullSafe(F.col("b.k"))).select(
+        F.col("a.k").alias("k"), F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b")
+    )
+
+
+@query(
+    "x_global_agg",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price,
+           CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(max(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem
+    """,
+    doc="global (ungrouped) aggregate — partial combine on every partition, single-row merge",
+)
+def x_global_agg(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        money(F.sum(dec("l_extendedprice"))).alias("total_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
