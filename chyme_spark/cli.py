@@ -34,12 +34,14 @@ def cmd_ingest(args) -> int:
 
     from chyme_spark.filters import compile_filter
 
+    spark = get_spark("chyme_ingest")
     try:
+        # building the Column requires an active session, so validate
+        # after get_spark — but before any data is touched
         compile_filter(args.filter)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    spark = get_spark("chyme_ingest")
     if "://" in args.root and not args.root.startswith("file://"):
         urls = spark.createDataFrame([(args.root,)], "url string")
     else:
@@ -101,6 +103,18 @@ def cmd_worker(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """ingest -> tasker -> worker in one invocation (the three reference
+    services as one idempotent batch pipeline)."""
+    rc = cmd_ingest(args)
+    if rc:
+        return rc
+    rc = cmd_tasker(args)
+    if rc:
+        return rc
+    return cmd_worker(args)
+
+
 def cmd_query(args) -> int:
     from chyme_spark.registry import load_all
 
@@ -150,6 +164,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--quarantine", required=True)
     p.add_argument("--parallelism", type=int, default=None)
     p.set_defaults(fn=cmd_worker)
+
+    p = sub.add_parser("pipeline", help="ingest + tasker + worker in one run")
+    p.add_argument("root")
+    p.add_argument("--filter", default="identity/")
+    p.add_argument("--recursion", type=int, default=None)
+    p.add_argument("--catalog", required=True)
+    p.add_argument("--ledger", required=True)
+    p.add_argument("--tasks", required=True)
+    p.add_argument("--quarantine", required=True)
+    p.add_argument("--mirror-base", default=None)
+    p.add_argument("--executor", default=None)
+    p.add_argument("--cmd", default=None)
+    p.add_argument("--parallelism", type=int, default=None)
+    p.set_defaults(fn=cmd_pipeline)
 
     p = sub.add_parser("query", help="run a registered query")
     p.add_argument("name")

@@ -623,6 +623,46 @@ def x_quality_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS nd FROM documents)
+    SELECT t.doc_id, t.token,
+           CAST(ROUND(t.tf * ln(n.nd * 1.0 / d.df), 4) AS DOUBLE) AS tfidf
+    FROM tf t JOIN dfreq d USING (token) CROSS JOIN n
+    WHERE t.doc_id < 20
+    QUALIFY row_number() OVER (PARTITION BY t.doc_id
+                               ORDER BY ROUND(t.tf * ln(n.nd * 1.0 / d.df), 4) DESC, t.token) <= 3
+    """,
+    doc="TF-IDF top-3 terms per doc (first 20 docs): tf x ln(N/df), the classic relevance weighting for corpus analysis",
+)
+def x_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select("doc_id", _tokens().alias("toks"))
+    tok = staged.select("doc_id", F.explode("toks").alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    nd = docs.agg(F.count("*").alias("nd"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf") * F.log(F.col("nd") * 1.0 / F.col("df")), 4)
+            .cast("double")
+            .alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+
+
+@query(
     "x_fingerprint",
     oracle=f"""
     WITH {_NG_SQL}

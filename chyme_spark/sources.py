@@ -26,6 +26,26 @@ FORMATS = ("parquet", "orc", "json", "csv", "binaryFile")
 CORRUPT_COL = "_corrupt_record"
 
 
+# Formats/sources needing jars or services absent from this container,
+# gated with actionable errors (the engine-level analog of the
+# reference's pluggable loader registry, ref internal/core/loader.go:26-91)
+_GATED_FORMATS = {
+    "delta": "Delta Lake needs the delta-spark jars on the classpath "
+    "(spark.jars.packages=io.delta:delta-spark_2.13:<ver> and the Delta "
+    "catalog extensions); emulate MERGE with chyme_spark.merge meanwhile",
+    "iceberg": "Apache Iceberg needs iceberg-spark-runtime jars and a catalog conf",
+    "hudi": "Apache Hudi needs hudi-spark-bundle jars",
+    "kafka": "Kafka source/sink needs spark-sql-kafka-0-10 jars and brokers; "
+    "the file-source streaming path (ops/streaming.py) is the in-container equivalent",
+    "jdbc": "JDBC needs a driver jar and a reachable database",
+}
+
+
+def _check_format(fmt: str) -> None:
+    if fmt in _GATED_FORMATS:
+        raise NotImplementedError(f"{fmt}: {_GATED_FORMATS[fmt]}")
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -41,6 +61,7 @@ def write_table(
     equality filters into partition pruning — entire directories are
     skipped at planning time.
     """
+    _check_format(fmt)
     if fmt == "csv":
         options.setdefault("header", "true")
     writer = df.write.format(fmt).mode(mode).options(**options)
@@ -61,6 +82,7 @@ def read_table(
     Always pass an explicit schema for line formats in production —
     inference costs an extra full scan and can silently widen types.
     """
+    _check_format(fmt)
     if fmt == "csv":
         options.setdefault("header", "true")
     reader = spark.read.format(fmt).options(**options)
