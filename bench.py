@@ -6,6 +6,12 @@ Prints ONE JSON line:
 ``value`` is the total wall-clock over the headline set (each query
 executed to completion with a count-collapsing action so the full plan
 runs but the driver never materializes result rows).
+
+Config note: AQE stays ON here even though it costs ~2.3s over this set
+at sf0.1 (measured A/B 2026-08: 12.8s off vs 15.1s on) — runtime
+partition coalescing and skew-join splitting are exactly what keeps
+these plans healthy at the 100 TB design point, and benchmarking a
+config we would never deploy would be gaming the number.
 """
 
 from __future__ import annotations

@@ -348,12 +348,14 @@ def _norm(a: Column) -> Column:
 )
 def d44_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    # norms precomputed once per row on each side — inside the pair join
+    # they would be recomputed |queries| times per corpus vector
+    corpus = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    q = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qnrm")
     )
-    corpus = emb.select("vec_id", "embedding")
     pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    cos = _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))
+    cos = _dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
     scored = pairs.select("qid", "vec_id", F.round(cos, 4).cast("double").alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")

@@ -140,6 +140,46 @@ def d39_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_session_window",
+    # session_window(ts, gap) merges events whose windows overlap — for
+    # point events that is exactly gap-based sessionization, so the
+    # oracle is the same flag+running-sum construction as D-37.
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+    doc="built-in session_window(ts, gap): engine-native sessionization; equals the manual D-37 construction",
+)
+def x_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "x_time_rollup",
     oracle="""
     SELECT 'hour' AS resolution,
