@@ -407,7 +407,7 @@ def x_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     emb = load_table(spark, sf, "embeddings")
     vecs = emb.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))

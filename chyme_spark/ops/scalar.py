@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from chyme_spark.ops.common import dec, money, sql_dec, sql_money
+from chyme_spark.ops.common import dec, money
 from chyme_spark.ops.relational import _URL_SQL, synthetic_urls
 from chyme_spark.registry import query
 from chyme_spark.session import load_table
