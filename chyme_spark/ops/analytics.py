@@ -1,0 +1,187 @@
+"""Analytics extensions: cube/grouping sets, distribution windows,
+ordered collection aggregates, bitwise ops, safe (try_) functions, and
+funnel analysis over event sequences.
+
+All oracle-checked. The funnel operator is the flagship here: ordered
+step detection (view -> click -> purchase per user) expressed as
+conditional window minima — one shuffle on the user key, no
+self-joins, which is what keeps funnels tractable over 100 TB of
+events (a step-wise self-join would be k shuffles of the full table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chyme_spark.ops.common import dec, money
+from chyme_spark.registry import query
+from chyme_spark.session import load_table
+
+
+@query(
+    "x_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE: all grouping-set combinations with grouping_id disambiguation",
+)
+def x_cube(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "gid",
+            "n",
+        )
+    )
+
+
+@query(
+    "x_window_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ROUND(CAST(percent_rank() OVER w AS DECIMAL(18,6)), 4) AS DOUBLE) AS pct_rank,
+           CAST(ROUND(CAST(cume_dist()    OVER w AS DECIMAL(18,6)), 4) AS DOUBLE) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="distribution windows: percent_rank / cume_dist (decimal-pinned rounding)",
+)
+def x_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w).cast("decimal(18,6)"), 4).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w).cast("decimal(18,6)"), 4).cast("double").alias("cume"),
+    )
+
+
+@query(
+    "x_array_agg_sorted",
+    oracle="""
+    SELECT event_type,
+           (list(event_id ORDER BY event_id))[1:5] AS first_ids,
+           list_aggregate(list(DISTINCT user_id), 'count') AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="ordered collection aggregates: sorted collect_list slice + distinct collect count",
+)
+def x_array_agg_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.slice(F.array_sort(F.collect_list("event_id")), 1, 5).alias("first_ids"),
+        F.size(F.collect_set("user_id")).alias("n_users"),
+    )
+
+
+@query(
+    "x_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations_csv
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="ordered string aggregation (string_agg / concat_ws over sorted collect_list)",
+)
+def x_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    nation = load_table(spark, sf, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations_csv")
+    )
+
+
+@query(
+    "x_bitwise_fns",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 1 AS odd_forced,
+           xor(o_orderkey, 21) AS xored,
+           o_orderkey << 2 AS shl,
+           o_orderkey >> 3 AS shr
+    FROM orders
+    """,
+    doc="bitwise ops (the SimHash/partition-bucket building blocks)",
+)
+def x_bitwise_fns(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(1)).alias("odd_forced"),
+        k.bitwiseXOR(F.lit(21)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+    )
+
+
+@query(
+    "x_try_fns",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(source AS BIGINT) AS src_as_int,
+           TRY_CAST(substring(source, 4) AS BIGINT) AS src_num,
+           CASE WHEN n_chars = 0 THEN NULL ELSE n_chars END AS safe_len
+    FROM documents
+    """,
+    doc="safe casts: try_cast returns NULL instead of raising under ANSI mode (quarantine-friendly parsing)",
+)
+def x_try_fns(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("source").try_cast("bigint").alias("src_as_int"),
+        F.substring("source", 4, 100).try_cast("bigint").alias("src_num"),
+        F.when(F.col("n_chars") == 0, None).otherwise(F.col("n_chars")).alias("safe_len"),
+    )
+
+
+@query(
+    "x_funnel",
+    # step times as conditional minima over one user window: a user
+    # converts at step k iff each step's first occurrence is at or after
+    # the previous step's. One shuffle on user_id — never a self-join.
+    oracle="""
+    WITH steps AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id)
+    SELECT
+        COUNT(*) AS n_users,
+        COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS step_view,
+        COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 END) AS step_click,
+        COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    AND t_purchase > t_click THEN 1 END) AS step_purchase
+    FROM steps
+    """,
+    doc="funnel analysis: ordered view->click->purchase conversion counts via conditional step minima",
+)
+def x_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    steps = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    converted_click = F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    converted_purchase = converted_click & (F.col("t_purchase") > F.col("t_click"))
+    return steps.agg(
+        F.count("*").alias("n_users"),
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("step_view"),
+        F.count(F.when(converted_click, 1)).alias("step_click"),
+        F.count(F.when(converted_purchase, 1)).alias("step_purchase"),
+    )

@@ -48,6 +48,6 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 
 def load_all() -> dict[str, Query]:
     """Import every ops module so its @query decorators run; return REGISTRY."""
-    from chyme_spark.ops import asof, binary, llm, pipeline, relational, scalar, streaming, subqueries, udfs, windows  # noqa: F401
+    from chyme_spark.ops import analytics, asof, binary, llm, pipeline, relational, scalar, streaming, subqueries, udfs, windows  # noqa: F401
 
     return REGISTRY
