@@ -115,6 +115,28 @@ def cmd_pipeline(args) -> int:
     return cmd_worker(args)
 
 
+def cmd_compact(args) -> int:
+    """Rewrite a parquet table into N files (small-files maintenance —
+    at scale the difference between a healthy and a dying listing)."""
+    spark = get_spark("chyme_compact")
+    df = spark.read.parquet(args.table)
+    n_before = len(df.inputFiles())
+    tmp = args.table.rstrip("/") + ".compact.tmp"
+    df.coalesce(args.target_files).write.mode("overwrite").parquet(tmp)
+    # verify row count before swapping
+    if spark.read.parquet(tmp).count() != df.count():
+        print("error: compacted row count mismatch; leaving original untouched", file=sys.stderr)
+        return 1
+    import shutil
+
+    backup = args.table.rstrip("/") + ".compact.bak"
+    shutil.move(args.table, backup)
+    shutil.move(tmp, args.table)
+    shutil.rmtree(backup)
+    print(f"compacted {n_before} -> {len(spark.read.parquet(args.table).inputFiles())} files")
+    return 0
+
+
 def cmd_query(args) -> int:
     from chyme_spark.registry import load_all
 
@@ -178,6 +200,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cmd", default=None)
     p.add_argument("--parallelism", type=int, default=None)
     p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("compact", help="rewrite a parquet table into fewer files")
+    p.add_argument("--table", required=True)
+    p.add_argument("--target-files", type=int, default=1)
+    p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("query", help="run a registered query")
     p.add_argument("name")

@@ -149,6 +149,30 @@ def x_try_fns(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_histogram",
+    # fixed-width binning with integer bucket math — the exact-histogram
+    # building block (sketch-free; a 100 TB run does the same one-pass
+    # groupBy over the bucket expression)
+    oracle="""
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS bucket_value
+    FROM events GROUP BY 1
+    """,
+    doc="fixed-width histogram: one-pass bucketed aggregate over event values",
+)
+def x_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 25.0).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            money(F.sum(dec("value"))).alias("bucket_value"),
+        )
+    )
+
+
+@query(
     "x_funnel",
     # step times as conditional minima over one user window: a user
     # converts at step k iff each step's first occurrence is at or after

@@ -625,6 +625,78 @@ def x_quality_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_dedup_clusters",
+    # near-dup pairs -> connected components -> canonical survivor per
+    # cluster. Spark side: iterative min-label propagation (the standard
+    # large-scale CC: each round, every node takes the min label among
+    # itself and its neighbors; converges in O(component diameter)
+    # rounds). Oracle: recursive CTE transitive closure.
+    oracle=f"""
+    WITH RECURSIVE {_NG_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(doc, label) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.doc)
+    SELECT doc AS doc_id, min(label) AS cluster_id,
+           CAST(doc = min(label) AS BOOLEAN) AS is_survivor
+    FROM reach GROUP BY doc
+    """,
+    doc="near-dup clustering: connected components over Jaccard>=0.8 pairs via iterative min-label propagation; survivor = min doc_id per cluster",
+)
+def x_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = x_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = edges.select(F.col("doc_a").alias("doc"), F.col("doc_a").alias("label")).distinct()
+    # min-label propagation to fixpoint; the per-round driver action is
+    # one scalar (changed-count) — the data never leaves the cluster
+    for _ in range(20):  # bound >> any real component diameter here
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.doc_a, "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+        ).persist()
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        if labels.is_cached:
+            labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("doc").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("doc") == F.col("label")).alias("is_survivor"),
+    )
+
+
+@query(
     "x_tfidf",
     oracle="""
     WITH tok AS (

@@ -41,6 +41,15 @@ def test_ingest_bad_filter_clean_error(spark, tmp_path, capsys):
     assert "unknown filter" in capsys.readouterr().err
 
 
+def test_compact_verb(spark, tmp_path, capsys):
+    t = str(tmp_path / "t")
+    spark.range(0, 5000).repartition(9).write.parquet(t)
+    assert len(spark.read.parquet(t).inputFiles()) == 9
+    assert cli.main(["compact", "--table", t, "--target-files", "2"]) == 0
+    assert len(spark.read.parquet(t).inputFiles()) == 2
+    assert spark.read.parquet(t).count() == 5000
+
+
 def test_query_verb_runs(spark, capsys):
     rc = cli.main(["query", "d15_count_distinct", "--sf", "/root/testdata/sf0.001", "--show", "3"])
     assert rc == 0
