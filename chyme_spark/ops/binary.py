@@ -36,30 +36,45 @@ from chyme_spark.registry import query
 # ---------------------------------------------------------------------------
 
 _FIXTURES = {
-    # deterministic tiny payloads standing in for media objects
-    "clip_a.mov": b"\x00\x00\x00\x14ftypqt  " + b"MOV-PAYLOAD-A" * 8,
-    "clip_b.mov": b"\x00\x00\x00\x14ftypqt  " + b"MOV-PAYLOAD-B" * 16,
-    "clip_c.mp4": b"\x00\x00\x00\x18ftypisom" + b"MP4-PAYLOAD-C" * 12,
-    "notes.txt": b"plain text, not media\n",
+    # deterministic tiny payloads standing in for media objects.
+    # PRINTABLE ASCII only: the DuckDB oracle hashes through a BLOB ->
+    # VARCHAR cast (sha256 there is VARCHAR-only), and that cast escapes
+    # control bytes (\n becomes the literal chars "\x0A").
+    "clip_a.mov": b"FTYPQT00" + b"MOV-PAYLOAD-A" * 8,
+    "clip_b.mov": b"FTYPQT00" + b"MOV-PAYLOAD-B" * 16,
+    "clip_c.mp4": b"FTYPISOM" + b"MP4-PAYLOAD-C" * 12,
+    "notes.txt": b"plain text, not media.",
 }
 
-_fixture_dir: str | None = None
+# fixed path (not mkdtemp): the DuckDB oracle SQL is a static string and
+# must name the same directory the Spark side reads
+FIXTURE_DIR = "/tmp/chyme_blob_fixtures"
 
 
 def fixture_dir() -> str:
-    global _fixture_dir
-    if _fixture_dir is None:
-        d = tempfile.mkdtemp(prefix="chyme_binary_fixtures_")
-        for name, payload in _FIXTURES.items():
-            with open(os.path.join(d, name), "wb") as f:
-                f.write(payload)
-        _fixture_dir = d
-    return _fixture_dir
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    for name, payload in _FIXTURES.items():
+        path = os.path.join(FIXTURE_DIR, name)
+        # always rewrite: stale content from an older fixture definition
+        # must not survive (the oracle hashes exact bytes)
+        with open(path, "wb") as f:
+            f.write(payload)
+    return FIXTURE_DIR
+
+
+# materialize at import time: the oracle's read_blob may run before the
+# Spark side in the driver's harness, and both must see the same files
+fixture_dir()
 
 
 @query(
     "d46_binary_files",
-    oracle=None,  # rows-only: fixture files exist outside the DuckDB views
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           size AS length,
+           sha256(CAST(content AS VARCHAR)) AS content_sha256
+    FROM read_blob('{FIXTURE_DIR}/*')
+    """,
     doc="D-46 binaryFile source: (name, length, sha256) over blob fixtures (ref blob loader internal/core/loader.go:148-195)",
 )
 def d46_binary_files(spark: SparkSession, sf: str) -> DataFrame:

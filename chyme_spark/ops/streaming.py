@@ -286,6 +286,46 @@ def d40_stream_watermark(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_stream_static_join",
+    oracle=None,  # rows-only: streaming execution; equality with the batch twin is asserted in tests
+    doc="stream-static enrichment join: streaming events x broadcast customer dim, aggregated per segment (the production enrichment pattern)",
+)
+def x_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _events_stream(spark, sf)
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(F.count("*").alias("n_events"))
+    return _run_to_memory(agg, "complete")
+
+
+@query(
+    "x_stream_stream_join",
+    oracle=None,  # rows-only: watermark-bounded state; batch equivalence asserted in tests
+    doc="stream-stream interval join: views x clicks per user within 30 minutes, both sides watermarked (bounded join state at any stream size)",
+)
+def x_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    views = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+    )
+    clicks = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    pairs = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("view_id", "click_id", F.col("v_user").alias("user_id"))
+    return _run_to_memory(pairs, "append")
+
+
+@query(
     "x_stream_stateful_counts",
     oracle=None,  # rows-only: custom state handling is not SQL-expressible
     doc="custom stateful streaming operator via applyInPandasWithState: per-user running event count + value sum kept in state across micro-batches (ref process-state checkpoint internal/worker/persistance.go:25-69)",

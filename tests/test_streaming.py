@@ -68,6 +68,47 @@ def test_foreach_batch_sink_equals_batch(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, sunk.collect())) == sorted(map(tuple, ev.collect()))
 
 
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    got = {
+        (r.c_mktsegment, r.n_events)
+        for r in REGISTRY["x_stream_static_join"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    want = {
+        (r.c_mktsegment, r.n)
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    got = {
+        (r.view_id, r.click_id)
+        for r in REGISTRY["x_stream_stream_join"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("view_id"), F.col("ts").alias("vt")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("ct")
+    )
+    want = {
+        (r.view_id, r.click_id)
+        for r in views.join(
+            clicks,
+            (F.col("vu") == F.col("cu"))
+            & (F.col("ct") >= F.col("vt"))
+            & (F.col("ct") <= F.col("vt") + F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
     got = {
         (r.event_type, r.n_events)
