@@ -115,6 +115,34 @@ def cmd_pipeline(args) -> int:
     return cmd_worker(args)
 
 
+def cmd_status(args) -> int:
+    """Pipeline table depths — parity with the reference's SCard /
+    ApproximateNumberOfMessages polling (ref internal/core/resource.go:105-108,
+    pkg/aws/sqs.go:110-131), as one batch read."""
+    spark = get_spark("chyme_status")
+    for label, path in [
+        ("catalog", args.catalog),
+        ("tasks", args.tasks),
+        ("ledger", args.ledger),
+        ("quarantine", args.quarantine),
+    ]:
+        if not path:
+            continue
+        df = _read_or_none(spark, path)
+        if df is None:
+            print(f"{label:10s} -")
+            continue
+        n = df.count()
+        extra = ""
+        if label == "tasks" and "task_hash" in df.columns:
+            ledger = _read_or_none(spark, args.ledger) if args.ledger else None
+            if ledger is not None:
+                pending = df.join(ledger.select("task_hash"), "task_hash", "left_anti").count()
+                extra = f"  (pending: {pending})"
+        print(f"{label:10s} {n}{extra}")
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Rewrite a parquet table into N files (small-files maintenance —
     at scale the difference between a healthy and a dying listing)."""
@@ -200,6 +228,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cmd", default=None)
     p.add_argument("--parallelism", type=int, default=None)
     p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("status", help="table depths: catalog/tasks/ledger/quarantine")
+    p.add_argument("--catalog", default=None)
+    p.add_argument("--tasks", default=None)
+    p.add_argument("--ledger", default=None)
+    p.add_argument("--quarantine", default=None)
+    p.set_defaults(fn=cmd_status)
 
     p = sub.add_parser("compact", help="rewrite a parquet table into fewer files")
     p.add_argument("--table", required=True)

@@ -41,6 +41,18 @@ def test_ingest_bad_filter_clean_error(spark, tmp_path, capsys):
     assert "unknown filter" in capsys.readouterr().err
 
 
+def test_status_verb(spark, tmp_path, capsys):
+    t = tmp_path / "tables"
+    src = tmp_path / "m"
+    src.mkdir()
+    (src / "a.mov").write_bytes(b"A" * 10)
+    assert cli.main(["ingest", str(src), "--filter", "ext/mov", "--catalog", f"{t}/catalog"]) == 0
+    assert cli.main(["status", "--catalog", f"{t}/catalog", "--tasks", f"{t}/tasks"]) == 0
+    out = capsys.readouterr().out
+    assert "catalog    1" in out
+    assert "tasks      -" in out  # not created yet
+
+
 def test_compact_verb(spark, tmp_path, capsys):
     t = str(tmp_path / "t")
     spark.range(0, 5000).repartition(9).write.parquet(t)
