@@ -625,6 +625,36 @@ def x_quality_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_deterministic_split",
+    # content-hash bucketing -> train/val/test assignment that is stable
+    # across runs, partitions, AND engines (never random()): the
+    # canonical held-out-split primitive for training corpora. Bucket =
+    # first 8 hex chars of md5(text) as an int, mod 100.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+        FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM b GROUP BY 1
+    """,
+    doc="deterministic train/val/test split by content hash (80/10/10): stable across runs, partitions, and engines",
+)
+def x_deterministic_split(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )
+
+
+@query(
     "x_dedup_clusters",
     # near-dup pairs -> connected components -> canonical survivor per
     # cluster. Spark side: iterative min-label propagation (the standard

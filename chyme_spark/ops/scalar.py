@@ -246,6 +246,32 @@ def d35_json_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_explode_outer",
+    # null-safe fan-out: rows whose array is empty/NULL survive with a
+    # NULL element instead of vanishing — the fan-out-accounting twin of
+    # the template expansion (a resource matching no template must still
+    # be visible to the ledger, not silently dropped)
+    oracle="""
+    WITH src AS (
+        SELECT p_partkey,
+               CASE WHEN p_size % 3 = 0 THEN NULL
+                    ELSE string_split(p_type, ' ') END AS words
+        FROM part)
+    SELECT s.p_partkey, u.w AS word
+    FROM src s LEFT JOIN (SELECT p_partkey, unnest(words) AS w FROM src) u
+      USING (p_partkey)
+    """,
+    doc="explode_outer: null/empty arrays keep their row (null-safe fan-out)",
+)
+def x_explode_outer(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    words = F.when(F.col("p_size") % 3 == 0, F.lit(None)).otherwise(
+        F.split("p_type", " ")
+    )
+    return part.select("p_partkey", F.explode_outer(words).alias("word"))
+
+
+@query(
     "x_string_fns2",
     oracle="""
     SELECT p_partkey,
