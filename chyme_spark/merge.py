@@ -19,14 +19,40 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+    validate: bool = True,
+) -> DataFrame:
     """Last-write-wins keyed upsert: rows in ``updates`` replace matching
     ``target`` rows; unmatched target rows pass through.
 
-    ``updates`` may contain several rows per key; the caller must make
-    it unique per key (use :func:`latest_per_key`) — enforced here to
-    fail loudly instead of duplicating.
+    ``updates`` must be unique per key. Pass ``order_col`` to have the
+    collapse applied here (:func:`latest_per_key`, deterministic); with
+    no ``order_col`` and ``validate=True`` (default) a duplicate key
+    raises ValueError instead of silently duplicating rows (ADVICE r1).
+    ``validate`` costs one aggregate action over ``updates`` (the small
+    side of a merge); set it False only when uniqueness is guaranteed
+    upstream.
     """
+    if order_col is not None:
+        updates = latest_per_key(updates, keys, order_col)
+    elif validate:
+        dup = (
+            updates.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"upsert: updates not unique per key {keys}; first duplicate: "
+                f"{tuple(dup[0][k] for k in keys)} — pass order_col or pre-collapse "
+                "with latest_per_key"
+            )
     kept = target.join(updates.select(*keys).distinct(), keys, "left_anti")
     return kept.unionByName(updates)
 

@@ -71,16 +71,20 @@ def x_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
     "x_array_agg_sorted",
     oracle="""
     SELECT event_type,
-           (list(event_id ORDER BY event_id))[1:5] AS first_ids,
+           array_to_string((list(event_id ORDER BY event_id))[1:5], '|') AS first_ids,
            list_aggregate(list(DISTINCT user_id), 'count') AS n_users
     FROM events GROUP BY event_type
     """,
-    doc="ordered collection aggregates: sorted collect_list slice + distinct collect count",
+    doc="ordered collection aggregates: sorted collect_list slice + distinct collect count. "
+    "The slice is emitted as a '|'-joined string: the driver's pandas canonicalizer "
+    "cannot hash array cells (round-1 red row), same trick as x_string_agg.",
 )
 def x_array_agg_sorted(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     return ev.groupBy("event_type").agg(
-        F.slice(F.array_sort(F.collect_list("event_id")), 1, 5).alias("first_ids"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("event_id")), 1, 5), "|"
+        ).alias("first_ids"),
         F.size(F.collect_set("user_id")).alias("n_users"),
     )
 
