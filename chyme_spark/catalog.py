@@ -66,9 +66,9 @@ def list_files(spark, root: str, max_depth: int | None = None) -> DataFrame:
     reference dropped its ContinuationToken, ref ``pkg/aws/s3.go:344-356``).
 
     Listing runs on the driver (it is metadata, same as Spark's own file
-    index); for buckets with millions of prefixes, parallelize by
-    listing top-level prefixes into a DataFrame and fanning out a
-    distributed list job per prefix.
+    index); for buckets with millions of prefixes use
+    :func:`list_files_distributed`, which fans the per-prefix recursion
+    out to executors.
     """
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
@@ -85,6 +85,61 @@ def list_files(spark, root: str, max_depth: int | None = None) -> DataFrame:
             continue
         rows.append((p, st.getLen(), st.getModificationTime()))
     return spark.createDataFrame(rows, "url string, size long, mtime long")
+
+
+def list_files_distributed(
+    spark, root: str, max_depth: int | None = None, fanout_partitions: int = 64
+) -> DataFrame:
+    """Recursive listing with the per-prefix recursion fanned out to
+    executors — same output as :func:`list_files`, driver does only the
+    first level.
+
+    Parity with the reference's parallel per-prefix listing (ref
+    ``pkg/aws/s3.go:326-337`` — errgroup over prefixes); at 100 M
+    objects the driver-side iterator is the bottleneck, here the driver
+    touches one page of first-level entries and each executor recurses
+    one prefix. Uses ``pyarrow.fs`` rather than the Hadoop FS API
+    because executors' Python workers have no JVM gateway; both resolve
+    the same schemes for file/s3/hdfs.
+    """
+    import pandas as pd
+    from pyarrow import fs as pafs
+
+    scheme = root.split("://", 1)[0] if "://" in root else "file"
+    fs, base = pafs.FileSystem.from_uri(root if "://" in root else f"file://{root}")
+    base = base.rstrip("/")
+    base_depth = base.count("/")
+
+    top = fs.get_file_info(pafs.FileSelector(base, recursive=False))
+    dir_prefixes = [f"{scheme}://{i.path}" for i in top if i.type == pafs.FileType.Directory]
+    top_files = [
+        (f"{scheme}://{i.path}", i.size, i.mtime_ns // 1_000_000)
+        for i in top
+        if i.type == pafs.FileType.File
+    ]
+    schema = "url string, size long, mtime long"
+    files_df = spark.createDataFrame(top_files, schema)
+    if not dir_prefixes:
+        return files_df
+
+    def list_prefixes(batches):
+        for pdf in batches:
+            rows = []
+            for prefix in pdf["prefix"]:
+                pfs, ppath = pafs.FileSystem.from_uri(prefix)
+                for i in pfs.get_file_info(pafs.FileSelector(ppath, recursive=True)):
+                    if i.type != pafs.FileType.File:
+                        continue
+                    if max_depth is not None and (i.path.count("/") - base_depth - 1) > max_depth:
+                        continue
+                    rows.append((f"{scheme}://{i.path}", i.size, i.mtime_ns // 1_000_000))
+            yield pd.DataFrame(rows, columns=["url", "size", "mtime"])
+
+    prefixes = spark.createDataFrame(
+        [(p,) for p in dir_prefixes], "prefix string"
+    ).repartition(min(len(dir_prefixes), fanout_partitions))
+    deep = prefixes.mapInPandas(list_prefixes, schema)
+    return files_df.unionByName(deep)
 
 
 def ingest(urls: DataFrame, filter_string: str = "identity/") -> DataFrame:

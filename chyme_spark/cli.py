@@ -30,7 +30,13 @@ def _read_or_none(spark, path: str):
 
 
 def cmd_ingest(args) -> int:
-    from chyme_spark.catalog import ingest, list_files, split_malformed, with_resource_columns
+    from chyme_spark.catalog import (
+        ingest,
+        list_files,
+        list_files_distributed,
+        split_malformed,
+        with_resource_columns,
+    )
 
     from chyme_spark.filters import compile_filter
 
@@ -45,7 +51,8 @@ def cmd_ingest(args) -> int:
     if "://" in args.root and not args.root.startswith("file://"):
         urls = spark.createDataFrame([(args.root,)], "url string")
     else:
-        urls = list_files(spark, args.root, args.recursion).select("url")
+        lister = list_files_distributed if getattr(args, "distributed_listing", False) else list_files
+        urls = lister(spark, args.root, args.recursion).select("url")
     # cache the listing: consumed by both the catalog branch and the
     # quarantine branch below — one listing pass, not two
     urls = urls.cache()
@@ -104,7 +111,7 @@ def cmd_worker(args) -> int:
     todo = tasks.join(ledger.select("task_hash"), "task_hash", "left_anti")
     if args.parallelism:
         todo = todo.repartition(args.parallelism)
-    results = run_tasks(todo).cache()
+    results = run_tasks(todo, checkpoint_dir=args.checkpoint_dir).cache()
     done = results.filter(F.col("ok")).select(
         "task_hash", "stage", F.current_timestamp().alias("completed_at")
     )
@@ -234,6 +241,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--filter", default="identity/", help="e.g. ext/mov or ext/mov/mp4")
     p.add_argument("--recursion", type=int, default=None, help="max listing depth")
     p.add_argument("--catalog", required=True, help="catalog parquet dir")
+    p.add_argument("--distributed-listing", action="store_true",
+                   help="fan per-prefix recursion out to executors (large buckets)")
     p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("tasker", help="expand catalog through templates into tasks")
@@ -250,6 +259,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ledger", required=True)
     p.add_argument("--quarantine", required=True)
     p.add_argument("--parallelism", type=int, default=None)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="durable workspace root enabling stage-level resume")
     p.set_defaults(fn=cmd_worker)
 
     p = sub.add_parser("pipeline", help="ingest + tasker + worker in one run")
@@ -264,6 +275,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--executor", default=None)
     p.add_argument("--cmd", default=None)
     p.add_argument("--parallelism", type=int, default=None)
+    p.add_argument("--checkpoint-dir", default=None)
     p.set_defaults(fn=cmd_pipeline)
 
     p = sub.add_parser("status", help="table depths: catalog/tasks/ledger/quarantine")

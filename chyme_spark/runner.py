@@ -26,6 +26,7 @@ behind an import-try exactly like other missing codecs.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import subprocess
@@ -48,6 +49,34 @@ STAGES = ("start", "download", "execute", "metadata", "upload", "complete")
 
 
 # ---------------------------------------------------------------------------
+# stage checkpoints (ref internal/worker/persistance.go:25-69 — the worker
+# persists {stage, message} on interrupt and falls through from that stage
+# on resume, ref service.go:131-183)
+# ---------------------------------------------------------------------------
+
+
+def _marker_path(ws_root: str) -> str:
+    return os.path.join(ws_root, "stage.json")
+
+
+def _write_marker(ws_root: str, stage: str, **extra) -> None:
+    """Atomically record the last COMPLETED stage + carried state."""
+    path = _marker_path(ws_root)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"stage": stage, **extra}, f)
+    os.replace(tmp, path)
+
+
+def _read_marker(ws_root: str) -> dict | None:
+    try:
+        with open(_marker_path(ws_root)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+# ---------------------------------------------------------------------------
 # loaders: scheme -> transfer behavior (ref internal/core/loader.go:26-117)
 # ---------------------------------------------------------------------------
 
@@ -57,6 +86,12 @@ class Loader:
         raise NotImplementedError
 
     def upload(self, src_dir: str, url: str) -> int:
+        raise NotImplementedError
+
+    def exists(self, url: str) -> bool:
+        raise NotImplementedError
+
+    def delete(self, url: str) -> None:
         raise NotImplementedError
 
 
@@ -99,22 +134,89 @@ class PhonyLoader(Loader):
         return 0
 
 
-def _s3_loader() -> Loader:
-    """S3 loader requires boto3/hadoop-aws creds; gate behind import-try
-    (ref pkg/aws/s3.go:28-39 — list/download/upload/delete surface)."""
-    try:
-        import boto3  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "s3 loader needs boto3 (or run via s3a:// reads); not present in this container"
-        ) from None
-    raise NotImplementedError("s3 transfer path intentionally unimplemented in v1")
+class ArrowFsLoader(Loader):
+    """Scheme-generic object-store loader over ``pyarrow.fs`` — the real
+    transfer path for s3:// (and hdfs://, gcs via mounts, file://).
+
+    Parity target: the reference's S3 download/upload
+    (ref ``internal/core/loader.go:148-286``) and exists/size/delete
+    (ref ``pkg/aws/s3.go:207-309``). Arrow's C++ filesystems are chosen
+    over the JVM Hadoop FS API deliberately: this loader executes INSIDE
+    ``mapInPandas`` on executors, where the Python worker has no py4j
+    gateway — pyarrow is import-safe there and its S3 support needs no
+    boto3. Credentials resolve from the standard env/instance-profile
+    chain, same as the reference's SDK config.
+
+    Streamed in 8 MiB chunks: object size never bounds worker memory.
+    """
+
+    _CHUNK = 8 * 1024 * 1024
+
+    def _resolve(self, url: str):
+        from pyarrow import fs as pafs
+
+        return pafs.FileSystem.from_uri(url)
+
+    def download(self, url: str, dest_dir: str) -> int:
+        from pyarrow import fs as pafs
+
+        fs, path = self._resolve(url)
+        info = fs.get_file_info(path)
+        if info.type == pafs.FileType.Directory:
+            infos = [
+                i for i in fs.get_file_info(pafs.FileSelector(path, recursive=False))
+                if i.type == pafs.FileType.File
+            ]
+        elif info.type == pafs.FileType.File:
+            infos = [info]
+        else:
+            raise FileNotFoundError(url)
+        total = 0
+        for i in sorted(infos, key=lambda i: i.path):
+            with fs.open_input_stream(i.path) as src, open(
+                os.path.join(dest_dir, os.path.basename(i.path)), "wb"
+            ) as dst:
+                while chunk := src.read(self._CHUNK):
+                    dst.write(chunk)
+                    total += len(chunk)
+        return total
+
+    def upload(self, src_dir: str, url: str) -> int:
+        fs, path = self._resolve(url)
+        fs.create_dir(path, recursive=True)
+        total = 0
+        for name in sorted(os.listdir(src_dir)):
+            p = os.path.join(src_dir, name)
+            if not os.path.isfile(p):
+                continue
+            with open(p, "rb") as src, fs.open_output_stream(f"{path}/{name}") as dst:
+                while chunk := src.read(self._CHUNK):
+                    dst.write(chunk)
+                    total += len(chunk)
+        return total
+
+    def exists(self, url: str) -> bool:
+        from pyarrow import fs as pafs
+
+        fs, path = self._resolve(url)
+        return fs.get_file_info(path).type != pafs.FileType.NotFound
+
+    def delete(self, url: str) -> None:
+        from pyarrow import fs as pafs
+
+        fs, path = self._resolve(url)
+        info = fs.get_file_info(path)
+        if info.type == pafs.FileType.Directory:
+            fs.delete_dir(path)
+        elif info.type == pafs.FileType.File:
+            fs.delete_file(path)
 
 
 DEFAULT_LOADERS: dict[str, Callable[[], Loader]] = {
     "file": FileLoader,
     "phony": PhonyLoader,
-    "s3": _s3_loader,
+    "s3": ArrowFsLoader,
+    "hdfs": ArrowFsLoader,
 }
 
 
@@ -211,8 +313,16 @@ def _process_one(
     executors: dict[str, Callable[[dict, dict], ExecutionResult]],
     hooks_registry: dict[str, type[Hooks]],
     workdir: str,
+    durable: bool = False,
 ) -> dict:
-    """The 6-stage machine for one task (ref internal/worker/service.go:131-183)."""
+    """The 6-stage machine for one task (ref internal/worker/service.go:131-183).
+
+    With ``durable`` (run_tasks checkpoint_dir), each completed stage
+    writes an atomic marker into the task workspace and a re-run resumes
+    from the first incomplete stage — a task interrupted after its
+    (expensive) execute stage re-runs only metadata/upload (ref
+    internal/worker/persistance.go:25-69).
+    """
     stage = "start"
     bytes_in = bytes_out = 0
     try:
@@ -237,27 +347,44 @@ def _process_one(
         for p in ws.values():
             os.makedirs(p, exist_ok=True)
 
+        # resume point: last COMPLETED stage from a prior interrupted run
+        marker = _read_marker(ws_root) if durable else None
+        done_idx = STAGES.index(marker["stage"]) if marker else 0
+        bytes_in = int(marker.get("bytes_in", 0)) if marker else 0
+        exec_meta = dict(marker.get("metadata") or {}) if marker else None
+
+        def ckpt(completed_stage: str, **extra) -> None:
+            if durable:
+                _write_marker(ws_root, completed_stage, **extra)
+
         stage = "download"
-        hooks.pre_download(task)
-        bytes_in = loader_for(task["input_url"]).download(task["input_url"], ws["input"])
+        if done_idx < STAGES.index(stage):
+            hooks.pre_download(task)
+            bytes_in = loader_for(task["input_url"]).download(task["input_url"], ws["input"])
+            ckpt(stage, bytes_in=bytes_in)
 
         stage = "execute"
-        hooks.pre_execute(task)
-        executor = executors.get(task.get("executor") or "")
-        if executor is None:
-            raise ValueError(f"unknown executor {task.get('executor')!r}")
-        result = executor(task, ws)
-        if not result.ok:
-            raise RuntimeError(result.error)
+        if done_idx < STAGES.index(stage):
+            hooks.pre_execute(task)
+            executor = executors.get(task.get("executor") or "")
+            if executor is None:
+                raise ValueError(f"unknown executor {task.get('executor')!r}")
+            result = executor(task, ws)
+            if not result.ok:
+                raise RuntimeError(result.error)
+            exec_meta = result.metadata
+            ckpt(stage, bytes_in=bytes_in, metadata=exec_meta)
 
         stage = "metadata"
-        if result.metadata and task.get("metadata_url"):
-            meta_dir = os.path.join(ws["internal"], "metadata")
-            os.makedirs(meta_dir, exist_ok=True)
-            with open(os.path.join(meta_dir, "metadata.txt"), "w") as f:
-                for k, v in sorted(result.metadata.items()):
-                    f.write(f"{k}={v}\n")
-            loader_for(task["metadata_url"]).upload(meta_dir, task["metadata_url"])
+        if done_idx < STAGES.index(stage):
+            if exec_meta and task.get("metadata_url"):
+                meta_dir = os.path.join(ws["internal"], "metadata")
+                os.makedirs(meta_dir, exist_ok=True)
+                with open(os.path.join(meta_dir, "metadata.txt"), "w") as f:
+                    for k, v in sorted(exec_meta.items()):
+                        f.write(f"{k}={v}\n")
+                loader_for(task["metadata_url"]).upload(meta_dir, task["metadata_url"])
+            ckpt(stage, bytes_in=bytes_in, metadata=exec_meta)
 
         stage = "upload"
         hooks.pre_upload(task)
@@ -280,25 +407,40 @@ def run_tasks(
     loaders: dict[str, Callable[[], Loader]] | None = None,
     executors: dict[str, Callable[[dict, dict], ExecutionResult]] | None = None,
     hooks_registry: dict[str, type[Hooks]] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Execute every task row; returns the result ledger DataFrame.
 
     Failed rows carry (stage, error) — the quarantine/DLQ analog: filter
     ``ok == False`` and append to the quarantine table (ref Fail ->
     DLQ ``internal/core/task.go:132-147``).
+
+    ``checkpoint_dir`` enables stage-level resume: workspaces live under
+    it (not a run-scoped tempdir), each completed stage writes a marker,
+    and a re-run of a failed task skips its completed stages — e.g. an
+    expensive transcode survives an upload outage. Point it at storage
+    the retry will see again: executor-local disk when retries are
+    host-sticky, a shared mount otherwise. Without it behavior is
+    unchanged (fresh tempdir, full task retry).
     """
     loaders = loaders or DEFAULT_LOADERS
     executors = executors or DEFAULT_EXECUTORS
     hooks_registry = hooks_registry or DEFAULT_HOOKS
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        workdir = tempfile.mkdtemp(prefix="chyme_ws_")
+        durable = checkpoint_dir is not None
+        if durable:
+            workdir = checkpoint_dir
+            os.makedirs(workdir, exist_ok=True)
+        else:
+            workdir = tempfile.mkdtemp(prefix="chyme_ws_")
         for pdf in batches:
             out = [
-                _process_one(row, loaders, executors, hooks_registry, workdir)
+                _process_one(row, loaders, executors, hooks_registry, workdir, durable)
                 for row in pdf.to_dict("records")
             ]
             yield pd.DataFrame(out, columns=[f.name for f in RESULT_SCHEMA.fields])
-        shutil.rmtree(workdir, ignore_errors=True)
+        if not durable:
+            shutil.rmtree(workdir, ignore_errors=True)
 
     return tasks.mapInPandas(process, RESULT_SCHEMA)

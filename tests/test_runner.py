@@ -86,3 +86,126 @@ def test_phony_resources_skip_transfer(spark, tmp_path):
     results = run_tasks(expand(catalog, (noop,))).collect()
     # phony -> loaders no-op, nothing downloaded, still completes
     assert results[0].ok and results[0].bytes_in == 0
+
+
+# ---------------------------------------------------------------------------
+# ArrowFsLoader: the object-store transfer path (s3://, hdfs://) exercised
+# through file:// URIs — pyarrow.fs.FileSystem.from_uri dispatches all
+# schemes through the identical code path (SURVEY §2A R29-R31)
+# ---------------------------------------------------------------------------
+
+
+def test_arrowfs_loader_roundtrip(tmp_path):
+    from chyme_spark.runner import ArrowFsLoader
+
+    ld = ArrowFsLoader()
+    src = tmp_path / "remote" / "obj"
+    src.mkdir(parents=True)
+    (src / "a.bin").write_bytes(b"A" * 100)
+    (src / "b.bin").write_bytes(b"B" * 50)
+    local = tmp_path / "local"
+    local.mkdir()
+    n = ld.download(f"file://{src}", str(local))
+    assert n == 150
+    assert sorted(os.listdir(local)) == ["a.bin", "b.bin"]
+    # single-object download
+    single = tmp_path / "single"
+    single.mkdir()
+    assert ld.download(f"file://{src}/a.bin", str(single)) == 100
+
+    dest = tmp_path / "up" / "dest"
+    m = ld.upload(str(local), f"file://{dest}")
+    assert m == 150
+    assert ld.exists(f"file://{dest}/a.bin")
+    ld.delete(f"file://{dest}/a.bin")
+    assert not ld.exists(f"file://{dest}/a.bin")
+    ld.delete(f"file://{dest}")
+    assert not ld.exists(f"file://{dest}")
+
+
+def test_worker_via_arrowfs_loader(spark, tmp_path):
+    """Full 6-stage machine with ArrowFsLoader as the transfer layer —
+    what an s3:// run executes, minus the wire."""
+    from chyme_spark.runner import ArrowFsLoader, run_tasks as _run
+
+    src = _mk_inputs(tmp_path)
+    urls = spark.createDataFrame(
+        [(f"file://{src}/{n}",) for n in sorted(os.listdir(src))], "url string"
+    )
+    templates, out_root = _templates(tmp_path)
+    tasks = expand(with_resource_columns(urls), templates)
+    from chyme_spark.runner import PhonyLoader
+    results = _run(tasks, loaders={"file": ArrowFsLoader, "phony": PhonyLoader}).collect()
+    assert len(results) == 3 and all(r.ok for r in results)
+    produced = [f for _r, _d, fs in os.walk(out_root) for f in fs if f.endswith(".size")]
+    assert len(produced) == 3
+
+
+# ---------------------------------------------------------------------------
+# stage-level resume (ref internal/worker/persistance.go:25-69)
+# ---------------------------------------------------------------------------
+
+_TASK_SCHEMA = (
+    "task_hash string, input_url string, output_url string, metadata_url string, "
+    "template string, executor string, config map<string,string>, timeout_s long, "
+    "version string, phony boolean"
+)
+
+
+def _manual_task(tmp_path, metadata_url: str, counter) -> tuple:
+    return (
+        "resume-task-1",
+        f"file://{tmp_path}/src/clip_0.mov",
+        f"file://{tmp_path}/mirror/out/",
+        metadata_url,
+        "mov",
+        "subprocess",
+        {"cmd": f'echo x >> {counter}; cp "$IN"/* "$OUT"/'},
+        60,
+        "v1",
+        False,
+    )
+
+
+def test_stage_resume_skips_completed_stages(spark, tmp_path):
+    """Interrupt after execute (metadata-stage failure), then resume:
+    download and execute must NOT re-run — the deleted source and the
+    execute counter prove both skips."""
+    src = _mk_inputs(tmp_path, n=1)
+    counter = tmp_path / "exec_count"
+    ckpt = str(tmp_path / "ckpt")
+
+    bad = spark.createDataFrame(
+        [_manual_task(tmp_path, "badscheme://nowhere/", counter)], _TASK_SCHEMA
+    )
+    r1 = run_tasks(bad, checkpoint_dir=ckpt).collect()[0]
+    assert not r1.ok and r1.stage == "metadata"
+    assert counter.read_text().count("x") == 1
+
+    # kill the source: a resume that re-downloads would now fail
+    (src / "clip_0.mov").unlink()
+
+    good = spark.createDataFrame(
+        [_manual_task(tmp_path, f"file://{tmp_path}/meta/", counter)], _TASK_SCHEMA
+    )
+    r2 = run_tasks(good, checkpoint_dir=ckpt).collect()[0]
+    assert r2.ok and r2.stage == "complete"
+    assert r2.bytes_in > 0  # carried from the checkpointed download
+    assert counter.read_text().count("x") == 1  # execute ran exactly once
+    assert os.path.exists(tmp_path / "mirror" / "out" / "clip_0.mov")
+    assert os.path.exists(tmp_path / "meta" / "metadata.txt")
+    # completed task cleans its durable workspace
+    assert not os.path.exists(os.path.join(ckpt, "resume-task-1"))
+
+
+def test_no_checkpoint_dir_retries_full_task(spark, tmp_path):
+    """Without checkpoint_dir the machine is stateless: a re-run
+    re-executes every stage (round-1 behavior preserved)."""
+    _mk_inputs(tmp_path, n=1)
+    counter = tmp_path / "exec_count"
+    good = spark.createDataFrame(
+        [_manual_task(tmp_path, f"file://{tmp_path}/meta/", counter)], _TASK_SCHEMA
+    )
+    assert run_tasks(good).collect()[0].ok
+    assert run_tasks(good).collect()[0].ok
+    assert counter.read_text().count("x") == 2

@@ -45,3 +45,35 @@ def test_json_quarantine_captures_malformed(spark, tmp_path):
     clean, bad = split_corrupt(df)
     assert {r.id for r in clean.collect()} == {1, 2}
     assert bad.count() == 1  # reference silently dropped it (task.go:98-101)
+
+
+def _norm(url: str) -> str:
+    # Hadoop renders local URLs as file:/x, pyarrow-based listing as file:///x
+    import re
+    return re.sub(r"^([a-z][a-z0-9+.-]*):/+", r"\1:///", url)
+
+
+def test_distributed_listing_matches_driver_listing(spark, tmp_path):
+    """list_files_distributed must produce the identical (url,size,mtime)
+    set as the driver-side lister over a deep tree, incl. depth bound."""
+    from chyme_spark.catalog import list_files, list_files_distributed
+
+    root = tmp_path / "tree"
+    for rel in ["a/b/c", "a/d", "e", ""]:
+        (root / rel).mkdir(parents=True, exist_ok=True)
+    files = {
+        "top.txt": 3, "a/one.txt": 5, "a/b/two.txt": 7,
+        "a/b/c/three.txt": 11, "a/d/four.txt": 13, "e/five.txt": 17,
+    }
+    for rel, size in files.items():
+        (root / rel).write_bytes(b"x" * size)
+
+    for depth in (None, 0, 1, 2):
+        drv = {(_norm(r.url), r.size, r.mtime)
+               for r in list_files(spark, str(root), depth).collect()}
+        dist = {(_norm(r.url), r.size, r.mtime)
+                for r in list_files_distributed(spark, str(root), depth).collect()}
+        assert dist == drv, f"depth={depth}"
+    full = {(_norm(r.url), r.size, r.mtime)
+            for r in list_files_distributed(spark, str(root)).collect()}
+    assert {u.rsplit("/", 1)[-1] for u, _s, _m in full} == {f.rsplit("/", 1)[-1] for f in files}
