@@ -36,6 +36,8 @@ HEADLINE = [
     "d06_keyed_dedup",
     "d21_topk_per_group",
     "d24_running_sum",
+    "d27_string_fns",
+    "d36_pivot",
     "d37_sessionization",
     "d42_exact_dedup",
     "d43_minhash_lsh",

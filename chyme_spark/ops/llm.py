@@ -167,21 +167,27 @@ def doc_shingle_sets(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
     64-bit collisions are negligible for Jaccard estimation (the same
     trade every production near-dup pipeline makes)."""
     docs = load_table(spark, sf, "documents")
+    # small-file guard: a single parquet file yields 1-2 input splits, so
+    # the whole shingle+minhash map side would run on one core. At real
+    # scale the input has >= cores files and this branch never fires —
+    # the condition, not an unconditional exchange, is the point.
+    # (inputFiles() is a metadata call; .rdd.getNumPartitions() would
+    # build a whole Python RDD conversion just to ask.)
+    par = spark.sparkContext.defaultParallelism
+    if len(docs.inputFiles()) < par:
+        docs = docs.repartition(par, "doc_id")
     # stage the token array as an attribute: referencing an inline
     # split(...) inside the transform lambda would re-split per element
     staged = docs.select("doc_id", _tokens().alias("toks"))
-    toks = F.col("toks")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.xxhash64(
-            *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    # short docs (< n tokens) get an empty set, not a descending-sequence
-    # crash (ADVICE r1); minhash of an empty set is then null-signature
-    hs = F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<bigint>")
+    # one F.expr = one gateway call; building the same tree from Python
+    # Column ops costs dozens of py4j round-trips per lambda. Short docs
+    # (< n tokens) get an empty set, not a descending-sequence crash
+    # (ADVICE r1); minhash of an empty set is then a null signature.
+    ats = ", ".join(f"element_at(toks, cast(i + {j + 1} as int))" for j in range(n))
+    hs = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(toks) - {n}), i -> xxhash64({ats}))) "
+        f"ELSE cast(array() as array<bigint>) END"
     )
     return staged.select(
         "doc_id",
@@ -189,40 +195,35 @@ def doc_shingle_sets(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
     ).withColumn("n", F.size("hs"))
 
 
-def minhash_signatures(sets: DataFrame, k: int = _MINHASH_K) -> DataFrame:
-    """k min-hashes per doc as narrow array ops: array_min over
-    xxhash64(seed_i, shingle) — JVM-side, zero shuffles."""
-    def hasher(seed: int):
-        # single-param lambda: a second parameter would be interpreted by
-        # PySpark as the array-index argument, silently replacing the seed
-        return lambda h: F.xxhash64(F.lit(seed), h)
+def lsh_candidates(sets: DataFrame, k: int = _MINHASH_K, bands: int = _BANDS) -> DataFrame:
+    """MinHash-band the per-doc shingle sets, group docs per
+    (band, band_hash) bucket, and emit in-bucket pairs — candidate
+    generation is one hash shuffle, never an all-pairs product, and
+    never a self-join that would recompute the signature subtree twice.
 
-    # k minhashes derived by hashing the 8-byte pre-hashed shingle —
-    # 16x cheaper than k string hashes, same independence properties
-    sigs = [
-        F.array_min(F.transform("hs", hasher(i))).alias(f"h{i}") for i in range(k)
-    ]
-    return sets.select("doc_id", *sigs)
+    The k minhashes and the band hashes are ONE nested-transform
+    expression over ``hs``: per band, transform the band's seed range to
+    ``array_min(xxhash64(seed, shingle))`` minhashes and xxhash64 the
+    resulting row vector into the bucket key. Each seed's corpus pass
+    happens exactly once (same work as k materialized signature
+    columns) but the analyzed plan carries one expression instead of
+    k + bands — round 1 spent most of d43's wall-clock compiling the
+    16-column tree. Bucketing is identical to hashing the k columns
+    pairwise: the band hash is a deterministic function of the same
+    min-value vector, so two docs collide iff they did before.
 
-
-def lsh_candidates(sig: DataFrame, bands: int = _BANDS, rows: int = _ROWS_PER_BAND) -> DataFrame:
-    """Band the signature, group docs per (band, band_hash) bucket, and
-    emit in-bucket pairs — candidate generation is one hash shuffle,
-    never an all-pairs product, and never a self-join that would
-    recompute the signature subtree twice. Bucket sizes are bounded by
-    collision likelihood (near-dup clusters), so per-bucket pairing is
-    cheap; a pathological giant bucket means the band hash is degenerate
-    and should be re-seeded, not joined through."""
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("bh"),
-            )
-            for b in range(bands)
-        ]
+    Bucket sizes are bounded by collision likelihood (near-dup
+    clusters), so per-bucket pairing is cheap; a pathological giant
+    bucket means the band hash is degenerate and should be re-seeded,
+    not joined through."""
+    rows = k // bands
+    band_structs = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> named_struct("
+        f"'band', b, "
+        f"'bh', xxhash64(transform(sequence(b * {rows}, (b + 1) * {rows} - 1), "
+        f"s -> array_min(transform(hs, h -> xxhash64(s, h)))))))"
     )
-    banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    banded = sets.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
     buckets = (
@@ -251,7 +252,7 @@ def d43_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # storage (which is what a 100 TB run would do): the scan+shingle pass
     # runs once, and the candidate branch + both verify joins reuse it
     sets = doc_shingle_sets(spark, sf).persist()
-    cand = lsh_candidates(minhash_signatures(sets))
+    cand = lsh_candidates(sets)
     # Verify candidates with exact Jaccard over per-doc shingle-set
     # arrays: the candidate list is tiny relative to the corpus (that is
     # LSH's whole point), so two equi-joins against the 1-row-per-doc
@@ -378,13 +379,29 @@ def d44_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     oracle=None,  # rows-only: bucketing is hash-geometry specific
     doc="ANN scale path: random-hyperplane (sign-of-projection via deterministic hash planes) LSH buckets; search only same-bucket candidates",
 )
-def x_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+def x_ann_lsh_topk(
+    spark: SparkSession, sf: str, n_planes: int = 8, topk: int = 3
+) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN.
+
+    ``n_planes`` is THE scale knob: it sets the bucket count
+    (2**n_planes) and thus the per-bucket candidate fraction
+    (~corpus/2**n_planes per probe). Size it so a bucket holds a
+    searchable slice: n_planes ~ log2(corpus_rows / target_bucket_rows)
+    — e.g. 1e9 rows at ~64k-row buckets wants ~14 planes; the 8-plane
+    default (256 buckets) is calibrated to the sf0.1 fixture, not to a
+    real corpus. More planes = higher precision / lower recall per
+    probe; recover recall at scale with multi-probe (flip each bit of
+    the query bucket) or band-OR over independent plane sets, the same
+    trade MinHash banding makes. Recall floor on the fixture is pinned
+    by tests/test_llm_recall.py.
+    """
     emb = load_table(spark, sf, "embeddings")
     # deterministic pseudo-random hyperplanes: plane p, dim d weight in
     # {-1,+1} from xxhash64 parity — reproducible with no RNG state
     def bucket(col: Column) -> Column:
         bits = []
-        for p in range(8):
+        for p in range(n_planes):
             proj = F.aggregate(
                 F.zip_with(
                     col,
@@ -409,21 +426,36 @@ def x_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     cos = _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))
     scored = cand.select("qid", "vec_id", F.round(cos, 4).cast("double").alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= topk).drop("rn")
 
 
 @query(
     "x_ann_ivf_topk",
     oracle=None,  # rows-only: centroid geometry is trainer-specific
-    doc="ANN scale path #2 — IVF: KMeans centroids partition the corpus; a query probes only its nprobe=2 nearest cells (MLlib, seed-pinned)",
+    doc="ANN scale path #2 — IVF: KMeans centroids partition the corpus; a query probes only its nprobe nearest cells (MLlib, seed-pinned)",
 )
-def x_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+def x_ann_ivf_topk(
+    spark: SparkSession, sf: str, k: int = 16, nprobe: int = 2, topk: int = 3
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans cells partition the corpus, a
+    query scans only its ``nprobe`` nearest cells.
+
+    Scale knobs: ``k`` (cell count) should grow with the corpus —
+    the standard sizing is k ~ sqrt(corpus_rows) (1e9 rows -> ~32k
+    cells) so each cell holds ~sqrt(n) vectors and a probe scans
+    ~nprobe*sqrt(n) candidates; the k=16 default is calibrated to the
+    sf0.1 fixture. ``nprobe`` trades recall for scan cost linearly —
+    raise it (2 -> 8-32) when recall matters more than latency. Train
+    KMeans on a sample at real scale; assignment is a broadcast of the
+    k x dim centroid matrix, one corpus pass. Recall floor on the
+    fixture is pinned by tests/test_llm_recall.py.
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     emb = load_table(spark, sf, "embeddings")
     vecs = emb.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
-    model = KMeans(k=16, seed=42, maxIter=10).fit(vecs)
+    model = KMeans(k=k, seed=42, maxIter=10).fit(vecs)
     assigned = model.transform(vecs).select("vec_id", "embedding", F.col("prediction").alias("cell"))
 
     # centroids are tiny (k x dim): a literal DataFrame, broadcast into the probe join
@@ -439,15 +471,15 @@ def x_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         _dot(F.col("qe"), F.col("centroid")).alias("cdot"),
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("cdot"), "cell")
-    probes = qdist.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= 2).select("qid", "qe", "cell")
+    probes = qdist.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= nprobe).select("qid", "qe", "cell")
 
     # search only the probed cells: the join key is the cell id, so the
-    # corpus is scanned once and each query touches ~2/16 of it
+    # corpus is scanned once and each query touches ~nprobe/k of it
     cand = assigned.join(F.broadcast(probes), "cell").filter(F.col("vec_id") != F.col("qid"))
     cos = _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))
     scored = cand.select("qid", "vec_id", F.round(cos, 4).cast("double").alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= topk).drop("rn")
 
 
 @query(
@@ -742,7 +774,7 @@ def x_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     labels = edges.select(F.col("doc_a").alias("doc"), F.col("doc_a").alias("label")).distinct()
     # min-label propagation to fixpoint; the per-round driver action is
     # one scalar (changed-count) — the data never leaves the cluster
-    for _ in range(20):  # bound >> any real component diameter here
+    for rnd in range(20):  # bound >> any real component diameter here
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc)
             .groupBy("doc_a")
@@ -754,7 +786,15 @@ def x_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
                 "doc",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
             )
-        ).persist()
+        )
+        # every 5 rounds, truncate the accumulated join lineage: persist
+        # keeps round N+1 from recomputing round N, but the logical plan
+        # still deepens each round and deep components would blow
+        # analysis/codegen time at real scale
+        if rnd % 5 == 4:
+            updated = updated.localCheckpoint(eager=True)
+        else:
+            updated = updated.persist()
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "doc")
