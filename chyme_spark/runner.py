@@ -19,9 +19,10 @@ ledger anti-join upstream (tasker.create_tasks).
 
 Scale: parallelism = partitions (configure with ``repartition`` before
 calling); no driver involvement per task; executor-local scratch only.
-The Docker executor is out of scope in this container — the registry
-dispatches to ``subprocess``/``noop`` payloads and Docker is gated
-behind an import-try exactly like other missing codecs.
+The Docker executor drives the ``docker`` CLI with the reference's
+container-reuse/timeout/env semantics and gates cleanly on the binary
+being absent (no dockerd runs in this container; the test suite
+exercises it against a stub CLI).
 """
 
 from __future__ import annotations
@@ -259,18 +260,82 @@ def subprocess_executor(task: dict, workspace: dict[str, str]) -> ExecutionResul
     return ExecutionResult(ok=True, metadata={"stdout_tail": proc.stdout[-200:]})
 
 
-def _docker_executor(task: dict, workspace: dict[str, str]) -> ExecutionResult:
+def _docker(args: list[str], timeout: float | None = None) -> subprocess.CompletedProcess:
+    return subprocess.run(["docker", *args], capture_output=True, text=True, timeout=timeout)
+
+
+def docker_executor(task: dict, workspace: dict[str, str]) -> ExecutionResult:
+    """Run the task's image in a container named by the task hash, via
+    the ``docker`` CLI (no SDK dependency; gated on the binary).
+
+    Parity with the reference executor (ref
+    internal/core/executor_docker.go:36-113):
+      * container REUSE by task-hash name (:157-182): a retry of the
+        same task restarts its existing container instead of paying
+        create again — the reference's memoization trick;
+      * optional image pull when config['pull'] is truthy (:184-192);
+      * binds ``<ws>/input:/in`` and ``<ws>/output:/out``, optional
+        ``--user``, env injection from config['env'] split on newlines
+        (:194-217, :242-251);
+      * wait raced against the task timeout -> kill (:80-102, :219-221);
+      * non-zero exit -> error result with log tail (:130-155);
+      * container removed on success, kept on failure for the retry to
+        reuse (clean-in-epilogue, :115-128).
+    """
+    if shutil.which("docker") is None:
+        return ExecutionResult(ok=False, error="docker CLI not on PATH in this container")
+    cfg = task.get("config") or {}
+    image = cfg.get("image")
+    if not image:
+        return ExecutionResult(ok=False, error="docker executor needs config['image']")
+    name = f"chyme-{task['task_hash']}"
+    timeout = int(task.get("timeout_s") or 3600)
     try:
-        import docker  # noqa: F401
-    except ImportError:
-        return ExecutionResult(ok=False, error="docker sdk not available in this container")
-    return ExecutionResult(ok=False, error="docker execution path intentionally unimplemented in v1")
+        found = _docker(["ps", "-aq", "--filter", f"name=^{name}$"])
+        if found.returncode != 0:
+            return ExecutionResult(ok=False, error=f"docker ps: {found.stderr[-300:]}")
+        if not found.stdout.strip():
+            if cfg.get("pull"):
+                pulled = _docker(["pull", image], timeout=timeout)
+                if pulled.returncode != 0:
+                    return ExecutionResult(ok=False, error=f"docker pull: {pulled.stderr[-300:]}")
+            create = [
+                "create", "--name", name,
+                "-v", f"{workspace['input']}:/in",
+                "-v", f"{workspace['output']}:/out",
+            ]
+            if cfg.get("user"):
+                create += ["--user", cfg["user"]]
+            for kv in (cfg.get("env") or "").split("\n"):
+                if kv.strip():
+                    create += ["-e", kv.strip()]
+            create.append(image)
+            made = _docker(create)
+            if made.returncode != 0:
+                return ExecutionResult(ok=False, error=f"docker create: {made.stderr[-300:]}")
+        started = _docker(["start", name])
+        if started.returncode != 0:
+            return ExecutionResult(ok=False, error=f"docker start: {started.stderr[-300:]}")
+        try:
+            waited = _docker(["wait", name], timeout=timeout)
+        except subprocess.TimeoutExpired:
+            _docker(["kill", name])
+            return ExecutionResult(ok=False, error=f"timeout after {timeout}s (container killed)")
+        code = (waited.stdout or "").strip()
+        if waited.returncode != 0 or code != "0":
+            logs = _docker(["logs", "--tail", "20", name])
+            tail = (logs.stderr or logs.stdout)[-300:]
+            return ExecutionResult(ok=False, error=f"container exit {code or '?'}: {tail}")
+        _docker(["rm", "-f", name])
+        return ExecutionResult(ok=True, metadata={"container": name, "image": image})
+    except FileNotFoundError:
+        return ExecutionResult(ok=False, error="docker CLI not runnable")
 
 
 DEFAULT_EXECUTORS: dict[str, Callable[[dict, dict], ExecutionResult]] = {
     "noop": noop_executor,
     "subprocess": subprocess_executor,
-    "docker": _docker_executor,
+    "docker": docker_executor,
 }
 
 
