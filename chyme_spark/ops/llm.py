@@ -734,6 +734,136 @@ def x_deterministic_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# corpus hygiene: decontamination / repetition / PII
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_decontaminate",
+    # benchmark decontamination (the GPT-3/PaLM pipeline step): flag
+    # every training document that shares >= 1 word n-gram with the
+    # held-out eval set. Eval set here = doc_id % 50 == 0 (synthetic,
+    # deterministic); production uses 8-13-grams against the benchmark
+    # suite — n is a knob, the join shape is the operator.
+    oracle=f"""
+    WITH {_NG_SQL},
+    ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 50 = 0)
+    SELECT ng.doc_id, count(DISTINCT ng.g) AS n_shared
+    FROM ng JOIN ev USING (g)
+    WHERE ng.doc_id % 50 <> 0
+    GROUP BY ng.doc_id
+    """,
+    doc="training-set decontamination: docs sharing any word n-gram with the eval set, with shared-gram counts",
+)
+def x_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set n-gram overlap scan. The eval side (a benchmark suite)
+    is tiny relative to a training corpus, so its distinct-gram set
+    broadcasts and the scan is one corpus pass with a map-side hash
+    probe — no shuffle of the training grams at all."""
+    ng = doc_ngrams(spark, sf)
+    ev = ng.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    return (
+        ng.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+    )
+
+
+@query(
+    "x_repetition_filter",
+    # Gopher-style repetition rule: docs whose duplicate-2-gram fraction
+    # exceeds 20% are low-quality boilerplate. Emitted as exact integer
+    # counts (n_grams, n_dup) + a boolean computed by integer cross-
+    # multiplication — no float rounding to drift between engines.
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS tok,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        FROM documents),
+    ng2 AS (
+        SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+        FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+    agg AS (
+        SELECT doc_id, count(*) AS n_grams,
+               count(*) - count(DISTINCT g) AS n_dup
+        FROM ng2 GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_grams, 0) AS n_grams,
+           coalesce(a.n_dup, 0) AS n_dup,
+           coalesce(a.n_dup * 5 > a.n_grams, false) AS flagged
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="repetition quality filter: duplicate-2-gram fraction > 20% flags boilerplate (Gopher rule, exact integer arithmetic)",
+)
+def x_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select("doc_id", _tokens().alias("toks"))
+    toks = F.col("toks")
+    n_grams = F.greatest(F.size(toks) - 1, F.lit(0)).cast("long")
+    n_dup = (n_grams - F.size(_ngrams(toks, 2)).cast("long")).alias("n_dup")
+    return staged.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_dup,
+    ).withColumn("flagged", F.col("n_dup") * 5 > F.col("n_grams"))
+
+
+@query(
+    "x_pii_scrub",
+    # PII redaction: count + replace emails/phone patterns. The fixture
+    # text carries no PII, so both engines first SEED identical
+    # deterministic PII strings into a slice of docs (doc_id % 7 / % 11)
+    # — the redaction regexes and the replacement are the operator under
+    # test. Patterns use [0-9]/[a-z] classes only (identical semantics
+    # in Java regex and RE2); DuckDB regexp_replace needs the 'g' flag
+    # to match Spark's replace-all default.
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || CASE
+                 WHEN doc_id % 7 = 0 THEN ' contact: user' || doc_id || '@example.com'
+                 WHEN doc_id % 11 = 0 THEN ' tel: 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                 ELSE '' END AS t
+        FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9]+\\.[a-z]+')) AS n_emails,
+           len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+           regexp_replace(regexp_replace(t, '[a-z0-9.]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g'),
+                          '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+    FROM seeded
+    """,
+    doc="PII scrubbing: email/phone detection counts + redacted text (regexp_extract_all / replace-all)",
+)
+def x_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact: user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            )
+            .when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" tel: 555-01"), F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")),
+            )
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    email = r"[a-z0-9.]+@[a-z0-9]+\.[a-z]+"
+    phone = r"[0-9]{3}-[0-9]{4}"
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(email), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(phone), 0)).cast("long").alias("n_phones"),
+        F.regexp_replace(F.regexp_replace("t", email, "<EMAIL>"), phone, "<PHONE>").alias("scrubbed"),
+    )
+
+
 @query(
     "x_dedup_clusters",
     # near-dup pairs -> connected components -> canonical survivor per
