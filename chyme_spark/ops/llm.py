@@ -380,7 +380,7 @@ def d44_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     doc="ANN scale path: random-hyperplane (sign-of-projection via deterministic hash planes) LSH buckets; search only same-bucket candidates",
 )
 def x_ann_lsh_topk(
-    spark: SparkSession, sf: str, n_planes: int = 8, topk: int = 3
+    spark: SparkSession, sf: str, n_planes: int = 8, topk: int = 3, multiprobe: int = 0
 ) -> DataFrame:
     """Hyperplane-LSH bucketed ANN.
 
@@ -391,10 +391,16 @@ def x_ann_lsh_topk(
     — e.g. 1e9 rows at ~64k-row buckets wants ~14 planes; the 8-plane
     default (256 buckets) is calibrated to the sf0.1 fixture, not to a
     real corpus. More planes = higher precision / lower recall per
-    probe; recover recall at scale with multi-probe (flip each bit of
-    the query bucket) or band-OR over independent plane sets, the same
-    trade MinHash banding makes. Recall floor on the fixture is pinned
-    by tests/test_llm_recall.py.
+    probe.
+
+    ``multiprobe`` recovers that recall: 1 probes the query's bucket
+    PLUS every bucket at Hamming distance 1 (n_planes+1 probes — the
+    near-miss buckets where a borderline projection flipped one bit),
+    which multiplies scanned candidates by ~n_planes+1 while leaving
+    the corpus bucketing untouched. This is how a high-plane config
+    stays honest at 100 TB: planes set the partition granularity,
+    probes buy back recall per query. 0 = exact-bucket only. Recall
+    floor and monotonicity are pinned by tests/test_llm_recall.py.
     """
     emb = load_table(spark, sf, "embeddings")
     # deterministic pseudo-random hyperplanes: plane p, dim d weight in
@@ -422,6 +428,12 @@ def x_ann_lsh_topk(
     q = bucketed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
     )
+    if multiprobe:
+        # the probe buckets are all distinct (qb, qb^1, qb^2, ...), and a
+        # corpus vector lives in exactly one bucket, so the explode can
+        # never produce a duplicate (qid, vec_id) candidate pair
+        probes = F.array(F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
+        q = q.select("qid", "qe", F.explode(probes).alias("qb"))
     cand = bucketed.join(F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("qid")))
     cos = _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))
     scored = cand.select("qid", "vec_id", F.round(cos, 4).cast("double").alias("cosine"))

@@ -53,6 +53,24 @@ def test_lsh_single_bucket_equals_brute_force(spark, sf_dir):
     assert lsh == brute
 
 
+def test_lsh_top1_recall_monotone_in_multiprobe(spark, sf_dir):
+    from chyme_spark.ops import llm
+
+    top1 = _top1(_rows(llm.d44_cosine_topk(spark, sf_dir)))
+
+    def recall(multiprobe: int) -> int:
+        got: dict[int, set[int]] = {}
+        for qid, vec_id, _ in _rows(
+            llm.x_ann_lsh_topk(spark, sf_dir, n_planes=6, multiprobe=multiprobe)
+        ):
+            got.setdefault(qid, set()).add(vec_id)
+        return sum(1 for q, v in top1.items() if v in got.get(q, set()))
+
+    # Hamming-1 probing scans a strict superset of candidates, and the
+    # global best neighbor can never be evicted by extra candidates
+    assert recall(0) <= recall(1)
+
+
 def test_ivf_top1_recall_monotone_in_nprobe(spark, sf_dir):
     from chyme_spark.ops import llm
 
