@@ -101,14 +101,10 @@ def cmd_tasker(args) -> int:
     return 0
 
 
-def cmd_worker(args) -> int:
+def _worker_batch(spark, args, todo) -> tuple[int, int]:
+    """Run one batch of tasks and append ledger/quarantine rows."""
     from chyme_spark.runner import run_tasks
-    from chyme_spark.tasker import empty_ledger
 
-    spark = get_spark("chyme_worker")
-    tasks = spark.read.parquet(args.tasks)
-    ledger = _read_or_none(spark, args.ledger) or empty_ledger(spark)
-    todo = tasks.join(ledger.select("task_hash"), "task_hash", "left_anti")
     if args.parallelism:
         todo = todo.repartition(args.parallelism)
     results = run_tasks(todo, checkpoint_dir=args.checkpoint_dir).cache()
@@ -124,6 +120,59 @@ def cmd_worker(args) -> int:
     if n_fail:
         failed.write.mode("append").parquet(args.quarantine)
     results.unpersist()
+    return n_ok, n_fail
+
+
+def _worker_follow(spark, args) -> int:
+    """Streaming worker: the tasks table is the queue, consumed with
+    Structured Streaming + foreachBatch — true parity with the
+    reference's long-poll worker loop (ref internal/worker/service.go:43-66).
+
+    ``Trigger.AvailableNow`` drains everything enqueued so far and
+    exits (the reference's DequeueAll drain, pkg/aws/sqs.go:134-162);
+    re-invoking resumes from the stream checkpoint, so each task FILE
+    is read exactly once across invocations, and the ledger anti-join
+    inside the batch keeps task-level idempotence even if the
+    checkpoint is lost. At scale the same verb runs against a
+    continuously-appended object-store prefix; swap the trigger for
+    processingTime to long-poll for real.
+    """
+    from chyme_spark.tasker import empty_ledger
+
+    schema = spark.read.parquet(args.tasks).schema
+    counts = {"ok": 0, "fail": 0}
+
+    def process(batch_df, _batch_id: int) -> None:
+        ledger = _read_or_none(spark, args.ledger) or empty_ledger(spark)
+        todo = batch_df.join(ledger.select("task_hash"), "task_hash", "left_anti")
+        n_ok, n_fail = _worker_batch(spark, args, todo)
+        counts["ok"] += n_ok
+        counts["fail"] += n_fail
+
+    ckpt = args.follow_checkpoint or f"{args.tasks.rstrip('/')}_stream_ckpt"
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(args.tasks)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    print(f"completed {counts['ok']} tasks; quarantined {counts['fail']} (stream drain)")
+    return 0
+
+
+def cmd_worker(args) -> int:
+    from chyme_spark.tasker import empty_ledger
+
+    spark = get_spark("chyme_worker")
+    if getattr(args, "follow", False):
+        return _worker_follow(spark, args)
+    tasks = spark.read.parquet(args.tasks)
+    ledger = _read_or_none(spark, args.ledger) or empty_ledger(spark)
+    todo = tasks.join(ledger.select("task_hash"), "task_hash", "left_anti")
+    n_ok, n_fail = _worker_batch(spark, args, todo)
     print(f"completed {n_ok} tasks; quarantined {n_fail}")
     return 0
 
@@ -259,6 +308,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ledger", required=True)
     p.add_argument("--quarantine", required=True)
     p.add_argument("--parallelism", type=int, default=None)
+    p.add_argument("--follow", action="store_true",
+                   help="consume the tasks table as a stream (drain-and-exit via AvailableNow)")
+    p.add_argument("--follow-checkpoint", default=None,
+                   help="stream checkpoint dir (default <tasks>_stream_ckpt)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="durable workspace root enabling stage-level resume")
     p.set_defaults(fn=cmd_worker)

@@ -32,6 +32,46 @@ def test_pipeline_verb_end_to_end(spark, tmp_path):
     assert ledger.count() == 2  # still exactly one ledger row per task
 
 
+def test_worker_follow_streams_tasks(spark, tmp_path, capsys):
+    """--follow drains the tasks table via Structured Streaming; a second
+    drain after more tasks are enqueued processes ONLY the new files
+    (stream checkpoint), and the ledger stays one-row-per-task."""
+    src = tmp_path / "media"
+    src.mkdir()
+    (src / "a.mov").write_bytes(b"A" * 100)
+    t = tmp_path / "tables"
+    common = [
+        "--catalog", f"{t}/catalog", "--ledger", f"{t}/ledger", "--tasks", f"{t}/tasks",
+    ]
+    tasker = common + [
+        "--mirror-base", f"file://{t}/mirror", "--executor", "subprocess",
+        "--cmd", 'for f in "$IN"/*; do wc -c < "$f" > "$OUT/$(basename $f).size"; done',
+    ]
+    worker = [
+        "worker", "--tasks", f"{t}/tasks", "--ledger", f"{t}/ledger",
+        "--quarantine", f"{t}/quar", "--follow",
+    ]
+    assert cli.main(["ingest", str(src), "--filter", "ext/mov", "--catalog", f"{t}/catalog"]) == 0
+    assert cli.main(["tasker"] + tasker) == 0
+    assert cli.main(worker) == 0
+    assert "completed 1 tasks" in capsys.readouterr().out
+    assert spark.read.parquet(f"{t}/ledger").count() == 1
+
+    # enqueue one more resource; the second drain sees only the new task
+    (src / "b.mov").write_bytes(b"B" * 60)
+    assert cli.main(["ingest", str(src), "--filter", "ext/mov", "--catalog", f"{t}/catalog"]) == 0
+    assert cli.main(["tasker"] + tasker) == 0
+    assert cli.main(worker) == 0
+    assert "completed 1 tasks" in capsys.readouterr().out
+    ledger = spark.read.parquet(f"{t}/ledger")
+    assert ledger.count() == 2
+    assert ledger.select("task_hash").distinct().count() == 2
+
+    # an immediate re-drain with nothing new is a no-op
+    assert cli.main(worker) == 0
+    assert "completed 0 tasks" in capsys.readouterr().out
+
+
 def test_ingest_bad_filter_clean_error(spark, tmp_path, capsys):
     src = tmp_path / "m"
     src.mkdir()
