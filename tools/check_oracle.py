@@ -64,6 +64,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--diff", action="store_true", help="print first differing rows")
+    ap.add_argument("--vanilla", action="store_true",
+                    help="dress rehearsal: bare SparkSession (none of session.py's "
+                         "conf), queries via __spark_entry__'s wrappers — exactly "
+                         "what the grading driver builds")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -74,7 +78,31 @@ def main() -> int:
 
     registry = load_all()
     names = args.names or list(registry)
-    spark = get_spark("check_oracle")
+    if args.vanilla:
+        import importlib.util
+
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .appName("check_oracle_vanilla")
+            .getOrCreate()
+        )
+        spec = importlib.util.spec_from_file_location(
+            "__spark_entry__", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
+        )
+        entry_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry_mod)
+        wrapped = entry_mod.queries()
+
+        class _Q:
+            def __init__(self, fn, oracle):
+                self.fn, self.oracle = fn, oracle
+
+        registry = {n: _Q(wrapped[n], registry[n].oracle) for n in registry}
+    else:
+        spark = get_spark("check_oracle")
 
     con = duckdb.connect()
     for t in TABLES:
