@@ -68,6 +68,17 @@ def main() -> None:
         df.count()
         timings[name] = round(time.time() - t0, 3)
 
+    # second pass: steady-state execution with plan/codegen already JIT'd —
+    # the per-query number a long-running cluster actually pays. The
+    # headline `value` stays the cold pass for round-over-round
+    # comparability; `queries_steady` separates one-time compile cost
+    # (O(1) per query, irrelevant at 100 TB) from real execution.
+    steady: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        registry[name].fn(spark, sf_dir).count()
+        steady[name] = round(time.time() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -76,6 +87,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_steady": steady,
+                "steady_total": round(sum(steady.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
