@@ -877,6 +877,74 @@ def x_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_domain_stats",
+    # per-source (domain) corpus accounting — the aggregation behind
+    # domain-level filtering/weighting decisions in a web-corpus
+    # pipeline. Exact integer sums only; one hash-agg shuffle keyed on
+    # the domain, map-side combined.
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(string_split(lower(text), ' '))) AS n_tokens,
+           sum(n_chars) AS total_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source
+    """,
+    doc="per-domain corpus stats: doc/token/char counts and language spread (domain filtering/weighting input)",
+)
+def x_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_tokens()).cast("long")).alias("n_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@query(
+    "x_mixture_sample",
+    # deterministic data-mixture sampling: per-language keep rates
+    # (en 100%, zh/es 50%, everything else 25%) applied by CONTENT-HASH
+    # bucket, never random() — the sampling decision for a given doc is
+    # stable across runs, partitions, and engines, so a re-run of the
+    # pipeline reproduces the training mix bit-for-bit. Same md5-bucket
+    # primitive as x_deterministic_split.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+        FROM documents),
+    kept AS (
+        SELECT doc_id, lang FROM b
+        WHERE bucket < CASE WHEN lang = 'en' THEN 100
+                            WHEN lang IN ('zh', 'es') THEN 50
+                            ELSE 25 END)
+    SELECT lang, count(*) AS n_kept, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM kept GROUP BY lang
+    """,
+    doc="deterministic per-language mixture sampling by content-hash bucket (reproducible training-mix weights)",
+)
+def x_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    rate = (
+        F.when(F.col("lang") == "en", 100)
+        .when(F.col("lang").isin("zh", "es"), 50)
+        .otherwise(25)
+    )
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
     "x_dedup_clusters",
     # near-dup pairs -> connected components -> canonical survivor per
     # cluster. Spark side: iterative min-label propagation (the standard
