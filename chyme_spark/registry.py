@@ -59,6 +59,9 @@ _X_FRONT = [
     "x_stream_stream_join", "x_stream_stateful_counts",
     "x_corr_scalar_subquery", "x_range_frame", "x_nullsafe_join",
     "x_global_agg",
+    # added mid-round-2, also never checked
+    "x_decontaminate", "x_repetition_filter", "x_pii_scrub",
+    "x_domain_stats", "x_mixture_sample",
 ]
 
 _D_NAME = re.compile(r"^d\d\d_")
