@@ -1,0 +1,172 @@
+"""Training-data assembly operators: sequence packing and the
+Arrow/numpy vectorized similarity path.
+
+These extend the LLM family (ops/llm.py) with the two steps a
+pretraining pipeline runs after dedup/filter/mix:
+
+  * ``x_sequence_pack`` — assign documents to fixed-token-budget
+    training sequences (concat-and-chunk), deterministically and in
+    parallel across hash groups;
+  * ``x_cosine_topk_np`` — the same brute-force cosine top-k as
+    d44_cosine_topk, but computed as a blocked numpy matmul inside
+    ``mapInPandas``: the Arrow fast path for embedding math, where a
+    BLAS dgemm on a few thousand rows per batch beats per-element JVM
+    higher-order functions by an order of magnitude at corpus scale.
+
+Scale notes are in each docstring; neither operator collects corpus
+data to the driver (the cosine op broadcasts only the bounded query
+set, the packing op is pure window algebra).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chyme_spark.registry import query
+from chyme_spark.session import load_table
+
+_PACK_BUDGET = 2048  # tokens per training sequence
+_PACK_GROUPS = 16  # parallel packing streams
+
+
+@query(
+    "x_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {_PACK_GROUPS} AS grp
+        FROM documents),
+    o AS (
+        SELECT doc_id, grp, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS off
+        FROM t)
+    SELECT doc_id, grp, n_tokens, off,
+           CAST(FLOOR(off / {_PACK_BUDGET}.0) AS BIGINT) AS pack_seq
+    FROM o
+    """,
+    doc="sequence packing: concat-and-chunk docs into fixed-token-budget training sequences, parallel across hash groups",
+)
+def x_sequence_pack(
+    spark: SparkSession, sf: str, budget: int = _PACK_BUDGET, n_groups: int = _PACK_GROUPS
+) -> DataFrame:
+    """Concat-and-chunk sample packing: every doc gets a byte-stable
+    (group, offset) position and the training sequence id
+    ``pack_seq = floor(offset / budget)`` — the standard pretraining
+    packing scheme (docs straddling a boundary are split by the
+    tokenizer downstream).
+
+    Scale shape: ONE window cumsum per hash group — no global ordering,
+    no single-partition window. ``n_groups`` is the parallelism knob:
+    each group is an independent packing stream, so set it to ~the
+    cluster's core count at 100 TB (the 16 default matches the sf0.1
+    fixture). Group assignment hashes doc_id (md5 prefix, engine-stable,
+    no RNG) so re-runs and engine swaps produce the identical pack
+    layout — the same determinism contract as x_deterministic_split.
+    """
+    docs = load_table(spark, sf, "documents")
+    grp = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+        % n_groups
+    )
+    t = docs.select(
+        "doc_id",
+        grp.alias("grp"),
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off")
+    return t.select("doc_id", "grp", "n_tokens", off).withColumn(
+        "pack_seq", F.floor(F.col("off") / float(budget)).cast("bigint")
+    )
+
+
+@query(
+    "x_cosine_topk_np",
+    # identical result contract to d44_cosine_topk — same oracle
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+        SELECT q.qid, e.vec_id,
+               list_sum(list_transform(list_zip(q.qe, e.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+    SELECT qid, vec_id, CAST(ROUND(cosine, 4) AS DOUBLE) AS cosine
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY ROUND(cosine, 4) DESC, vec_id) <= 3
+    """,
+    doc="vectorized cosine top-k: Arrow-batched numpy matmul (BLAS) over corpus partitions, broadcast query matrix — the SIMD fast path twin of d44",
+)
+def x_cosine_topk_np(spark: SparkSession, sf: str, topk: int = 3) -> DataFrame:
+    """Blocked-matmul brute-force cosine top-k.
+
+    Same semantics as d44_cosine_topk; different physical strategy:
+    the corpus streams through ``mapInPandas`` in Arrow batches, each
+    batch is one ``(batch x dim) @ (dim x nq)`` float64 dgemm, and each
+    batch emits only its local top-k per query — so the shuffle after
+    the scan carries ``n_batches * nq * k`` candidate rows, not the
+    full |corpus| x |queries| score matrix. A final per-query window
+    picks the global top-k from the candidates. Per-batch selection
+    uses the same (rounded cosine DESC, vec_id ASC) order as the final
+    ranking, so the union of batch top-ks provably contains the global
+    top-k.
+
+    The ONLY driver materialization is the query set itself —
+    bounded (vec_id < 10 here; a few thousand rows in production) and
+    broadcast once as a numpy matrix, which is exactly the broadcast
+    d44 does JVM-side. The corpus never leaves the executors.
+
+    At 100 TB this shape is bandwidth-bound on the parquet scan with
+    the matmul hiding entirely inside it; the JVM higher-order-function
+    twin (d44) spends ~10x more CPU per row on per-element lambda
+    evaluation. Keep d44 as the pure-SQL oracle twin; route real
+    embedding workloads here or through the ANN paths.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf, "embeddings")
+    q_rows = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, Qn))
+
+    def score(batches):
+        b_qids, b_qn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = np.round(mn @ b_qn.T, 4)  # (batch x nq), rounded like the oracle
+            out_qid, out_vid, out_cos = [], [], []
+            for j in range(len(b_qids)):
+                col = sims[:, j]
+                mask = vids != b_qids[j]
+                cand_v, cand_c = vids[mask], col[mask]
+                # order by (cosine DESC, vec_id ASC) — identical to the
+                # final window, so batch-local top-k is lossless
+                order = np.lexsort((cand_v, -cand_c))[: int(topk)]
+                out_qid.extend([b_qids[j]] * len(order))
+                out_vid.extend(cand_v[order])
+                out_cos.extend(cand_c[order])
+            yield pd.DataFrame({"qid": out_qid, "vec_id": out_vid, "cosine": out_cos})
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="qid long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= topk).drop("rn")

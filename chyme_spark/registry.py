@@ -62,6 +62,7 @@ _X_FRONT = [
     # added mid-round-2, also never checked
     "x_decontaminate", "x_repetition_filter", "x_pii_scrub",
     "x_domain_stats", "x_mixture_sample",
+    "x_sequence_pack", "x_cosine_topk_np",
 ]
 
 _D_NAME = re.compile(r"^d\d\d_")
@@ -82,7 +83,7 @@ def load_all() -> dict[str, Query]:
     SURVEY §2B core surface), then x-extensions with round-1-unchecked ops
     leading, so a driver that walks entries in order proves the core first.
     """
-    from chyme_spark.ops import analytics, asof, binary, llm, pipeline, relational, scalar, streaming, subqueries, udfs, windows  # noqa: F401
+    from chyme_spark.ops import analytics, asof, binary, llm, pipeline, relational, scalar, streaming, subqueries, training, udfs, windows  # noqa: F401
 
     ordered = dict(sorted(REGISTRY.items(), key=lambda kv: _order_key(kv[0])))
     REGISTRY.clear()

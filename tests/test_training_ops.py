@@ -1,0 +1,45 @@
+"""Semantic tests for the training-data assembly ops (ops/training.py)."""
+
+from __future__ import annotations
+
+from chyme_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_np_cosine_equals_jvm_cosine(spark, sf_dir):
+    """The numpy matmul path and the JVM higher-order-function path are
+    result-identical (same rounding, same tie-break) — physical strategy
+    must never change the answer."""
+    jvm = REGISTRY["d44_cosine_topk"].fn(spark, sf_dir)
+    np_ = REGISTRY["x_cosine_topk_np"].fn(spark, sf_dir)
+    jvm_rows = {(r["qid"], r["vec_id"], r["cosine"]) for r in jvm.collect()}
+    np_rows = {(r["qid"], r["vec_id"], r["cosine"]) for r in np_.collect()}
+    assert jvm_rows == np_rows
+
+
+def test_sequence_pack_offsets_contiguous(spark, sf_dir):
+    """Within each group, offsets are the exact running sum of token
+    counts (no gaps, no overlaps) and every doc appears exactly once."""
+    df = REGISTRY["x_sequence_pack"].fn(spark, sf_dir)
+    rows = sorted(
+        ((r["grp"], r["doc_id"], r["n_tokens"], r["off"], r["pack_seq"]) for r in df.collect())
+    )
+    n_docs = df.count()
+    assert len({(g, d) for g, d, *_ in rows}) == n_docs
+    expected_off: dict[int, int] = {}
+    for grp, _doc, n_tok, off, pack_seq in rows:
+        assert off == expected_off.get(grp, 0), (grp, _doc)
+        assert pack_seq == off // 2048
+        expected_off[grp] = off + n_tok
+
+
+def test_sequence_pack_group_parallelism(spark, sf_dir):
+    """Packing must not collapse to a single global stream — the window
+    partitions by the hash group (scale contract)."""
+    df = REGISTRY["x_sequence_pack"].fn(spark, sf_dir)
+    n_groups = df.select("grp").distinct().count()
+    assert n_groups > 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # a global-order window would show an Exchange SinglePartition
+    assert "SinglePartition" not in plan
