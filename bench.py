@@ -42,6 +42,7 @@ HEADLINE = [
     "d42_exact_dedup",
     "d43_minhash_lsh",
     "d44_cosine_topk",
+    "x_cosine_topk_np",
     "d45_token_counts",
     "d50_pipeline_flagship",
 ]

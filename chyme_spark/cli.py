@@ -4,6 +4,7 @@
     chyme-spark tasker --catalog DIR --ledger DIR --tasks DIR
     chyme-spark worker --tasks DIR --ledger DIR --quarantine DIR
     chyme-spark query <name> [--sf DIR] [--show N]
+    chyme-spark sql "SELECT ..." [--sf DIR] [--table NAME=PATH] [--explain]
     chyme-spark ls-queries
 
 The reference split these into three long-running services wired by
@@ -272,6 +273,28 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc SQL over the registered tables (the interactive query
+    surface the reference never had — its only read path was the
+    worker's queue drain, ref ``cmd/worker.go:117-127``)."""
+    from chyme_spark.session import register_views
+
+    spark = get_spark("chyme_sql")
+    register_views(spark, args.sf)
+    for extra in args.table or []:
+        name, _, path = extra.partition("=")
+        if not path:
+            print(f"error: --table wants NAME=PATH, got {extra!r}", file=sys.stderr)
+            return 2
+        spark.read.parquet(path).createOrReplaceTempView(name)
+    df = spark.sql(args.statement)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.show, truncate=False)
+    print(f"{df.count()} rows")
+    return 0
+
+
 def cmd_ls(args) -> int:
     from chyme_spark.registry import load_all
 
@@ -348,6 +371,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sf", default="/root/testdata/sf0.01")
     p.add_argument("--show", type=int, default=20)
     p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("sql", help="run ad-hoc SQL over the registered tables")
+    p.add_argument("statement")
+    p.add_argument("--sf", default="/root/testdata/sf0.01")
+    p.add_argument("--show", type=int, default=20)
+    p.add_argument("--table", action="append", metavar="NAME=PATH",
+                   help="register an extra parquet dir as a view (repeatable)")
+    p.add_argument("--explain", action="store_true", help="print the physical plan first")
+    p.set_defaults(fn=cmd_sql)
 
     p = sub.add_parser("ls-queries", help="list registered queries")
     p.set_defaults(fn=cmd_ls)

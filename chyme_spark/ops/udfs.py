@@ -31,7 +31,9 @@ from chyme_spark.registry import query
 
 
 @F.udf(T.StringType())
-def _ext_udf(url: str) -> str | None:
+def _ext_udf(url):
+    # no type hints: `str | None` trips pyspark's eval-type inference
+    # into a UserWarning on every import (pyspark/sql/udf.py:134)
     """Row-at-a-time re-implementation of the extension parse (the hook
     analog, ref ``internal/worker/hooks/hooks.go:10-35``)."""
     if url is None:

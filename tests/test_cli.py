@@ -106,3 +106,31 @@ def test_query_verb_runs(spark, capsys):
     rc = cli.main(["query", "d15_count_distinct", "--sf", "/root/testdata/sf0.001", "--show", "3"])
     assert rc == 0
     assert "rows" in capsys.readouterr().out
+
+
+def test_sql_verb_runs(spark, capsys):
+    rc = cli.main(
+        [
+            "sql",
+            "SELECT r_name, count(*) AS n FROM region JOIN nation ON r_regionkey = n_regionkey GROUP BY r_name ORDER BY r_name",
+            "--sf",
+            "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "5 rows" in out
+
+
+def test_sql_verb_extra_table(spark, tmp_path, capsys):
+    p = str(tmp_path / "extra")
+    spark.range(7).write.parquet(p)
+    rc = cli.main(["sql", "SELECT count(*) AS n FROM extra", "--sf", "/root/testdata/sf0.001", "--table", f"extra={p}"])
+    assert rc == 0
+    assert "1 rows" in capsys.readouterr().out
+
+
+def test_sql_verb_bad_table_arg(spark, capsys):
+    rc = cli.main(["sql", "SELECT 1", "--sf", "/root/testdata/sf0.001", "--table", "nopath"])
+    assert rc == 2
+    assert "NAME=PATH" in capsys.readouterr().err
