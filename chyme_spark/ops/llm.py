@@ -1025,6 +1025,74 @@ def x_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_neardup_survivors",
+    # canonical selection: within each near-dup cluster keep the
+    # HIGHEST-QUALITY doc (tie-break min doc_id), not the min-id doc —
+    # the survivor policy a real corpus prep run wants. Quality uses
+    # x_quality_score's exact-integer formula so the rank order is
+    # engine-stable; cluster labels use x_dedup_clusters' recursive-CTE
+    # closure.
+    oracle=f"""
+    WITH RECURSIVE {_NG_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(doc, label) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.doc),
+    labels AS (SELECT doc AS doc_id, min(label) AS cluster_id FROM reach GROUP BY doc),
+    qstats AS (
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS n_tok,
+               len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t IN ('the','a','of','is','and','to','in'))) AS n_stop
+        FROM documents),
+    q AS (
+        SELECT doc_id,
+               CAST(((4 * LEAST(n_tok, 64) * n_tok + 256 * n_uniq
+                      + 128 * LEAST(4 * n_stop, n_tok)) * 10000 + 320 * n_tok)
+                    // (640 * n_tok) AS DOUBLE) / 10000 AS quality
+        FROM qstats)
+    SELECT l.doc_id, l.cluster_id, q.quality,
+           (row_number() OVER (PARTITION BY l.cluster_id
+                               ORDER BY q.quality DESC, l.doc_id) = 1) AS keep
+    FROM labels l JOIN q ON q.doc_id = l.doc_id
+    """,
+    doc="near-dup canonical selection: keep the highest-quality doc per Jaccard cluster (quality-ranked survivor policy)",
+)
+def x_neardup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """The step after clustering that a corpus prep pipeline actually
+    ships: per near-dup cluster, keep ONE doc chosen by quality (length
+    + lexical diversity + stopword ratio), not by id accident.
+
+    Scale shape: cluster labels come from the distributed min-label CC
+    (x_dedup_clusters — per-round scalar to the driver only), quality is
+    a narrow per-row projection, and the survivor pick is one window
+    over cluster_id — a single keyed shuffle on top of the CC output.
+    """
+    labels = x_dedup_clusters(spark, sf).select("doc_id", "cluster_id")
+    q = x_quality_score(spark, sf).select("doc_id", "quality")
+    ranked = labels.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "cluster_id", "quality", (F.col("rn") == 1).alias("keep"))
+    )
+
+
+@query(
     "x_tfidf",
     oracle="""
     WITH tok AS (

@@ -62,7 +62,7 @@ _X_FRONT = [
     # added mid-round-2, also never checked
     "x_decontaminate", "x_repetition_filter", "x_pii_scrub",
     "x_domain_stats", "x_mixture_sample",
-    "x_sequence_pack", "x_cosine_topk_np",
+    "x_sequence_pack", "x_cosine_topk_np", "x_neardup_survivors",
 ]
 
 _D_NAME = re.compile(r"^d\d\d_")

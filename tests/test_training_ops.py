@@ -43,3 +43,16 @@ def test_sequence_pack_group_parallelism(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # a global-order window would show an Exchange SinglePartition
     assert "SinglePartition" not in plan
+
+
+def test_neardup_survivors_one_keep_per_cluster(spark, sf_dir):
+    df = REGISTRY["x_neardup_survivors"].fn(spark, sf_dir)
+    rows = df.collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cluster, members in by_cluster.items():
+        kept = [r for r in members if r["keep"]]
+        assert len(kept) == 1, cluster
+        best = max(members, key=lambda r: (r["quality"], -r["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
