@@ -69,3 +69,68 @@ def x_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         merged.filter((F.col("is_event") == 1) & F.col("asof_orderkey").isNotNull())
         .select("event_id", F.col("k").alias("user_id"), "asof_orderkey")
     )
+
+
+@query(
+    "x_interval_join_bucketed",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id AS iv_user, min(ts) AS lo, min(ts) + INTERVAL 6 HOUR AS hi
+        FROM events WHERE user_id < 50 GROUP BY user_id)
+    SELECT iv.iv_user, count(*) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+           min(e.event_id) AS first_event
+    FROM iv JOIN events e ON e.ts >= iv.lo AND e.ts < iv.hi
+    GROUP BY iv.iv_user
+    """,
+    doc="interval (range) join via hour-bucket explosion: pure range predicate becomes an equi-join on the bucket + residual filter",
+)
+def x_interval_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join without an equi key, distributed as a bucketed
+    equi-join — the second operator Spark lacks natively (it plans a
+    raw ``ts BETWEEN lo AND hi`` join as BroadcastNestedLoopJoin,
+    O(|events| x |intervals|)).
+
+    Shape: each interval [lo, hi) explodes into the hour buckets it
+    covers (bounded: a 6 h interval is <= 7 rows); events carry their
+    single hour bucket; the join is an EQUI-join on the bucket followed
+    by the exact residual range filter. Every (event, interval) match
+    shares at least the event's bucket hour, and duplicates are
+    impossible because each event has exactly ONE bucket — so no
+    distinct pass is needed. Cost scales as |events| + |intervals| x
+    hours-per-interval, shuffled on the bucket key: the plan that
+    survives 100 TB of events. Pick the bucket width ~ the typical
+    interval length (wider buckets = fewer exploded rows but more
+    residual-filter misses per bucket).
+
+    The interval set here (first 6 hours of each user_id < 50) stands
+    in for any campaign/maintenance/session window table.
+    """
+    ev = load_table(spark, sf, "events").select("event_id", "ts", "user_id", "value")
+    iv = (
+        ev.filter(F.col("user_id") < 50)
+        .groupBy(F.col("user_id").alias("iv_user"))
+        .agg(F.min("ts").alias("lo"))
+        .withColumn("hi", F.col("lo") + F.expr("INTERVAL 6 HOURS"))
+    )
+    buckets = iv.select(
+        "iv_user",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("lo")),
+                F.date_trunc("hour", F.col("hi")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bkt"),
+    )
+    evb = ev.withColumn("bkt", F.date_trunc("hour", F.col("ts")))
+    joined = evb.join(buckets, "bkt").filter(
+        (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi"))
+    )
+    return joined.groupBy("iv_user").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("sum_value"),
+        F.min("event_id").alias("first_event"),
+    )

@@ -56,3 +56,34 @@ def test_neardup_survivors_one_keep_per_cluster(spark, sf_dir):
         assert len(kept) == 1, cluster
         best = max(members, key=lambda r: (r["quality"], -r["doc_id"]))
         assert kept[0]["doc_id"] == best["doc_id"]
+
+
+def test_interval_join_bucketed_no_nested_loop(spark, sf_dir):
+    """The bucketed range join must plan as an equi-join (the point),
+    and must agree exactly with the naive nested-loop formulation."""
+    df = REGISTRY["x_interval_join_bucketed"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    from pyspark.sql import functions as F
+    from chyme_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    iv = (
+        ev.filter(F.col("user_id") < 50)
+        .groupBy(F.col("user_id").alias("iv_user"))
+        .agg(F.min("ts").alias("lo"))
+        .withColumn("hi", F.col("lo") + F.expr("INTERVAL 6 HOURS"))
+    )
+    naive = (
+        ev.join(iv, (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi")))
+        .groupBy("iv_user")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("sum_value"),
+            F.min("event_id").alias("first_event"),
+        )
+    )
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want
