@@ -183,3 +183,117 @@ def x_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         F.upper("header_hex").alias("header_hex_upper"),
         "decoded",
     )
+
+
+# ---------------------------------------------------------------------------
+# frame sampling + resize (the transcode-analog payload transforms)
+# ---------------------------------------------------------------------------
+
+_FRAME_BYTES = 16  # stand-in frame size; a real decoder yields actual frames
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampler: slice the payload into fixed-size
+    frames, keep every ``_FRAME_STRIDE``-th. With a real codec the
+    slicing becomes decoder.read_frame(); batch shape, fan-out schema,
+    and determinism are what this plumbing pins down."""
+    for pdf in batches:
+        doc_ids, idxs, lens, md5s = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_frames = 0 if not b else (len(b) - 1) // _FRAME_BYTES + 1
+            for idx in range(0, n_frames, _FRAME_STRIDE):
+                fr = b[idx * _FRAME_BYTES : (idx + 1) * _FRAME_BYTES]
+                doc_ids.append(doc_id)
+                idxs.append(idx)
+                lens.append(len(fr))
+                md5s.append(hashlib.md5(fr).hexdigest())
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "frame_idx": idxs, "frame_len": lens, "frame_md5": md5s}
+        )
+
+
+@query(
+    "x_frame_sample",
+    oracle=f"""
+    WITH fr AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, (strlen(text) - 1) // {_FRAME_BYTES})) AS frame_idx
+        FROM documents WHERE strlen(text) > 0),
+    s AS (
+        SELECT doc_id, frame_idx,
+               substr(text, 1 + frame_idx * {_FRAME_BYTES}, {_FRAME_BYTES}) AS frame
+        FROM fr WHERE frame_idx % {_FRAME_STRIDE} = 0)
+    SELECT doc_id, frame_idx,
+           strlen(frame) AS frame_len,
+           md5(frame) AS frame_md5
+    FROM s
+    """,
+    doc="multimodal frame sampling: payload -> fixed-size frames -> keep every k-th, Arrow-batched fan-out (1 blob row -> N frame rows)",
+)
+def x_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sample plumbing (video keyframe extraction analog, ref the
+    ffmpeg keyint payload ``images/mov/process_mov.sh:3-8``): a blob row
+    fans out to one row per sampled frame. The oracle recomputes every
+    frame byte-for-byte from the source text, so the Arrow path is
+    proven to carry exact content through the 1->N explosion."""
+    return media_table(spark, sf).select("doc_id", "payload").mapInPandas(
+        _frame_sample, FRAME_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("in_len", T.LongType()),
+        T.StructField("out_len", T.LongType()),
+        T.StructField("out_md5", T.StringType()),
+    ]
+)
+
+
+def _resize_half(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic 2:1 downsample (every 2nd byte) — the stand-in for
+    an image resize kernel; swap the slice for PIL.Image.resize when the
+    cluster image carries codecs."""
+    for pdf in batches:
+        out_payload = pdf["payload"].map(lambda b: bytes(b)[::2])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "in_len": pdf["payload"].map(len).astype("int64"),
+                "out_len": out_payload.map(len).astype("int64"),
+                "out_md5": out_payload.map(lambda b: hashlib.md5(b).hexdigest()),
+            }
+        )
+
+
+@query(
+    "x_media_resize",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, strlen(text) AS in_len,
+               array_to_string(list_transform(generate_series(1, strlen(text), 2),
+                               i -> substr(text, i, 1)), '') AS resized
+        FROM documents)
+    SELECT doc_id, in_len,
+           strlen(resized) AS out_len,
+           md5(resized) AS out_md5
+    FROM r
+    """,
+    doc="multimodal resize plumbing: deterministic 2:1 payload downsample through Arrow batches (image-resize kernel analog)",
+)
+def x_media_resize(spark: SparkSession, sf: str) -> DataFrame:
+    return media_table(spark, sf).select("doc_id", "payload").mapInPandas(
+        _resize_half, RESIZE_SCHEMA
+    )

@@ -63,7 +63,7 @@ _X_FRONT = [
     "x_decontaminate", "x_repetition_filter", "x_pii_scrub",
     "x_domain_stats", "x_mixture_sample",
     "x_sequence_pack", "x_cosine_topk_np", "x_neardup_survivors",
-    "x_interval_join_bucketed",
+    "x_interval_join_bucketed", "x_frame_sample", "x_media_resize",
 ]
 
 _D_NAME = re.compile(r"^d\d\d_")
