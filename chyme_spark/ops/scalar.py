@@ -417,6 +417,71 @@ def x_percentiles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_approx_quantiles",
+    oracle=None,  # rows-only: GK-sketch results are implementation-defined;
+    # the accuracy contract vs exact percentiles is pinned in
+    # tests/test_training_ops.py instead
+    doc="approx quantiles via mergeable GK sketch (approx_percentile): the single-pass scale path exact percentile cannot take",
+)
+def x_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based quantiles — the 100 TB twin of x_percentiles.
+
+    Exact ``percentile`` materializes every group value (sort or
+    full-list aggregation: memory scales with group size, unusable on a
+    billion-row group). ``approx_percentile`` keeps a bounded
+    Greenwald-Khanna sketch per partition and MERGES them — one pass,
+    O(1/accuracy) state per group regardless of corpus size. accuracy
+    10000 bounds rank error at 1/10000 of the group.
+    """
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("p90"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "x_skew_salted_join",
+    # correctness of the JOIN-salting pattern: replicate the small side
+    # over every salt, salt the big side's rows, equi-join on
+    # (key, salt) — result is row-identical to the plain join.
+    oracle="""
+    SELECT e.event_type, n.n_name,
+           count(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events e JOIN nation n ON (e.user_id % 25) = n.n_nationkey
+    GROUP BY e.event_type, n.n_name
+    """,
+    doc="skew-mitigation join salting: small side replicated per salt, big side salted, equi-join on (key, salt); hash-identical to the plain join",
+)
+def x_skew_salted_join(spark: SparkSession, sf: str, n_salts: int = 8) -> DataFrame:
+    """Hot-key join without AQE: when one join key owns a huge share of
+    the big side (the power-law reality of web corpora), a plain hash
+    join sends the whole hot key to one reducer. Salting splits each
+    big-side key across ``n_salts`` reducers and replicates the small
+    side ``n_salts``x — bounded, because the replicated side is the
+    small one. AQE's skew-join split does this adaptively for sort-merge
+    joins; the explicit form works for any join and any engine, and is
+    the shape to reach for when a stage graph shows one straggling task.
+    """
+    ev = load_table(spark, sf, "events").withColumn("nkey", F.col("user_id") % 25)
+    nat = load_table(spark, sf, "nation")
+    salted_big = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).cast("int"))
+    salted_small = nat.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = salted_big.join(
+        salted_small, (F.col("nkey") == F.col("n_nationkey")) & (salted_big.salt == salted_small.salt)
+    )
+    return joined.groupBy("event_type", "n_name").agg(
+        F.count("*").alias("n_rows"),
+        money(F.sum(dec("value"))).alias("sum_value"),
+    )
+
+
+@query(
     "x_stats_moments",
     # stddev/variance built-ins accumulate doubles in partition order —
     # nondeterministic across engines. Compute the moments from exact

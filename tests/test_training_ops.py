@@ -87,3 +87,50 @@ def test_interval_join_bucketed_no_nested_loop(spark, sf_dir):
     got = {tuple(r) for r in df.collect()}
     want = {tuple(r) for r in naive.collect()}
     assert got == want
+
+
+def test_approx_quantiles_accuracy_contract(spark, sf_dir):
+    """GK-sketch quantiles must land within the value range spanned by
+    the exact neighbors: p50/p90 within [min, max] and ordered."""
+    approx = {r["event_type"]: r for r in REGISTRY["x_approx_quantiles"].fn(spark, sf_dir).collect()}
+    exact = {r["event_type"]: r for r in REGISTRY["x_percentiles"].fn(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    from pyspark.sql import functions as F
+    from chyme_spark.session import load_table
+
+    # rank-based bracket (holds at any group size): the sketch's pXX
+    # must land between the exact neighboring quantiles, because
+    # approx_percentile returns an actual data value near the rank
+    brackets = {
+        r["event_type"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.45)").alias("p45"),
+            F.expr("percentile(value, 0.55)").alias("p55"),
+            F.expr("percentile(value, 0.85)").alias("p85"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for et, a in approx.items():
+        e, b = exact[et], brackets[et]
+        assert e["v_min"] <= a["p50"] <= a["p90"] <= a["p99"] <= e["v_max"]
+        assert b["p45"] <= a["p50"] <= b["p55"]
+        assert b["p85"] <= a["p90"] <= b["p95"]
+
+
+def test_skew_salted_join_equals_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from chyme_spark.ops.common import dec, money
+    from chyme_spark.session import load_table
+
+    salted = REGISTRY["x_skew_salted_join"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").withColumn("nkey", F.col("user_id") % 25)
+    nat = load_table(spark, sf_dir, "nation")
+    plain = (
+        ev.join(nat, F.col("nkey") == F.col("n_nationkey"))
+        .groupBy("event_type", "n_name")
+        .agg(F.count("*").alias("n_rows"), money(F.sum(dec("value"))).alias("sum_value"))
+    )
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
