@@ -80,6 +80,105 @@ def d28_url_parse(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_url_canonicalize",
+    # messy-URL fixture built deterministically from doc_id on BOTH
+    # sides, then canonicalized: lowercase scheme+host, strip fragment,
+    # strip utm_* tracking params (fixing the separator left behind),
+    # strip trailing slash. DuckDB regexp_replace needs the explicit
+    # 'g' flag to match Spark's always-global behavior, and uses \\1
+    # backrefs where Spark uses $1.
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               concat('HTTP://', CASE WHEN doc_id % 2 = 0 THEN 'Example.COM' ELSE 'example.com' END,
+                      '/path/', CAST(doc_id % 40 AS VARCHAR),
+                      CASE CAST(doc_id % 3 AS INT)
+                           WHEN 0 THEN concat('?utm_source=feed&utm_campaign=x&id=', CAST(doc_id % 7 AS VARCHAR))
+                           WHEN 1 THEN '#frag'
+                           ELSE '/' END) AS url
+        FROM documents),
+    c AS (
+        SELECT doc_id, url,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(url, '#.*$', '', 'g'),
+                     '[?&]utm_[^&]*', '', 'g'),
+                   '^([^?]*)&', '\\1?', 'g'),
+                 '/$', '', 'g') AS stripped
+        FROM raw)
+    SELECT doc_id, url,
+           concat(lower(regexp_extract(stripped, '^([^/]+//[^/]+)', 1)),
+                  regexp_extract(stripped, '^[^/]+//[^/]+(.*)$', 1)) AS url_canon
+    FROM c
+    """,
+    doc="URL canonicalization for web-corpus dedup: lowercase authority, strip fragments/tracking params/trailing slash (all-JVM regex)",
+)
+def x_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """The step BEFORE url-level dedup on a crawl: near-identical URLs
+    (case-variant hosts, tracking params, fragments) must collapse to
+    one canonical key or content dedup does the work 10x over. Pure
+    regexp_replace chain — whole-stage codegen, no Python."""
+    docs = load_table(spark, sf, "documents")
+    mess = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("?utm_source=feed&utm_campaign=x&id="), (F.col("doc_id") % 7).cast("string")))
+        .when(F.col("doc_id") % 3 == 1, F.lit("#frag"))
+        .otherwise(F.lit("/"))
+    )
+    host = F.when(F.col("doc_id") % 2 == 0, "Example.COM").otherwise("example.com")
+    raw = docs.select(
+        "doc_id",
+        F.concat(F.lit("HTTP://"), host, F.lit("/path/"), (F.col("doc_id") % 40).cast("string"), mess).alias("url"),
+    )
+    stripped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(F.col("url"), r"#.*$", ""), r"[?&]utm_[^&]*", ""),
+            r"^([^?]*)&",
+            "$1?",
+        ),
+        r"/$",
+        "",
+    )
+    c = raw.withColumn("stripped", stripped)
+    return c.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.lower(F.regexp_extract("stripped", r"^([^/]+//[^/]+)", 1)),
+            F.regexp_extract("stripped", r"^[^/]+//[^/]+(.*)$", 1),
+        ).alias("url_canon"),
+    )
+
+
+@query(
+    "x_text_normalize",
+    # explicit [ \t\n\r] class (not \s): Java's \s and RE2's \s disagree
+    # on \x0B, and the oracle hash is byte-exact
+    oracle="""
+    SELECT doc_id,
+           strlen(text) AS n_chars_raw,
+           strlen(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS n_chars_norm,
+           md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS norm_md5
+    FROM documents
+    """,
+    doc="text normalization: lowercase + whitespace-run collapse + trim, byte-exact across engines (corpus canonical form)",
+)
+def x_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical text form ahead of hashing/dedup — the cheapest way to
+    make near-identical crawl records collapse into the exact-dedup
+    path instead of burdening MinHash. All-JVM regexp, codegen'd."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), "[ \t\n\r]+", " "))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+@query(
     "d29_hash_fns",
     oracle=f"""
     WITH catalog AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
