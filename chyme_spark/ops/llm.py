@@ -1093,6 +1093,38 @@ def x_neardup_survivors(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_incremental_dedup",
+    # the daily-ingest shape: dedup the NEW batch internally (keep min
+    # doc_id per content hash), then anti-join against the historical
+    # corpus's hash set — new rows never reshuffle old data, old data
+    # contributes only its compact hash column.
+    oracle="""
+    WITH old AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
+    batch AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+    SELECT b.doc_id, b.h AS content_hash
+    FROM batch b LEFT JOIN old o ON b.h = o.h
+    WHERE o.h IS NULL
+    """,
+    doc="incremental dedup: new batch self-dedup + anti-join vs historical hash set (the daily-pipeline ledger pattern, ref resource SET internal/core/resource.go:54-108)",
+)
+def x_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """At 100 TB the historical side is petabytes, but this plan only
+    ever moves its HASH column (one narrow projection off the corpus
+    scan — columnar pruning makes that cheap) and the new batch. The
+    anti-join shuffles on the hash: both sides co-partition, no
+    replication. This is the generalization of the reference's Redis
+    SET membership test to content hashes at corpus scale."""
+    docs = load_table(spark, sf, "documents")
+    old_hashes = docs.filter(F.col("doc_id") < 250).select(F.md5("text").alias("content_hash")).distinct()
+    batch = docs.filter(F.col("doc_id") >= 250).select("doc_id", F.md5("text").alias("content_hash"))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    batch_dedup = batch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    return batch_dedup.join(old_hashes, "content_hash", "left_anti").select("doc_id", "content_hash")
+
+
+@query(
     "x_tfidf",
     oracle="""
     WITH tok AS (

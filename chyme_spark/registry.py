@@ -65,7 +65,7 @@ _X_FRONT = [
     "x_sequence_pack", "x_cosine_topk_np", "x_neardup_survivors",
     "x_interval_join_bucketed", "x_frame_sample", "x_media_resize",
     "x_approx_quantiles", "x_skew_salted_join",
-    "x_url_canonicalize", "x_text_normalize",
+    "x_url_canonicalize", "x_text_normalize", "x_incremental_dedup",
 ]
 
 _D_NAME = re.compile(r"^d\d\d_")
