@@ -20,12 +20,28 @@ set, the packing op is pure window algebra).
 
 from __future__ import annotations
 
+import zlib
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window
 
 from chyme_spark.registry import query
 from chyme_spark.session import load_table
+
+
+@F.pandas_udf(DoubleType())
+def _zlib_ratio(text: pd.Series) -> pd.Series:
+    # vectorized over Arrow batches; zlib level 6 output length is
+    # stable for a given input across runs and platforms
+    def one(s: str) -> float:
+        b = s.encode("utf-8")
+        return round(len(zlib.compress(b, 6)) / len(b), 4) if b else 1.0
+
+    return text.map(one)
 
 _PACK_BUDGET = 2048  # tokens per training sequence
 _PACK_GROUPS = 16  # parallel packing streams
@@ -86,6 +102,32 @@ def x_sequence_pack(
     off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off")
     return t.select("doc_id", "grp", "n_tokens", off).withColumn(
         "pack_seq", F.floor(F.col("off") / float(budget)).cast("bigint")
+    )
+
+
+@query(
+    "x_compression_ratio",
+    oracle=None,  # rows-only: zlib byte counts are library/level specific;
+    # the ordering contract (repetitive text compresses further) is
+    # pinned in tests/test_training_ops.py
+    doc="compression-ratio quality signal: zlib deflate ratio per doc via Arrow-batched pandas_udf (gibberish/boilerplate detector)",
+)
+def x_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Low-entropy detector: heavily repetitive/boilerplate text
+    compresses far below ~0.4, random gibberish sits near 1.0, natural
+    prose in between — a one-pass quality feature production corpus
+    filters cut on (complementing x_repetition_filter's exact
+    dup-n-gram rule).
+
+    Python is unavoidable (no JVM-side deflate expression), so it runs
+    as a vectorized pandas_udf over Arrow batches — per-batch C calls
+    into zlib, no per-row serde.
+    """
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        _zlib_ratio("text").alias("compression_ratio"),
     )
 
 

@@ -66,6 +66,7 @@ _X_FRONT = [
     "x_interval_join_bucketed", "x_frame_sample", "x_media_resize",
     "x_approx_quantiles", "x_skew_salted_join",
     "x_url_canonicalize", "x_text_normalize", "x_incremental_dedup",
+    "x_compression_ratio",
 ]
 
 _D_NAME = re.compile(r"^d\d\d_")

@@ -134,3 +134,20 @@ def test_skew_salted_join_equals_plain_join(spark, sf_dir):
         .agg(F.count("*").alias("n_rows"), money(F.sum(dec("value"))).alias("sum_value"))
     )
     assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_compression_ratio_ordering_contract(spark, sf_dir):
+    """Repetitive text must compress further than diverse text, and the
+    ratio must be deterministic across runs."""
+    import zlib
+
+    df = REGISTRY["x_compression_ratio"].fn(spark, sf_dir)
+    rows = {r["doc_id"]: r["compression_ratio"] for r in df.collect()}
+    rows2 = {r["doc_id"]: r["compression_ratio"] for r in df.collect()}
+    assert rows == rows2  # deterministic
+    assert all(0.0 < v <= 1.5 for v in rows.values())
+
+    rep_text, div_text = "spam " * 200, " ".join(f"w{i}" for i in range(200))
+    rep = len(zlib.compress(rep_text.encode(), 6)) / len(rep_text)
+    div = len(zlib.compress(div_text.encode(), 6)) / len(div_text)
+    assert rep < div  # the signal the filter cuts on
