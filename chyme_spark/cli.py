@@ -237,7 +237,13 @@ def cmd_compact(args) -> int:
     n_before = len(df.inputFiles())
     n_rows = df.count()
     tmp = table.rstrip("/") + ".compact.tmp"
-    df.coalesce(args.target_files).write.mode("overwrite").parquet(tmp)
+    if getattr(args, "zorder", None):
+        from chyme_spark.layout import zorder_frame
+
+        cols = [c.strip() for c in args.zorder.split(",") if c.strip()]
+        zorder_frame(df, cols, args.target_files).write.mode("overwrite").parquet(tmp)
+    else:
+        df.coalesce(args.target_files).write.mode("overwrite").parquet(tmp)
     # verify row count before swapping
     if spark.read.parquet(tmp).count() != n_rows:
         print("error: compacted row count mismatch; leaving original untouched", file=sys.stderr)
@@ -364,6 +370,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact", help="rewrite a parquet table into fewer files")
     p.add_argument("--table", required=True)
     p.add_argument("--target-files", type=int, default=1)
+    p.add_argument("--zorder", metavar="C1,C2",
+                   help="cluster the rewrite by the z-order of these numeric "
+                        "columns (multi-column min/max pruning)")
     p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("query", help="run a registered query")

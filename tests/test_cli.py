@@ -134,3 +134,36 @@ def test_sql_verb_bad_table_arg(spark, capsys):
     rc = cli.main(["sql", "SELECT 1", "--sf", "/root/testdata/sf0.001", "--table", "nopath"])
     assert rc == 2
     assert "NAME=PATH" in capsys.readouterr().err
+
+
+def test_compact_zorder_prunes_both_columns(spark, tmp_path):
+    """Z-ordered rewrite: every output file must cover a strict subset
+    of BOTH clustered columns' ranges (a plain single-column sort only
+    narrows one; an unsorted layout narrows neither)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "zt")
+    # two independent uniform dimensions, deterministic
+    spark.range(20000).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64("id"), 10000) / 10000.0).alias("a"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), 10000) / 10000.0).alias("b"),
+    ).repartition(8).write.parquet(t)
+    assert cli.main(["compact", "--table", t, "--target-files", "4", "--zorder", "a,b"]) == 0
+
+    files = spark.read.parquet(t).inputFiles()
+    assert len(files) == 4
+    for colname in ("a", "b"):
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(f.removeprefix("file:")).metadata
+            idx = md.schema.names.index(colname)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        # each z-ordered file covers ~half of each dimension at 4 files;
+        # 0.75 leaves slack for quantile-estimation error
+        assert sum(spans) / len(spans) < 0.75, (colname, spans)
+    # rows survived the rewrite
+    assert spark.read.parquet(t).count() == 20000
