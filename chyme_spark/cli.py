@@ -265,6 +265,50 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Per-column table profile: rows, null count, approx distinct,
+    min/max — the data-quality snapshot a pipeline checks before and
+    after a run. One aggregate pass (all columns in a single job), so
+    cost is one table scan regardless of column count."""
+    spark = get_spark("chyme_profile")
+    df = spark.read.parquet(args.table)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in df.columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c).alias(f"{c}__distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    n = row.pop("__rows")
+    print(f"rows: {n}")
+    print(f"{'column':24s} {'nulls':>8s} {'~distinct':>10s}  min / max")
+    for c in df.columns:
+        print(
+            f"{c:24s} {row[f'{c}__nulls']:>8} {row[f'{c}__distinct']:>10}  "
+            f"{row[f'{c}__min']} / {row[f'{c}__max']}"
+        )
+    return 0
+
+
+def cmd_convert(args) -> int:
+    """Format conversion (parquet <-> orc/json/csv): the interchange
+    path of the load/store surface (sources.py)."""
+    from chyme_spark.sources import read_table, write_table
+
+    spark = get_spark("chyme_convert")
+    try:
+        df = read_table(spark, args.src, fmt=args.src_format)
+        write_table(df, args.dst, fmt=args.dst_format)
+    except NotImplementedError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    n = read_table(spark, args.dst, fmt=args.dst_format).count()
+    print(f"wrote {n} rows to {args.dst} as {args.dst_format}")
+    return 0
+
+
 def cmd_query(args) -> int:
     from chyme_spark.registry import load_all
 
@@ -380,6 +424,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sf", default="/root/testdata/sf0.01")
     p.add_argument("--show", type=int, default=20)
     p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("profile", help="per-column stats for a parquet table")
+    p.add_argument("--table", required=True)
+    p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser("convert", help="convert a table between formats")
+    p.add_argument("--src", required=True)
+    p.add_argument("--dst", required=True)
+    p.add_argument("--src-format", default="parquet")
+    p.add_argument("--dst-format", default="orc")
+    p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("sql", help="run ad-hoc SQL over the registered tables")
     p.add_argument("statement")

@@ -167,3 +167,20 @@ def test_compact_zorder_prunes_both_columns(spark, tmp_path):
         assert sum(spans) / len(spans) < 0.75, (colname, spans)
     # rows survived the rewrite
     assert spark.read.parquet(t).count() == 20000
+
+
+def test_profile_verb(spark, capsys):
+    rc = cli.main(["profile", "--table", "/root/testdata/sf0.001/nation.parquet"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "rows: 25" in out and "n_nationkey" in out
+
+
+def test_convert_verb_roundtrip(spark, tmp_path, capsys):
+    src = "/root/testdata/sf0.001/region.parquet"
+    dst = str(tmp_path / "region_orc")
+    rc = cli.main(["convert", "--src", src, "--dst", dst, "--dst-format", "orc"])
+    assert rc == 0
+    assert spark.read.orc(dst).count() == 5
+    rc2 = cli.main(["convert", "--src", src, "--dst", str(tmp_path / "x"), "--dst-format", "delta"])
+    assert rc2 == 2  # gated format -> clean error, not a stacktrace
