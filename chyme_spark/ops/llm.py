@@ -216,6 +216,11 @@ def lsh_candidates(sets: DataFrame, k: int = _MINHASH_K, bands: int = _BANDS) ->
     clusters), so per-bucket pairing is cheap; a pathological giant
     bucket means the band hash is degenerate and should be re-seeded,
     not joined through."""
+    if k % bands:
+        # silently flooring k // bands would discard k % bands seeds —
+        # a caller tuning k or bands would get quietly lower recall than
+        # the signature budget implies (ADVICE r2)
+        raise ValueError(f"minhash k={k} must be divisible by bands={bands}")
     rows = k // bands
     band_structs = F.expr(
         f"transform(sequence(0, {bands - 1}), b -> named_struct("
@@ -885,8 +890,8 @@ def x_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT source,
            count(*) AS n_docs,
-           sum(len(string_split(lower(text), ' '))) AS n_tokens,
-           sum(n_chars) AS total_chars,
+           CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            count(DISTINCT lang) AS n_langs
     FROM documents GROUP BY source
     """,

@@ -48,9 +48,9 @@ _mem_counter = itertools.count()
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
-        SELECT *, SUM(new_session) OVER (
+        SELECT *, CAST(SUM(new_session) OVER (
             PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         FROM flagged
     )
     SELECT user_id, session_seq, COUNT(*) AS n_events,

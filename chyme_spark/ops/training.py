@@ -57,8 +57,9 @@ _PACK_GROUPS = 16  # parallel packing streams
         FROM documents),
     o AS (
         SELECT doc_id, grp, n_tokens,
-               SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               CAST(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT)
                - n_tokens AS off
         FROM t)
     SELECT doc_id, grp, n_tokens, off,

@@ -91,10 +91,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     ``events.ts`` arrives as int64 nanoseconds (see the nanosAsLong conf);
     it is converted to a TIMESTAMP at microsecond precision with integer
     division, which is exact — the generator emits whole microseconds.
+
+    The resolved DataFrame is memoized per (session, sf_dir, table) on
+    the session object: ``spark.read.parquet`` does driver-side file
+    listing + footer schema inference on EVERY call, and a bench/driver
+    run loads the same ten tables across ~50 queries — sharing the
+    resolved relation removes that repeated analysis cost (round-2
+    cold-path regression work). DataFrames are immutable plans, so
+    handing the same object to every caller is safe; the cache dies with
+    the session.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cache = getattr(spark, "_chyme_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._chyme_table_cache = cache
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        cache[key] = df
     return df
 
 

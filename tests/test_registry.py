@@ -1,0 +1,56 @@
+"""Registry-order regression: the grading driver checks exactly the FIRST
+50 entries of ``load_all()`` per round, so the window must be deliberate.
+
+Round-1 cost: 22 core operators silently missed a round of verification
+because x-ops registered ahead of them.  This test pins the round-3
+window — two red-row fixes first, then every never-checked query, then
+green backfill — so a registration-order change can't silently push a
+query out of the checked set again.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from chyme_spark.registry import _FRONT_50, load_all
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_front_window_is_exactly_front_50():
+    names = list(load_all())
+    assert len(names) >= 50
+    assert names[:50] == _FRONT_50
+    assert len(_FRONT_50) == len(set(_FRONT_50)) == 50
+
+
+def test_front_window_covers_all_unchecked_and_red_rows():
+    """Every registered query that lacks a green CORRECTNESS row across
+    recorded rounds must sit inside the checked window."""
+    names = set(load_all())
+    green: set[str] = set()
+    checked: set[str] = set()
+    for path in sorted(os.listdir(REPO)):
+        if not re.fullmatch(r"CORRECTNESS_r\d+\.json", path):
+            continue
+        rows = json.load(open(os.path.join(REPO, path)))
+        checked |= set(rows)
+        for name, row in rows.items():
+            ok = (row.get("hash_match") is True) or (
+                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
+            )
+            if ok:
+                green.add(name)
+            else:
+                green.discard(name)  # a later red row demotes
+    unproven = (names - green) & names
+    missing = sorted(unproven - set(_FRONT_50))
+    assert not missing, f"unproven queries outside the checked window: {missing}"
+
+
+def test_all_d_ids_register():
+    names = list(load_all())
+    d_ids = [n for n in names if re.match(r"^d\d\d_", n)]
+    assert len(d_ids) == 50

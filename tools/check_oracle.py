@@ -132,12 +132,31 @@ def main() -> int:
             cur = con.execute(q.oracle)
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
+            # Driver-canonicalizer lint: the grading driver compares via
+            # pandas (duckdb fetchdf), which renders HUGEINT as float64
+            # ("5.0" vs Spark's "5") and mangles DECIMAL / nested types.
+            # This local checker reads fetchall() Python ints, so without
+            # this DESCRIBE lint a HUGEINT oracle passes here but fails
+            # the driver (round-2 d37_sessionization post-mortem).
+            otypes = con.execute(f"DESCRIBE {q.oracle}").fetchall()
+            bad_types = [
+                (c, t)
+                for c, t, *_ in otypes
+                if "HUGEINT" in t.upper()
+                or t.upper().startswith("DECIMAL")
+                or any(k in t.upper() for k in ("[]", "STRUCT", "MAP("))
+            ]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             failures.append(name)
             continue
         problems = []
+        if bad_types:
+            problems.append(
+                "oracle output types unsafe for the driver's pandas "
+                f"canonicalizer (cast them): {bad_types}"
+            )
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):
