@@ -112,8 +112,12 @@ def list_files_distributed(
 
     top = fs.get_file_info(pafs.FileSelector(base, recursive=False))
     dir_prefixes = [f"{scheme}://{i.path}" for i in top if i.type == pafs.FileType.Directory]
+    def _mtime_ms(info):
+        # some filesystems omit mtimes; FileInfo.mtime_ns is then None
+        return info.mtime_ns // 1_000_000 if info.mtime_ns is not None else None
+
     top_files = [
-        (f"{scheme}://{i.path}", i.size, i.mtime_ns // 1_000_000)
+        (f"{scheme}://{i.path}", i.size, _mtime_ms(i))
         for i in top
         if i.type == pafs.FileType.File
     ]
@@ -132,7 +136,7 @@ def list_files_distributed(
                         continue
                     if max_depth is not None and (i.path.count("/") - base_depth - 1) > max_depth:
                         continue
-                    rows.append((f"{scheme}://{i.path}", i.size, i.mtime_ns // 1_000_000))
+                    rows.append((f"{scheme}://{i.path}", i.size, _mtime_ms(i)))
             yield pd.DataFrame(rows, columns=["url", "size", "mtime"])
 
     prefixes = spark.createDataFrame(

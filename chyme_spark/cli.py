@@ -30,6 +30,15 @@ def _read_or_none(spark, path: str):
         return None
 
 
+def _read_ledger_or_none(spark, path: str):
+    """Ledger read with defensive task_hash dedup: append-mode writers
+    (including a crashed stream batch replayed before its checkpoint
+    committed) may leave duplicate rows; every consumer wants
+    one-row-per-task semantics (ADVICE r2)."""
+    df = _read_or_none(spark, path)
+    return None if df is None else df.dropDuplicates(["task_hash"])
+
+
 def cmd_ingest(args) -> int:
     from chyme_spark.catalog import (
         ingest,
@@ -82,7 +91,7 @@ def cmd_tasker(args) -> int:
 
     spark = get_spark("chyme_tasker")
     catalog = spark.read.parquet(args.catalog)
-    ledger = _read_or_none(spark, args.ledger) or empty_ledger(spark)
+    ledger = _read_ledger_or_none(spark, args.ledger) or empty_ledger(spark)
     templates = with_overrides(
         DEFAULT_TEMPLATES, mirror_base=args.mirror_base, executor=args.executor, cmd=args.cmd
     )
@@ -119,6 +128,15 @@ def _worker_batch(spark, args, todo) -> tuple[int, int]:
     n_ok, n_fail = done.count(), failed.count()
     done.write.mode("append").parquet(args.ledger)
     if n_fail:
+        # idempotent under stream-batch replay (ADVICE r2): a crash
+        # between this append and the stream-checkpoint commit re-runs
+        # the batch; the ledger anti-join already keeps completed tasks
+        # out, but failed tasks re-fail and would duplicate quarantine
+        # rows. Keep exactly one quarantine row per task_hash — the DLQ
+        # records THAT a task failed, not every attempt.
+        existing = _read_or_none(spark, args.quarantine)
+        if existing is not None:
+            failed = failed.join(existing.select("task_hash"), "task_hash", "left_anti")
         failed.write.mode("append").parquet(args.quarantine)
     results.unpersist()
     return n_ok, n_fail
@@ -129,14 +147,19 @@ def _worker_follow(spark, args) -> int:
     Structured Streaming + foreachBatch — true parity with the
     reference's long-poll worker loop (ref internal/worker/service.go:43-66).
 
-    ``Trigger.AvailableNow`` drains everything enqueued so far and
-    exits (the reference's DequeueAll drain, pkg/aws/sqs.go:134-162);
-    re-invoking resumes from the stream checkpoint, so each task FILE
-    is read exactly once across invocations, and the ledger anti-join
-    inside the batch keeps task-level idempotence even if the
-    checkpoint is lost. At scale the same verb runs against a
-    continuously-appended object-store prefix; swap the trigger for
-    processingTime to long-poll for real.
+    Default trigger is ``Trigger.AvailableNow``: drain everything
+    enqueued so far and exit (the reference's DequeueAll drain,
+    pkg/aws/sqs.go:134-162); re-invoking resumes from the stream
+    checkpoint, so each task FILE is read exactly once across
+    invocations, and the ledger anti-join inside the batch keeps
+    task-level idempotence even if the checkpoint is lost.
+
+    ``--follow-interval "20 seconds"`` switches to a perpetual
+    ``processingTime`` long-poll — true parity with the reference's
+    20 s/30 s poll loops (ref internal/worker/service.go:43-66,
+    cmd/tasker.go:85-99): the verb keeps watching the tasks prefix for
+    newly appended files until interrupted (or ``--follow-duration``
+    elapses, for tests and bounded runs).
     """
     from chyme_spark.tasker import empty_ledger
 
@@ -144,23 +167,33 @@ def _worker_follow(spark, args) -> int:
     counts = {"ok": 0, "fail": 0}
 
     def process(batch_df, _batch_id: int) -> None:
-        ledger = _read_or_none(spark, args.ledger) or empty_ledger(spark)
+        ledger = _read_ledger_or_none(spark, args.ledger) or empty_ledger(spark)
         todo = batch_df.join(ledger.select("task_hash"), "task_hash", "left_anti")
         n_ok, n_fail = _worker_batch(spark, args, todo)
         counts["ok"] += n_ok
         counts["fail"] += n_fail
 
     ckpt = args.follow_checkpoint or f"{args.tasks.rstrip('/')}_stream_ckpt"
-    q = (
+    writer = (
         spark.readStream.schema(schema)
         .parquet(args.tasks)
         .writeStream.foreachBatch(process)
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
     )
+    interval = getattr(args, "follow_interval", None)
+    writer = (
+        writer.trigger(processingTime=interval)
+        if interval
+        else writer.trigger(availableNow=True)
+    )
+    q = writer.start()
+    duration = getattr(args, "follow_duration", None)
+    if duration is not None:
+        q.awaitTermination(duration)
+        q.stop()
     q.awaitTermination()
-    print(f"completed {counts['ok']} tasks; quarantined {counts['fail']} (stream drain)")
+    mode = f"long-poll every {interval}" if interval else "stream drain"
+    print(f"completed {counts['ok']} tasks; quarantined {counts['fail']} ({mode})")
     return 0
 
 
@@ -171,7 +204,7 @@ def cmd_worker(args) -> int:
     if getattr(args, "follow", False):
         return _worker_follow(spark, args)
     tasks = spark.read.parquet(args.tasks)
-    ledger = _read_or_none(spark, args.ledger) or empty_ledger(spark)
+    ledger = _read_ledger_or_none(spark, args.ledger) or empty_ledger(spark)
     todo = tasks.join(ledger.select("task_hash"), "task_hash", "left_anti")
     n_ok, n_fail = _worker_batch(spark, args, todo)
     print(f"completed {n_ok} tasks; quarantined {n_fail}")
@@ -210,7 +243,7 @@ def cmd_status(args) -> int:
         n = df.count()
         extra = ""
         if label == "tasks" and "task_hash" in df.columns:
-            ledger = _read_or_none(spark, args.ledger) if args.ledger else None
+            ledger = _read_ledger_or_none(spark, args.ledger) if args.ledger else None
             if ledger is not None:
                 pending = df.join(ledger.select("task_hash"), "task_hash", "left_anti").count()
                 extra = f"  (pending: {pending})"
@@ -385,6 +418,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="consume the tasks table as a stream (drain-and-exit via AvailableNow)")
     p.add_argument("--follow-checkpoint", default=None,
                    help="stream checkpoint dir (default <tasks>_stream_ckpt)")
+    p.add_argument("--follow-interval", default=None, metavar="INTERVAL",
+                   help="with --follow: long-poll trigger, e.g. '20 seconds' "
+                        "(ref worker/tasker poll loops); default drains and exits")
+    p.add_argument("--follow-duration", type=float, default=None, metavar="SEC",
+                   help="with --follow-interval: stop the poll loop after SEC "
+                        "seconds (bounded runs / tests); default: until interrupted")
     p.add_argument("--checkpoint-dir", default=None,
                    help="durable workspace root enabling stage-level resume")
     p.set_defaults(fn=cmd_worker)

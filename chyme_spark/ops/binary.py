@@ -225,6 +225,12 @@ def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @query(
     "x_frame_sample",
+    # NOTE oracle byte semantics: DuckDB substr() slices CHARACTERS
+    # while strlen() counts BYTES and the Spark side slices UTF-8
+    # payload bytes. md5 parity therefore relies on the documents
+    # fixture text being pure ASCII (1 char == 1 byte — true for the
+    # generator, asserted in tests/test_binary_ops.py); a multi-byte
+    # corpus would need blob slicing on the DuckDB side (ADVICE r2).
     oracle=f"""
     WITH fr AS (
         SELECT doc_id, text,
@@ -280,6 +286,9 @@ def _resize_half(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @query(
     "x_media_resize",
+    # NOTE same ASCII assumption as x_frame_sample's oracle: char-wise
+    # substr vs the Spark side's byte-wise slice agree only on 1-byte
+    # characters (fixture text is pure ASCII; see x_frame_sample).
     oracle="""
     WITH r AS (
         SELECT doc_id, strlen(text) AS in_len,

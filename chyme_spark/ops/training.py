@@ -194,7 +194,11 @@ def x_cosine_topk_np(spark: SparkSession, sf: str, topk: int = 3) -> DataFrame:
             vids = pdf["vec_id"].to_numpy(dtype=np.int64)
             m = np.array(list(pdf["embedding"]), dtype=np.float64)
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = np.round(mn @ b_qn.T, 4)  # (batch x nq), rounded like the oracle
+            raw = mn @ b_qn.T  # (batch x nq)
+            # HALF_UP away from zero, matching Spark F.round / DuckDB
+            # ROUND — np.round is half-to-even, which would flip a
+            # .00005 tie in the 4th decimal vs the oracle (ADVICE r2)
+            sims = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
             out_qid, out_vid, out_cos = [], [], []
             for j in range(len(b_qids)):
                 col = sims[:, j]

@@ -145,17 +145,43 @@ class ArrowFsLoader(Loader):
     over the JVM Hadoop FS API deliberately: this loader executes INSIDE
     ``mapInPandas`` on executors, where the Python worker has no py4j
     gateway — pyarrow is import-safe there and its S3 support needs no
-    boto3. Credentials resolve from the standard env/instance-profile
-    chain, same as the reference's SDK config.
+    boto3.
+
+    Credentials (R40 parity, ref Vault->STS bootstrap
+    ``cmd/util.go:21-57``): by default the standard env/instance-profile
+    chain resolves, same as the reference's SDK config. For explicit
+    bootstrap pass ``s3_options`` — a plain dict of
+    ``pyarrow.fs.S3FileSystem`` keyword options, e.g.::
+
+        ArrowFsLoader(s3_options={
+            "access_key": ..., "secret_key": ..., "session_token": ...,
+            "endpoint_override": "https://minio.internal:9000",
+            "region": "us-east-1",
+            # STS assume-role (the reference's Vault->STS temp-creds flow):
+            "role_arn": "arn:aws:iam::123:role/etl",
+            "load_frequency": 900,   # re-assume cadence ~ token TTL
+        })
+
+    The dict is plain strings/numbers, so the loader pickles cleanly
+    into executor-side ``mapInPandas`` closures; each worker constructs
+    its own S3FileSystem (Arrow filesystems are not themselves
+    serialized).
 
     Streamed in 8 MiB chunks: object size never bounds worker memory.
     """
 
     _CHUNK = 8 * 1024 * 1024
 
+    def __init__(self, s3_options: dict | None = None):
+        self.s3_options = dict(s3_options or {})
+
     def _resolve(self, url: str):
         from pyarrow import fs as pafs
 
+        parsed = urlparse(url)
+        if self.s3_options and parsed.scheme in ("s3", "s3a"):
+            fs = pafs.S3FileSystem(**self.s3_options)
+            return fs, f"{parsed.netloc}{parsed.path}".rstrip("/")
         return pafs.FileSystem.from_uri(url)
 
     def download(self, url: str, dest_dir: str) -> int:
@@ -219,6 +245,17 @@ DEFAULT_LOADERS: dict[str, Callable[[], Loader]] = {
     "s3": ArrowFsLoader,
     "hdfs": ArrowFsLoader,
 }
+
+
+def loaders_with_credentials(s3_options: dict) -> dict[str, Callable[[], Loader]]:
+    """DEFAULT_LOADERS with the object-store schemes bound to an explicit
+    credential config (see :class:`ArrowFsLoader`) — the engine-side hook
+    for the reference's credential bootstrap (R40, ref cmd/util.go:21-57).
+    """
+    bound = dict(DEFAULT_LOADERS)
+    for scheme in ("s3", "hdfs"):
+        bound[scheme] = lambda opts=dict(s3_options): ArrowFsLoader(s3_options=opts)
+    return bound
 
 
 # ---------------------------------------------------------------------------

@@ -85,6 +85,48 @@ def get_spark(
     return spark
 
 
+def s3_credentials_conf(
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    session_token: str | None = None,
+    endpoint: str | None = None,
+    role_arn: str | None = None,
+    session_duration_s: int | None = None,
+) -> dict[str, str]:
+    """Spark-side credential bootstrap for s3a:// reads/writes — pass the
+    result as ``get_spark(extra_conf=...)``.
+
+    R40 parity (ref Vault->STS temp creds ``cmd/util.go:21-57``): the
+    reference fetched short-lived STS credentials at boot; on Spark the
+    same flow is hadoop-aws's AssumedRoleCredentialProvider (give
+    ``role_arn`` + TTL), or static/temporary keys threaded straight into
+    ``fs.s3a.*`` conf. Executor-side pyarrow transfers take the matching
+    dict via :func:`chyme_spark.runner.loaders_with_credentials`.
+    """
+    conf: dict[str, str] = {}
+    base = "spark.hadoop.fs.s3a"
+    if access_key:
+        conf[f"{base}.access.key"] = access_key
+    if secret_key:
+        conf[f"{base}.secret.key"] = secret_key
+    if session_token:
+        conf[f"{base}.session.token"] = session_token
+        conf[f"{base}.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+        )
+    if endpoint:
+        conf[f"{base}.endpoint"] = endpoint
+        conf[f"{base}.path.style.access"] = "true"
+    if role_arn:
+        conf[f"{base}.assumed.role.arn"] = role_arn
+        conf[f"{base}.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.auth.AssumedRoleCredentialProvider"
+        )
+        if session_duration_s:
+            conf[f"{base}.assumed.role.session.duration"] = f"{session_duration_s}s"
+    return conf
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table (see TESTDATA.md) as a DataFrame.
 

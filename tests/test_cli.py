@@ -72,6 +72,62 @@ def test_worker_follow_streams_tasks(spark, tmp_path, capsys):
     assert "completed 0 tasks" in capsys.readouterr().out
 
 
+def test_worker_follow_interval_long_poll(spark, tmp_path, capsys):
+    """--follow-interval turns the drain into a perpetual processingTime
+    long-poll (ref worker 20s loop): ONE follow run picks up a second
+    task batch appended while it is already running."""
+    import threading
+    import time
+
+    src = tmp_path / "media"
+    src.mkdir()
+    (src / "a.mov").write_bytes(b"A" * 100)
+    t = tmp_path / "tables"
+    tasker = [
+        "--catalog", f"{t}/catalog", "--ledger", f"{t}/ledger", "--tasks", f"{t}/tasks",
+        "--mirror-base", f"file://{t}/mirror", "--executor", "subprocess",
+        "--cmd", 'for f in "$IN"/*; do wc -c < "$f" > "$OUT/$(basename $f).size"; done',
+    ]
+    assert cli.main(["ingest", str(src), "--filter", "ext/mov", "--catalog", f"{t}/catalog"]) == 0
+    assert cli.main(["tasker"] + tasker) == 0
+
+    def ledger_count() -> int:
+        try:
+            return spark.read.parquet(f"{t}/ledger").count()
+        except Exception:  # noqa: BLE001 — ledger not written yet
+            return 0
+
+    worker = [
+        "worker", "--tasks", f"{t}/tasks", "--ledger", f"{t}/ledger",
+        "--quarantine", f"{t}/quar", "--follow",
+        "--follow-interval", "1 seconds", "--follow-duration", "120",
+    ]
+    rc: dict[str, int] = {}
+    th = threading.Thread(target=lambda: rc.setdefault("rc", cli.main(worker)))
+    th.start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and ledger_count() < 1:
+            time.sleep(0.5)
+        assert ledger_count() == 1
+        # enqueue a second batch WHILE the poll loop is live
+        (src / "b.mov").write_bytes(b"B" * 60)
+        assert cli.main(["ingest", str(src), "--filter", "ext/mov", "--catalog", f"{t}/catalog"]) == 0
+        assert cli.main(["tasker"] + tasker) == 0
+        while time.time() < deadline and ledger_count() < 2:
+            time.sleep(0.5)
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+        th.join(timeout=60)
+    assert not th.is_alive()
+    assert rc.get("rc") == 0
+    assert "long-poll every 1 seconds" in capsys.readouterr().out
+    ledger = spark.read.parquet(f"{t}/ledger")
+    assert ledger.count() == 2
+    assert ledger.select("task_hash").distinct().count() == 2
+
+
 def test_ingest_bad_filter_clean_error(spark, tmp_path, capsys):
     src = tmp_path / "m"
     src.mkdir()

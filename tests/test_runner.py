@@ -123,6 +123,60 @@ def test_arrowfs_loader_roundtrip(tmp_path):
     assert not ld.exists(f"file://{dest}")
 
 
+def test_arrowfs_loader_explicit_credentials(tmp_path):
+    """R40 parity: the loader accepts an explicit credential config
+    (the engine analog of the reference's Vault->STS bootstrap,
+    ref cmd/util.go:21-57) and binds it to s3:// resolution; other
+    schemes are untouched and the configured loader pickles into
+    executor closures."""
+    import pickle
+
+    from chyme_spark.runner import ArrowFsLoader, loaders_with_credentials
+
+    opts = {
+        "access_key": "AKIATEST",
+        "secret_key": "secret",
+        "session_token": "sts-token",
+        "region": "us-east-1",
+        "endpoint_override": "http://127.0.0.1:9",  # never contacted here
+    }
+    ld = ArrowFsLoader(s3_options=opts)
+    fs, path = ld._resolve("s3://bucket/prefix/obj")
+    assert type(fs).__name__ == "S3FileSystem"
+    assert path == "bucket/prefix/obj"
+    # non-s3 schemes ignore the s3 options entirely
+    src = tmp_path / "o"
+    src.mkdir()
+    (src / "a.bin").write_bytes(b"A")
+    out = tmp_path / "l"
+    out.mkdir()
+    assert ld.download(f"file://{src}", str(out)) == 1
+    # executor-shippable: the config (not the filesystem) is what pickles
+    ld2 = pickle.loads(pickle.dumps(ld))
+    assert ld2.s3_options == opts
+    # registry helper binds s3 while leaving file/phony factories alone
+    reg = loaders_with_credentials(opts)
+    assert reg["s3"]().s3_options == opts
+    assert reg["file"] is type(ld) or reg["file"].__name__ == "FileLoader"
+
+
+def test_s3_credentials_conf_mapping():
+    from chyme_spark.session import s3_credentials_conf
+
+    conf = s3_credentials_conf(
+        access_key="AK", secret_key="SK", session_token="TOK",
+        endpoint="https://minio:9000", role_arn="arn:aws:iam::1:role/etl",
+        session_duration_s=900,
+    )
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "AK"
+    assert conf["spark.hadoop.fs.s3a.session.token"] == "TOK"
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "https://minio:9000"
+    assert conf["spark.hadoop.fs.s3a.assumed.role.arn"].endswith("role/etl")
+    assert conf["spark.hadoop.fs.s3a.assumed.role.session.duration"] == "900s"
+    # role assumption wins the provider slot (set last)
+    assert "AssumedRole" in conf["spark.hadoop.fs.s3a.aws.credentials.provider"]
+
+
 def test_worker_via_arrowfs_loader(spark, tmp_path):
     """Full 6-stage machine with ArrowFsLoader as the transfer layer —
     what an s3:// run executes, minus the wire."""

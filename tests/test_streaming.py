@@ -68,13 +68,13 @@ def test_foreach_batch_sink_equals_batch(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, sunk.collect())) == sorted(map(tuple, ev.collect()))
 
 
-def test_stream_static_join_equals_batch(spark, sf_dir):
+def _assert_static_join_equals_batch(spark, sf: str) -> None:
     got = {
         (r.c_mktsegment, r.n_events)
-        for r in REGISTRY["x_stream_static_join"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["x_stream_static_join"].fn(spark, sf).collect()
     }
-    ev = load_table(spark, sf_dir, "events")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ev = load_table(spark, sf, "events")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     want = {
         (r.c_mktsegment, r.n)
         for r in ev.join(cust, ev.user_id == cust.c_custkey)
@@ -85,12 +85,12 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
     assert got == want
 
 
-def test_stream_stream_join_equals_batch(spark, sf_dir):
+def _assert_stream_stream_join_equals_batch(spark, sf: str) -> None:
     got = {
         (r.view_id, r.click_id)
-        for r in REGISTRY["x_stream_stream_join"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["x_stream_stream_join"].fn(spark, sf).collect()
     }
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf, "events")
     views = ev.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("vu"), F.col("event_id").alias("view_id"), F.col("ts").alias("vt")
     )
@@ -107,6 +107,25 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    _assert_static_join_equals_batch(spark, sf_dir)
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    _assert_stream_stream_join_equals_batch(spark, sf_dir)
+
+
+def test_stream_joins_equal_batch_at_sf001_oracle_scale(spark):
+    """The two x_stream_* joins are rows-only in CORRECTNESS forever (no
+    DuckDB streaming oracle), so back that weaker row with the strongest
+    available check: stream == batch at the SAME sf0.01 the driver's
+    oracle gate uses — 60k events, not just the smoke fixture
+    (VERDICT r2 item 7)."""
+    sf001 = "/root/testdata/sf0.01"
+    _assert_static_join_equals_batch(spark, sf001)
+    _assert_stream_stream_join_equals_batch(spark, sf001)
 
 
 def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
