@@ -213,3 +213,104 @@ def x_funnel(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.when(converted_click, 1)).alias("step_click"),
         F.count(F.when(converted_purchase, 1)).alias("step_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 composed analytics: multi-stage TPC-H-shaped queries proving the
+# engine composes joins/aggs/top-k the way a BI workload actually does
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_tpch_q3_shipping",
+    # TPC-H Q3 shape (public spec) adapted to the synthetic schema:
+    # unshipped-revenue per order for one market segment.
+    oracle="""
+    SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: segment-filtered 3-way join, decimal revenue agg, top-10 with unique tiebreak",
+)
+def x_tpch_q3_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the segment-filtered customer dim broadcasts, orders
+    prunes on the date predicate at the scan, lineitem (the fact) is the
+    only shuffled side; the top-10 is a TakeOrderedAndProject, never a
+    global sort."""
+    cust = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(money(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "x_tpch_q5_local_supplier",
+    # TPC-H Q5 shape (public spec): revenue where the supplier is in the
+    # customer's own nation, per nation of one region, one order-year.
+    oracle="""
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way snowflake join with the local-supplier correlation (s_nationkey = c_nationkey), per-nation decimal revenue",
+)
+def x_tpch_q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """The hardest standard join topology in the suite: a snowflake
+    with a cross-dimension correlation (supplier nation == customer
+    nation) that defeats naive star optimizers. 100 TB plan: region,
+    nation, and supplier broadcast; customer x orders co-shuffle on the
+    custkey; lineitem (the fact) shuffles once on orderkey; the
+    correlated nationkey predicate is applied as a post-join filter on
+    broadcast-local columns, adding no exchange."""
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf, "nation")
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(money(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("revenue"))
+    )

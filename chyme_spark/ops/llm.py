@@ -1188,3 +1188,339 @@ def x_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         F.max(F.md5("g")).alias("fp_max"),
         F.count("*").alias("n_shingles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 corpus-hygiene extensions: rule-based quality gates, pre-tokenizer
+# accounting, cross-doc n-gram contamination, BM25 retrieval, Bloom prefilter
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+@query(
+    "x_gopher_rules",
+    # Gopher-style rule gate (Rae et al. 2021 §A1.1, public paper): word
+    # count bounds, mean-word-length band, minimum stopword evidence,
+    # lexical-diversity floor. Ratios are exact-integer divisions done
+    # identically in both engines; every rule is a pure per-row
+    # projection, so the op is shuffle-free and scale-trivial.
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               CAST(list_sum(list_transform(toks, x -> strlen(x))) AS BIGINT) AS n_tok_chars,
+               len(list_filter(toks, x -> list_contains({list(_GOPHER_STOPWORDS)!r}, x))) AS n_stop,
+               len(list_distinct(toks)) AS n_uniq
+        FROM t)
+    SELECT doc_id, n_words,
+           CAST(ROUND(n_tok_chars * 1.0 / n_words, 4) AS DOUBLE) AS mean_word_len,
+           CAST(ROUND(n_uniq * 1.0 / n_words, 4) AS DOUBLE) AS frac_unique,
+           n_stop >= 2 AS has_stopwords,
+           (n_words BETWEEN 20 AND 100000)
+               AND (n_tok_chars * 1.0 / n_words BETWEEN 2 AND 10)
+               AND n_stop >= 2
+               AND (n_uniq * 1.0 / n_words >= 0.05) AS keep
+    FROM s
+    """,
+    doc="Gopher-style rule-based quality gate: word-count band, mean word length, stopword evidence, lexical-diversity floor (corpus pre-filter)",
+)
+def x_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Rule-based corpus gate — the cheap pass that runs BEFORE any
+    model-based scoring in a production pipeline. 100 TB posture:
+    narrow per-row array algebra only (no shuffle, no UDF); the kept
+    subset then feeds the expensive dedup/scoring stages.
+    """
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select("doc_id", _tokens().alias("toks"))
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    s = staged.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.aggregate(
+            F.transform(F.col("toks"), lambda x: F.length(x)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_tok_chars"),
+        F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+    )
+    mean_len = F.col("n_tok_chars") * 1.0 / F.col("n_words")
+    frac_uniq = F.col("n_uniq") * 1.0 / F.col("n_words")
+    return s.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_len, 4).cast("double").alias("mean_word_len"),
+        F.round(frac_uniq, 4).cast("double").alias("frac_unique"),
+        (F.col("n_stop") >= 2).alias("has_stopwords"),
+        (
+            F.col("n_words").between(20, 100000)
+            & mean_len.between(2, 10)
+            & (F.col("n_stop") >= 2)
+            & (frac_uniq >= 0.05)
+        ).alias("keep"),
+    )
+
+
+# GPT-2-style pre-tokenizer, RE2-safe subset (no lookahead — DuckDB's RE2
+# rejects (?!\S)): contractions | space-word | space-number | space-punct
+# run | whitespace run. Identical leftmost non-overlapping scan in Spark
+# (Java regex) and DuckDB (RE2) for this pattern.
+_PRETOK_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+"
+_PRETOK_SQL = _PRETOK_RE.replace("'", "''")  # SQL string-literal escaping
+
+
+@query(
+    "x_bpe_pretokenize",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '{_PRETOK_SQL}') AS pieces
+        FROM documents)
+    SELECT doc_id,
+           len(pieces) AS n_pieces,
+           len(list_filter(pieces, p -> regexp_matches(p, '^ ?[a-z]+$'))) AS n_word_pieces,
+           CAST(list_sum(list_transform(pieces, p -> strlen(p))) AS BIGINT) AS n_bytes,
+           CAST(ROUND(CAST(list_sum(list_transform(pieces, p -> strlen(p))) AS BIGINT) * 1.0
+                      / len(pieces), 4) AS DOUBLE) AS bytes_per_piece
+    FROM t
+    """,
+    doc="BPE pre-tokenizer accounting: GPT-2-style regex split (RE2-safe subset), piece/byte counts and fertility — the token-budget estimator before a real BPE merge pass",
+)
+def x_bpe_pretokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-tokenizer accounting — the first half of BPE tokenization
+    (the regex pre-split that bounds every merge), which is what a
+    token-budget / cost estimate over a raw corpus actually needs.
+    Scale: pure per-row regex + array algebra, no shuffle; the regex is
+    anchored to the RE2-safe subset so engines agree byte-for-byte.
+    """
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(_PRETOK_RE), 0).alias("pieces"),
+    )
+    n_bytes = F.aggregate(
+        F.transform(F.col("pieces"), lambda p: F.length(p)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return staged.select(
+        "doc_id",
+        F.size("pieces").alias("n_pieces"),
+        F.size(
+            F.filter(F.col("pieces"), lambda p: p.rlike(r"^ ?[a-z]+$"))
+        ).alias("n_word_pieces"),
+        n_bytes.alias("n_bytes"),
+        F.round(n_bytes * 1.0 / F.size("pieces"), 4).cast("double").alias("bytes_per_piece"),
+    )
+
+
+@query(
+    "x_duplicate_ngram_fraction",
+    # cross-doc contamination signal (the n-gram inverted-index analog
+    # of Lee et al. 2021 exact-substring dedup, public paper): for every
+    # doc, the fraction of its distinct 5-grams that appear in at least
+    # one OTHER document.
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+        FROM t CROSS JOIN LATERAL unnest(generate_series(1, len(toks) - 4)) AS u(i)
+        WHERE len(toks) >= 5),
+    shared AS (
+        SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+    per_doc AS (
+        SELECT g.doc_id,
+               count(*) AS n_grams,
+               count(s.g) AS n_shared
+        FROM g LEFT JOIN shared s USING (g)
+        GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.n_shared, 0) AS n_shared,
+           CAST(ROUND(COALESCE(p.n_shared * 1.0 / p.n_grams, 0.0), 4) AS DOUBLE) AS dup_frac
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+    doc="cross-doc duplicated 5-gram fraction per doc: inverted-index contamination signal (exact-substring-dedup analog at corpus scale)",
+)
+def x_duplicate_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc contamination score via a 5-gram inverted index.
+
+    100 TB shape: explode distinct grams (narrow), ONE hash shuffle on
+    the gram to count document frequency (AQE splits skewed grams —
+    boilerplate grams are exactly the skewed keys), a semi-join back on
+    the same key (exchange reuse), and one doc-keyed agg. This is the
+    Spark-first analog of suffix-array exact-substring dedup: same
+    signal, linear scans + hash shuffles instead of a global sort.
+    """
+    docs = load_table(spark, sf, "documents")
+    grams = doc_ngrams(spark, sf, n=5)
+    shared = grams.groupBy("g").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
+    per_doc = (
+        grams.join(shared.select("g").withColumn("is_shared", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("is_shared").alias("n_shared"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce(F.col("n_shared") * 1.0 / F.col("n_grams"), F.lit(0.0)), 4
+            ).cast("double").alias("dup_frac"),
+        )
+    )
+
+
+_BM25_TERMS = ("table", "join", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "x_bm25_score",
+    # classic BM25 (Robertson/Spärck Jones, public formula) for a fixed
+    # query over the corpus; per-term contributions are cast to
+    # DECIMAL(18,8) before summing so the 1-3-term sum is exact and
+    # order-insensitive in both engines.
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, tok AS term, count(*) AS tf
+        FROM t CROSS JOIN LATERAL unnest(toks) AS u(tok)
+        WHERE tok IN {_BM25_TERMS!r}
+        GROUP BY doc_id, tok),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                    * tf.tf * ({_BM25_K1} + 1)
+                    / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+                    AS DECIMAL(18,8)) AS term_score
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+    SELECT doc_id, CAST(ROUND(SUM(term_score), 4) AS DOUBLE) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 retrieval scoring for a fixed query over the corpus, top-20 (k1=1.2, b=0.75; decimal-pinned term sum)",
+)
+def x_bm25_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse retrieval twin of the dense d44/x_ann paths.
+
+    100 TB shape: token explode is narrow and pre-filtered to the query
+    terms BEFORE the shuffle (the scan emits |query| rows per doc max);
+    corpus stats (N, avgdl) and per-term document frequencies are tiny
+    aggregates broadcast back; one doc-keyed agg then a global top-k.
+    A real search deployment replaces the fixed term tuple with a
+    broadcast query table — same plan.
+    """
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select("doc_id", _tokens().alias("toks"))
+    dl = staged.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        staged.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                * F.col("tf") * (_BM25_K1 + 1)
+                / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
+            ).cast("decimal(18,8)").alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+_BLOOM_M = 65536  # filter bits
+_BLOOM_K = 4  # hash functions (md5 32-bit slices)
+
+
+@query(
+    "x_bloom_prefilter",
+    # Bloom-filter membership prefilter for incremental dedup: the
+    # historical corpus (even doc_ids) populates a 65536-slot filter via
+    # 4 md5-derived positions; each new doc (odd doc_ids) is a
+    # maybe-duplicate iff ALL its positions are set. md5 slicing makes
+    # the hash family identical across engines.
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, j,
+               ('0x' || substr(md5(text), 1 + 8 * j, 8))::BIGINT % {_BLOOM_M} AS p
+        FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+    hist AS (SELECT DISTINCT p FROM pos WHERE doc_id % 2 = 0),
+    hits AS (
+        SELECT pos.doc_id, count(*) AS n_hits
+        FROM pos JOIN hist USING (p)
+        WHERE pos.doc_id % 2 = 1
+        GROUP BY pos.doc_id)
+    SELECT d.doc_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) = {_BLOOM_K} AS maybe_dup
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 2 = 1
+    """,
+    doc="Bloom-prefilter incremental dedup: historical corpus -> 4x md5-position filter; new docs flagged maybe-dup iff all positions set (map-side prefilter before the exact anti-join)",
+)
+def x_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """The map-side membership prefilter in front of x_incremental_dedup:
+    at 100 TB the historical hash ledger is too big to anti-join every
+    daily batch wholesale, so the batch probes a Bloom filter first and
+    only maybe-duplicates proceed to the exact check.
+
+    Engine shape: the position table here IS the filter (distinct ints,
+    bounded by m=65536 regardless of corpus size), broadcast to the
+    probe side — exactly how the real bitset would ship. False-positive
+    rate is the standard (1 - e^(-kn/m))^k; m scales as a knob.
+    """
+    docs = load_table(spark, sf, "documents")
+    pos_arr = F.expr(
+        f"transform(sequence(0, {_BLOOM_K - 1}), "
+        f"j -> cast(conv(substring(md5(text), 1 + 8 * j, 8), 16, 10) as bigint) % {_BLOOM_M})"
+    )
+    pos = docs.select("doc_id", F.explode(pos_arr).alias("p"))
+    hist = pos.filter(F.col("doc_id") % 2 == 0).select("p").distinct()
+    probes = pos.filter(F.col("doc_id") % 2 == 1)
+    hits = (
+        probes.join(F.broadcast(hist), "p")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) == _BLOOM_K).alias("maybe_dup"),
+        )
+    )

@@ -72,12 +72,14 @@ _FRONT_50 = [
     "x_approx_quantiles", "x_skew_salted_join",
     "x_url_canonicalize", "x_text_normalize", "x_incremental_dedup",
     "x_compression_ratio",
+    # new in round 3 — never checked, go straight into the window
+    "x_gopher_rules", "x_bpe_pretokenize", "x_duplicate_ngram_fraction",
+    "x_bm25_score", "x_bloom_prefilter",
+    "x_tpch_q3_shipping", "x_tpch_q5_local_supplier",
     # backfill: already-green core d-ids re-prove for free
     "d01_parquet_scan", "d02_projection", "d03_filter",
     "d04_regex_ext_filter", "d05_distinct", "d06_keyed_dedup",
-    "d07_inner_join", "d08_broadcast_join", "d09_left_outer_join",
-    "d10_left_semi_join", "d11_left_anti_join", "d12_star_join",
-    "d13_theta_join", "d14_hash_agg_q1",
+    "d07_inner_join",
 ]
 
 _D_NAME = re.compile(r"^d\d\d_")
