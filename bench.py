@@ -50,6 +50,12 @@ HEADLINE = [
     "x_cosine_topk_np",
     "d45_token_counts",
     "d50_pipeline_flagship",
+    # round-3 additions (new shuffle/join-heavy surface; earlier rounds'
+    # totals compare on the shared prefix)
+    "x_duplicate_ngram_fraction",
+    "x_bm25_score",
+    "x_tpch_q5_local_supplier",
+    "x_gopher_rules",
 ]
 
 
