@@ -314,3 +314,51 @@ def x_tpch_q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("n_name")
         .agg(money(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("revenue"))
     )
+
+
+@query(
+    "x_gap_fill",
+    # time-series regularization: per-entity hourly grid between its own
+    # first and last observation, missing buckets filled with 0 — the
+    # resample/gap-fill step before any windowed feature computation.
+    oracle="""
+    WITH b AS (
+        SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h
+        FROM events WHERE user_id < 20),
+    r AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY user_id),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+        FROM r),
+    c AS (SELECT user_id, h, count(*) AS n FROM b GROUP BY user_id, h)
+    SELECT g.user_id,
+           strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(c.n, 0) AS n_events
+    FROM grid g LEFT JOIN c ON g.user_id = c.user_id AND g.h = c.h
+    """,
+    doc="time-series gap fill: per-user dense hourly grid (sequence + explode) left-joined with observed counts, zeros for missing buckets",
+)
+def x_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Resample-to-regular-grid. 100 TB shape: the grid generates from a
+    per-key min/max agg (one small shuffle), the explode is narrow, and
+    the fill join is key-aligned (same (user, hour) hash) — no global
+    calendar table, no cross join. Bounded here to user_id < 20 purely
+    to keep the sf-proportional oracle diff small."""
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 20)
+    b = ev.select("user_id", F.date_trunc("hour", "ts").alias("h"))
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    counts = b.groupBy("user_id", "h").agg(F.count("*").alias("n"))
+    return (
+        grid.join(counts, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )

@@ -643,3 +643,33 @@ def d36_pivot(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("F"), F.lit(0)).alias("cnt_F"),
         F.coalesce(F.col("P"), F.lit(0)).alias("cnt_P"),
     )
+
+
+@query(
+    "x_variant_json",
+    # Spark 4 VariantType: parse once into the binary variant encoding,
+    # then typed variant_get extraction — the engine-native form of
+    # schema-flexible JSON (vs d35's per-access string re-parse).
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    """,
+    doc="VariantType JSON: parse_json -> variant_get typed extraction (single parse, schema-on-read; Spark 4 engine feature)",
+)
+def x_variant_json(spark: SparkSession, sf: str) -> DataFrame:
+    """At 100 TB the variant encoding is the difference between parsing
+    each JSON document once (columnar binary, shredding-ready) and
+    re-parsing the string per extracted field (d35's get_json_object);
+    same answers, engine-level win. Missing paths yield NULL, matching
+    the oracle's json_extract_string."""
+    ev = load_table(spark, sf, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "string").alias("missing"),
+    )

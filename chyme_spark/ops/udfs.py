@@ -114,3 +114,42 @@ def d49_apply_in_pandas(spark: SparkSession, sf: str) -> DataFrame:
         _minmax_normalize,
         schema="c_custkey long, c_nationkey int, c_acctbal double, bal_norm double",
     )
+
+
+@query(
+    "x_python_udtf",
+    # the 4th Python-extension kind (UDTF, Spark 3.5+/4.x): one input
+    # row -> N output rows with per-row Python logic. Surface demo like
+    # d47 (row-at-a-time = slow path); production fan-out stays in
+    # explode/mapInPandas.
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents WHERE doc_id < 20)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token,
+           CAST(strlen(toks[i]) AS BIGINT) AS token_len
+    FROM t CROSS JOIN LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+    """,
+    doc="Python UDTF (table function): tokenize one doc row into (pos, token, len) rows — the UDTF extension surface, lateral-joined",
+)
+def x_python_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """UDTF surface proof (the generator analog of the reference's
+    template fan-out, 1 resource -> N tasks, ref
+    ``internal/tasker/template.go:26-35``). Bounded to 20 docs because a
+    row-at-a-time Python UDTF is the demo path, not the 100 TB path —
+    the same fan-out at scale is ``posexplode`` (see D-33/d45)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, token string, token_len bigint")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for pos, tok in enumerate(text.lower().split(" ")):
+                yield pos, tok, len(tok)
+
+    from chyme_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 20)
+    return docs.lateralJoin(
+        Tokenize(F.col("text").outer())
+    ).select("doc_id", "pos", "token", "token_len")

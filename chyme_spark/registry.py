@@ -76,10 +76,10 @@ _FRONT_50 = [
     "x_gopher_rules", "x_bpe_pretokenize", "x_duplicate_ngram_fraction",
     "x_bm25_score", "x_bloom_prefilter",
     "x_tpch_q3_shipping", "x_tpch_q5_local_supplier",
+    "x_python_udtf", "x_gap_fill", "x_variant_json",
     # backfill: already-green core d-ids re-prove for free
     "d01_parquet_scan", "d02_projection", "d03_filter",
-    "d04_regex_ext_filter", "d05_distinct", "d06_keyed_dedup",
-    "d07_inner_join",
+    "d04_regex_ext_filter",
 ]
 
 _D_NAME = re.compile(r"^d\d\d_")

@@ -77,3 +77,31 @@ def test_distributed_listing_matches_driver_listing(spark, tmp_path):
     full = {(_norm(r.url), r.size, r.mtime)
             for r in list_files_distributed(spark, str(root)).collect()}
     assert {u.rsplit("/", 1)[-1] for u, _s, _m in full} == {f.rsplit("/", 1)[-1] for f in files}
+
+
+def test_listing_datasource_matches_driver_listing(spark, tmp_path):
+    """The Python Data Source (chyme_listing) yields the identical
+    (url,size,mtime) set as the driver-side lister, including the
+    --recursion depth bound, with the per-prefix recursion planned as
+    executor input partitions."""
+    from chyme_spark.catalog import list_files
+    from chyme_spark.sources import register_listing_source
+
+    root = tmp_path / "tree"
+    for rel in ["a/b", "c", ""]:
+        (root / rel).mkdir(parents=True, exist_ok=True)
+    for rel, size in {"top.mov": 3, "a/mid.mp4": 5, "a/b/deep.mov": 7, "c/x.log": 11}.items():
+        (root / rel).write_bytes(b"x" * size)
+
+    register_listing_source(spark)
+    for depth in (None, 0, 1):
+        rd = spark.read.format("chyme_listing").option("path", str(root))
+        if depth is not None:
+            rd = rd.option("depth", str(depth))
+        ds = {(_norm(r.url), r.size, r.mtime) for r in rd.load().collect()}
+        drv = {(_norm(r.url), r.size, r.mtime)
+               for r in list_files(spark, str(root), depth).collect()}
+        assert ds == drv, f"depth={depth}"
+    # the source plans one partition per top-level entry (executor fan-out)
+    df = spark.read.format("chyme_listing").option("path", str(root)).load()
+    assert df.rdd.getNumPartitions() >= 3
