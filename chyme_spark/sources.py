@@ -129,7 +129,12 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 # ---------------------------------------------------------------------------
 
 try:  # Python Data Source API needs pyspark >= 4.0
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     class _PrefixPartition(InputPartition):
         def __init__(self, prefix: str, is_file: bool):
@@ -183,9 +188,70 @@ try:  # Python Data Source API needs pyspark >= 4.0
                     continue
                 yield (f"{scheme}://{i.path}", i.size, mtime_ms(i))
 
+    class ListingStreamReader(SimpleDataSourceStreamReader):
+        """Streaming face of the lister: each micro-batch emits the
+        files that ARRIVED since the last offset — the reference's
+        perpetual ingest/tasker poll loop (ref ``cmd/tasker.go:85-99``)
+        as a first-class streaming source instead of a sleep loop.
+
+        Offset = ``{"m": <max mtime_ms>, "at": [urls at that mtime]}``:
+        a file is new iff its mtime is past the watermark, or equal to
+        it but not in the boundary set — so same-millisecond arrivals
+        are neither dropped nor duplicated. The offset stays O(files in
+        one millisecond), not O(history).
+        """
+
+        def __init__(self, options: dict):
+            self.root = options.get("path") or options.get("root")
+            if not self.root:
+                raise ValueError("chyme_listing requires option 'path'")
+            self.max_depth = int(options["depth"]) if options.get("depth") else None
+
+        def _list(self):
+            from pyarrow import fs as pafs
+
+            root = self.root if "://" in self.root else f"file://{self.root}"
+            scheme = root.split("://", 1)[0]
+            fs, base = pafs.FileSystem.from_uri(root)
+            base = base.rstrip("/")
+            base_depth = base.count("/")
+            for i in fs.get_file_info(pafs.FileSelector(base, recursive=True)):
+                if i.type != pafs.FileType.File:
+                    continue
+                if self.max_depth is not None and (i.path.count("/") - base_depth - 1) > self.max_depth:
+                    continue
+                mt = i.mtime_ns // 1_000_000 if i.mtime_ns is not None else 0
+                yield (f"{scheme}://{i.path}", i.size, mt)
+
+        def initialOffset(self) -> dict:
+            return {"m": -1, "at": []}
+
+        def read(self, start: dict):
+            rows = [
+                r
+                for r in self._list()
+                if r[2] > start["m"] or (r[2] == start["m"] and r[0] not in start["at"])
+            ]
+            if not rows:
+                return iter([]), start
+            m = max(r[2] for r in rows + [(None, None, start["m"])])
+            at = [r[0] for r in rows if r[2] == m] + (start["at"] if m == start["m"] else [])
+            return iter(rows), {"m": m, "at": sorted(at)}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            # replay for recovery: everything past `start` up to `end`
+            return iter(
+                r
+                for r in self._list()
+                if (r[2] > start["m"] or (r[2] == start["m"] and r[0] not in start["at"]))
+                and (r[2] < end["m"] or (r[2] == end["m"] and r[0] in end["at"]))
+            )
+
     class ListingDataSource(DataSource):
         """``spark.read.format("chyme_listing").option("path", root)``
-        -> ``(url string, size long, mtime long)``.
+        -> ``(url string, size long, mtime long)``; also a streaming
+        source (``spark.readStream.format("chyme_listing")``) emitting
+        newly-arrived files per micro-batch.
 
         Options: ``path`` (required), ``depth`` (optional recursion
         bound, reference ``--recursion`` parity). Register once per
@@ -201,6 +267,9 @@ try:  # Python Data Source API needs pyspark >= 4.0
 
         def reader(self, schema):
             return ListingReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return ListingStreamReader(self.options)
 
     def register_listing_source(spark: SparkSession) -> None:
         spark.dataSource.register(ListingDataSource)

@@ -105,3 +105,47 @@ def test_listing_datasource_matches_driver_listing(spark, tmp_path):
     # the source plans one partition per top-level entry (executor fan-out)
     df = spark.read.format("chyme_listing").option("path", str(root)).load()
     assert df.rdd.getNumPartitions() >= 3
+
+
+def test_listing_datasource_streams_new_arrivals(spark, tmp_path):
+    """chyme_listing as a STREAMING source: each drain emits only files
+    that arrived since the last committed offset (the reference's
+    perpetual ingest poll as a Structured Streaming source)."""
+    from chyme_spark.sources import register_listing_source
+
+    root = tmp_path / "inbox"
+    root.mkdir()
+    (root / "a.mov").write_bytes(b"A" * 10)
+    register_listing_source(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("chyme_listing")
+            .option("path", str(root))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = {r.url.rsplit("/", 1)[-1] for r in spark.read.parquet(out).collect()}
+    assert first == {"a.mov"}
+
+    import time
+
+    time.sleep(0.05)  # distinct mtime millisecond for the second arrival
+    (root / "b.mp4").write_bytes(b"B" * 20)
+    drain()
+    rows = spark.read.parquet(out).collect()
+    names = sorted(r.url.rsplit("/", 1)[-1] for r in rows)
+    assert names == ["a.mov", "b.mp4"]  # no duplicates, only the new file added
+
+    # nothing new -> a third drain appends nothing
+    drain()
+    assert spark.read.parquet(out).count() == 2
