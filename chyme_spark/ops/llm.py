@@ -1524,3 +1524,115 @@ def x_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
             (F.coalesce("n_hits", F.lit(0)) == _BLOOM_K).alias("maybe_dup"),
         )
     )
+
+
+@query(
+    "x_minhash_containment",
+    # asymmetric near-dup: containment C(A,B) = |A∩B| / |A| catches a
+    # short doc EMBEDDED in a long one, which symmetric Jaccard misses
+    # entirely (|A∩B|/|A∪B| shrinks as B grows). The quote/boilerplate/
+    # subset-duplicate detector in a corpus pipeline (Broder's original
+    # resemblance-vs-containment split, public literature).
+    oracle=f"""
+    WITH {_NG_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(ROUND(i * 1.0 / sa.n, 4) AS DOUBLE) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE i * 1.0 / sa.n >= 0.5
+    """,
+    doc="asymmetric containment near-dup: |A intersect B| / |A| >= 0.5 over 3-gram sets (detects docs embedded in larger docs; directional pairs)",
+)
+def x_minhash_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Directional pairs (doc_a contained-in doc_b). Same inverted-index
+    plan as x_ngram_jaccard — one gram-keyed shuffle, AQE skew-split on
+    boilerplate grams, broadcast size table — but the measure divides by
+    |A| only, so each ordered pair is scored. At 100 TB the candidate
+    step swaps to containment-biased minhash (bottom-k of A's sketch
+    probed against B's), same downstream verify."""
+    ng = doc_ngrams(spark, sf)
+    sizes = ng.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ng.alias("a")
+    b = ng.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    cont = F.col("i") * 1.0 / F.col("sa.n")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .filter(cont >= 0.5)
+        .select("doc_a", "doc_b", F.round(cont, 4).cast("double").alias("containment"))
+    )
+
+
+@query(
+    "x_semdedup",
+    oracle=None,  # rows-only: KMeans centroids are implementation-defined;
+    # the semantic-dedup contract (every surviving pair in a cluster is
+    # below the cosine threshold; every pruned doc had a closer senior)
+    # is pinned in tests/test_llm_recall.py
+    doc="semantic dedup (SemDeDup-style): KMeans-cluster embeddings, prune within-cluster pairs above cosine threshold, keep min vec_id per dup group",
+)
+def x_semdedup(spark: SparkSession, sf: str, k: int | None = None, tau: float = 0.97) -> DataFrame:
+    """Cluster-then-prune semantic dedup (SemDeDup, Abbas et al. 2023,
+    public paper): embeddings are KMeans-clustered, exact cosine is
+    computed only WITHIN a cluster, and of any pair above ``tau`` the
+    higher vec_id is dropped (deterministic senior-keeps rule).
+
+    100 TB shape: k ~ sqrt(n) bounds every cluster to ~sqrt(n) members,
+    so the within-cluster pair product is n total — linear, never the
+    corpus-wide quadratic. The KMeans fit itself is the sampled/sketched
+    step (Spark MLlib does distributed Lloyd's); cluster assignment is a
+    broadcast of k centroids; the pair step is one shuffle on the
+    cluster id with AQE skew-splitting. Returns survivors
+    (vec_id, cluster) — the training-set the dedup keeps.
+    """
+    import math
+
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    k = k or max(2, int(math.isqrt(n)))
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = emb.select("vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=42, maxIter=5).fit(vec)
+    assigned = model.transform(vec).select("vec_id", F.col("prediction").alias("cluster"))
+    feats = emb.join(assigned, "vec_id").select("vec_id", "cluster", "embedding")
+    a = feats.alias("a")
+    b = feats.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.embedding", "b.embedding", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(
+            F.transform(f"{side}.embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    dupped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .filter((dot / (norm("a") * norm("b"))) >= tau)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        feats.select("vec_id", "cluster")
+        .join(dupped, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
+    )

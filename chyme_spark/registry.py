@@ -77,9 +77,9 @@ _FRONT_50 = [
     "x_bm25_score", "x_bloom_prefilter",
     "x_tpch_q3_shipping", "x_tpch_q5_local_supplier",
     "x_python_udtf", "x_gap_fill", "x_variant_json",
+    "x_minhash_containment", "x_semdedup",
     # backfill: already-green core d-ids re-prove for free
-    "d01_parquet_scan", "d02_projection", "d03_filter",
-    "d04_regex_ext_filter",
+    "d01_parquet_scan", "d02_projection",
 ]
 
 _D_NAME = re.compile(r"^d\d\d_")

@@ -85,3 +85,49 @@ def test_ivf_top1_recall_monotone_in_nprobe(spark, sf_dir):
     r2, r4, r8 = recall(2), recall(4), recall(8)
     assert r2 <= r4 <= r8
     assert r8 == len(top1)  # nprobe == k is exhaustive
+
+
+def test_semdedup_contract(spark, sf_dir):
+    """x_semdedup: (1) pruning is monotone in tau; (2) at a tau that
+    actually prunes, every pruned vec has a SENIOR (lower vec_id) in the
+    same cluster with cosine >= tau, and every kept pair in a cluster
+    with both ids kept is either below tau or ordered senior-first —
+    i.e. the keep-min-id rule, verified exactly with numpy."""
+    import numpy as np
+
+    from chyme_spark.ops.llm import x_semdedup
+
+    tau = 0.4
+    surv = x_semdedup(spark, sf_dir, tau=tau)
+    kept = {r.vec_id: r.cluster for r in surv.collect()}
+    loose = x_semdedup(spark, sf_dir, tau=0.97).count()
+    assert len(kept) <= loose  # monotone: higher tau prunes less
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    assert len(kept) < len(vecs)  # tau=0.4 actually prunes on this fixture
+
+    # reconstruct cluster membership from the survivor output is not
+    # possible for pruned ids, so recompute: group all vecs by the
+    # cluster of their nearest kept doc is wrong — instead verify the
+    # rule pairwise inside each kept cluster and for pruned ids via the
+    # full assignment returned at tau ~ 1 (nothing pruned => full map).
+    full = {r.vec_id: r.cluster for r in x_semdedup(spark, sf_dir, tau=1.01).collect()}
+    assert set(full) == set(vecs)
+    pruned = set(vecs) - set(kept)
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    by_cluster: dict[int, list[int]] = {}
+    for vid, c in full.items():
+        by_cluster.setdefault(c, []).append(vid)
+    for vid in pruned:
+        peers = [p for p in by_cluster[full[vid]] if p < vid]
+        assert any(cos(vecs[vid], vecs[p]) >= tau for p in peers), vid
+    # no kept doc should have a kept senior above tau in its cluster
+    for c, members in by_cluster.items():
+        kept_members = sorted(m for m in members if m in kept)
+        for i, hi in enumerate(kept_members):
+            for lo in kept_members[:i]:
+                assert cos(vecs[hi], vecs[lo]) < tau, (lo, hi)
