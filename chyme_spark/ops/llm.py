@@ -1581,30 +1581,39 @@ def x_minhash_containment(spark: SparkSession, sf: str) -> DataFrame:
     # is pinned in tests/test_llm_recall.py
     doc="semantic dedup (SemDeDup-style): KMeans-cluster embeddings, prune within-cluster pairs above cosine threshold, keep min vec_id per dup group",
 )
-def x_semdedup(spark: SparkSession, sf: str, k: int | None = None, tau: float = 0.97) -> DataFrame:
+def x_semdedup(
+    spark: SparkSession,
+    sf: str,
+    k: int = 64,
+    tau: float = 0.97,
+    max_fit_rows: int = 100_000,
+) -> DataFrame:
     """Cluster-then-prune semantic dedup (SemDeDup, Abbas et al. 2023,
     public paper): embeddings are KMeans-clustered, exact cosine is
     computed only WITHIN a cluster, and of any pair above ``tau`` the
     higher vec_id is dropped (deterministic senior-keeps rule).
 
-    100 TB shape: k ~ sqrt(n) bounds every cluster to ~sqrt(n) members,
-    so the within-cluster pair product is n total — linear, never the
-    corpus-wide quadratic. The KMeans fit itself is the sampled/sketched
-    step (Spark MLlib does distributed Lloyd's); cluster assignment is a
-    broadcast of k centroids; the pair step is one shuffle on the
+    100 TB shape: the KMeans FIT runs on a bounded sample
+    (``max_fit_rows`` rows, seeded ``sample``) with a FIXED ``k`` —
+    never a full-corpus fit and never a data-dependent k, so the
+    centroid set stays a constant-size broadcast no matter the corpus.
+    Assignment over the full corpus is a single narrow ``transform``
+    (broadcast of k centroids, no shuffle). ``k`` bounds the expected
+    cluster size to n/k, so the within-cluster pair product is n²/k —
+    pick k ~ n/target_cluster_size in production (e.g. k=1e5 keeps
+    clusters ~1e6 at 1e11 docs). The pair step is one shuffle on the
     cluster id with AQE skew-splitting. Returns survivors
     (vec_id, cluster) — the training-set the dedup keeps.
     """
-    import math
-
     emb = load_table(spark, sf, "embeddings")
     n = emb.count()
-    k = k or max(2, int(math.isqrt(n)))
+    k = max(2, min(k, n))
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     vec = emb.select("vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
-    model = KMeans(k=k, seed=42, maxIter=5).fit(vec)
+    fit_df = vec if n <= max_fit_rows else vec.sample(fraction=max_fit_rows / n, seed=42)
+    model = KMeans(k=k, seed=42, maxIter=5).fit(fit_df)
     assigned = model.transform(vec).select("vec_id", F.col("prediction").alias("cluster"))
     feats = emb.join(assigned, "vec_id").select("vec_id", "cluster", "embedding")
     a = feats.alias("a")

@@ -131,3 +131,18 @@ def test_semdedup_contract(spark, sf_dir):
         for i, hi in enumerate(kept_members):
             for lo in kept_members[:i]:
                 assert cos(vecs[hi], vecs[lo]) < tau, (lo, hi)
+
+
+def test_semdedup_sampled_fit(spark, sf_dir):
+    """The KMeans fit must run on a bounded sample: with max_fit_rows
+    below the corpus size the op still returns a full assignment (every
+    vec_id clustered at tau>1 => nothing pruned) and the keep-min-id
+    contract holds at a pruning tau. Proves the assign-only full-corpus
+    path works when the fit never saw most rows."""
+    from chyme_spark.ops.llm import x_semdedup
+
+    full = x_semdedup(spark, sf_dir, tau=1.01, max_fit_rows=100)
+    n_all = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert full.count() == n_all  # assign covers rows the fit never saw
+    surv = x_semdedup(spark, sf_dir, tau=0.4, max_fit_rows=100)
+    assert 0 < surv.count() < n_all
