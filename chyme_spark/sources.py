@@ -199,15 +199,52 @@ try:  # Python Data Source API needs pyspark >= 4.0
         it but not in the boundary set — so same-millisecond arrivals
         are neither dropped nor duplicated. The offset stays O(files in
         one millisecond), not O(history).
+
+        Incremental listing: the reader memoizes each directory's
+        ``(mtime_ns, file rows, subdirs)``. A micro-batch walks the
+        directory TREE; a directory whose mtime is unchanged since the
+        memo reuses its memoized children without a listing call, paying
+        only one batched stat for fresh subdir mtimes — so a batch over
+        an unchanged tree costs O(directories) stats and ZERO file
+        listings instead of O(files). The reference's poll loop re-lists
+        everything every tick (ref ``cmd/tasker.go:85-99``); at 100 M
+        objects that full re-list is the bottleneck this prunes away.
+
+        Safety rules that keep the memo exact:
+
+        * a memo is trusted only once the directory's mtime is older
+          than ``_SLACK_NS`` — directory timestamps have coarse
+          granularity, so a file landing in the same clock tick as the
+          listing could otherwise be missed forever;
+        * a directory entry without an mtime (object stores synthesize
+          prefix entries; pyarrow reports ``mtime_ns None``) is never
+          memoized — those subtrees fall back to a real listing;
+        * in-place modification of an existing file does not bump the
+          parent directory mtime and is NOT an arrival — object-store
+          parity (S3 objects are immutable; the reference likewise keys
+          on object creation).
+
+        A fresh reader (query restart) starts with a cold memo: the
+        first batch is a full listing and the offset filter keeps
+        exactly-once delivery, so the memo is a pure I/O optimization
+        with no correctness footprint.
         """
+
+        _SLACK_NS = 2_000_000_000  # trust memos only past this age (2 s)
 
         def __init__(self, options: dict):
             self.root = options.get("path") or options.get("root")
             if not self.root:
                 raise ValueError("chyme_listing requires option 'path'")
             self.max_depth = int(options["depth"]) if options.get("depth") else None
+            # dir path -> (mtime_ns, [file rows], [(subdir path, mtime_ns)])
+            self._memo: dict[str, tuple[int, list, list]] = {}
+            self.n_dir_lists = 0  # instrumentation: non-recursive listings issued
+            self.n_dir_stats = 0  # instrumentation: batched stat calls issued
 
         def _list(self):
+            import time
+
             from pyarrow import fs as pafs
 
             root = self.root if "://" in self.root else f"file://{self.root}"
@@ -215,13 +252,60 @@ try:  # Python Data Source API needs pyspark >= 4.0
             fs, base = pafs.FileSystem.from_uri(root)
             base = base.rstrip("/")
             base_depth = base.count("/")
-            for i in fs.get_file_info(pafs.FileSelector(base, recursive=True)):
-                if i.type != pafs.FileType.File:
-                    continue
-                if self.max_depth is not None and (i.path.count("/") - base_depth - 1) > self.max_depth:
-                    continue
-                mt = i.mtime_ns // 1_000_000 if i.mtime_ns is not None else 0
-                yield (f"{scheme}://{i.path}", i.size, mt)
+            now_ns = time.time_ns()
+
+            def list_dir(path):
+                """One non-recursive listing -> (file rows, subdirs with mtimes)."""
+                self.n_dir_lists += 1
+                files, subs = [], []
+                for i in fs.get_file_info(pafs.FileSelector(path, recursive=False)):
+                    if i.type == pafs.FileType.File:
+                        if (
+                            self.max_depth is not None
+                            and (i.path.count("/") - base_depth - 1) > self.max_depth
+                        ):
+                            continue
+                        mt = i.mtime_ns // 1_000_000 if i.mtime_ns is not None else 0
+                        files.append((f"{scheme}://{i.path}", i.size, mt))
+                    elif i.type == pafs.FileType.Directory:
+                        subs.append((i.path, i.mtime_ns))
+                return files, subs
+
+            self.n_dir_stats += 1
+            root_info = fs.get_file_info(base)
+            stack = [(base, root_info.mtime_ns)]
+            while stack:
+                path, mtime = stack.pop()
+                memo = self._memo.get(path)
+                if (
+                    memo is not None
+                    and mtime is not None
+                    and memo[0] == mtime
+                    and mtime + self._SLACK_NS < now_ns
+                ):
+                    files, subs = memo[1], memo[2]
+                    if subs:  # refresh subdir mtimes: one batched stat, no listing
+                        self.n_dir_stats += 1
+                        fresh = fs.get_file_info([p for p, _ in subs])
+                        subs = [
+                            (i.path, i.mtime_ns)
+                            for i in fresh
+                            if i.type == pafs.FileType.Directory
+                        ]
+                else:
+                    files, subs = list_dir(path)
+                    if mtime is not None:
+                        self._memo[path] = (mtime, files, subs)
+                yield from files
+                for sub in subs:
+                    # a subtree whose shallowest files already exceed the
+                    # depth bound is pruned without ever being listed
+                    if (
+                        self.max_depth is not None
+                        and (sub[0].count("/") - base_depth) > self.max_depth
+                    ):
+                        continue
+                    stack.append(sub)
 
         def initialOffset(self) -> dict:
             return {"m": -1, "at": []}

@@ -107,6 +107,49 @@ def test_listing_datasource_matches_driver_listing(spark, tmp_path):
     assert df.rdd.getNumPartitions() >= 3
 
 
+def test_listing_stream_reader_skips_unchanged_dirs(tmp_path):
+    """Incremental listing: a micro-batch over an UNCHANGED tree issues
+    zero directory listings (memo reuse + batched stats only); a new
+    arrival re-lists exactly the one directory it landed in. This is
+    the O(changed)-per-batch contract that replaces the reference's
+    full re-list poll loop (cmd/tasker.go:85-99)."""
+    import os
+    import time
+
+    from chyme_spark.sources import ListingStreamReader
+
+    root = tmp_path / "tree"
+    (root / "a" / "b").mkdir(parents=True)
+    (root / "c").mkdir()
+    for rel in ["top.mov", "a/mid.mp4", "a/b/deep.mov", "c/x.log"]:
+        (root / rel).write_bytes(b"x" * 8)
+    # age directory mtimes past the memo slack so memos are trusted
+    old = time.time() - 60
+    for d in [root, root / "a", root / "a" / "b", root / "c"]:
+        os.utime(d, (old, old))
+
+    r = ListingStreamReader({"path": str(root)})
+    rows1, off1 = r.read(r.initialOffset())
+    assert len(list(rows1)) == 4
+    assert r.n_dir_lists == 4  # cold memo: every directory listed once
+
+    rows2, off2 = r.read(off1)
+    assert list(rows2) == []
+    assert r.n_dir_lists == 4  # unchanged tree: ZERO new listings
+    assert off2 == off1
+
+    time.sleep(0.05)  # distinct mtime millisecond for the arrival
+    (root / "a" / "new.mov").write_bytes(b"y" * 8)
+    os.utime(root / "a", (old + 1, old + 1))  # aged but != memoized mtime
+    rows3, off3 = r.read(off2)
+    assert [u.rsplit("/", 1)[-1] for u, _s, _m in rows3] == ["new.mov"]
+    assert r.n_dir_lists == 5  # exactly ONE directory re-listed
+
+    rows4, _ = r.read(off3)
+    assert list(rows4) == []
+    assert r.n_dir_lists == 5
+
+
 def test_listing_datasource_streams_new_arrivals(spark, tmp_path):
     """chyme_listing as a STREAMING source: each drain emits only files
     that arrived since the last committed offset (the reference's
