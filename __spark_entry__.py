@@ -38,6 +38,9 @@ def _ensure_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # naive parquet timestamps must read as LTZ (UTC), not NTZ —
+        # epoch functions reject NTZ and the DuckDB oracle is naive-as-UTC
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     ]:
         try:
             spark.conf.set(k, v)

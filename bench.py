@@ -56,6 +56,10 @@ HEADLINE = [
     "x_bm25_score",
     "x_tpch_q5_local_supplier",
     "x_gopher_rules",
+    # round-4: the forced-SMJ fact-fact query — the only headline join
+    # that does NOT broadcast, so the sort-merge (+ spill) path the
+    # engine runs at 100 TB is finally on the scoreboard (VERDICT r3)
+    "x_tpch_q18_big_orders",
 ]
 
 

@@ -1526,6 +1526,139 @@ def x_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- production-sized Bloom filter (round 4) --------------------------------
+# Sizing from expected items / target FPP (standard formulas):
+#   m = ceil(-n ln p / (ln 2)^2)   bits
+#   k = round((m / n) ln 2)        hash functions
+# Positions via Kirsch-Mitzenmacher double hashing — two independent
+# 60-bit values sliced from one md5 (cross-engine reproducible; swap for
+# xxhash64(col, seed) at deploy for ~3x hash throughput, one line):
+#   pos_j = (h1 + j * h2) mod m, j in [0, k)
+import math as _math
+
+_BLOOMP_N = 4096  # expected historical items (covers sf0.1's 2500)
+_BLOOMP_FPP = 0.01
+_BLOOMP_M = int(_math.ceil(-_BLOOMP_N * _math.log(_BLOOMP_FPP) / (_math.log(2) ** 2)))
+_BLOOMP_K = max(1, round((_BLOOMP_M / _BLOOMP_N) * _math.log(2)))
+
+
+def bloom_positions(col: str, m: int, k: int):
+    """Array<bigint> of k Bloom positions for a string column. 15 hex
+    chars = 60 bits per half keeps every intermediate inside bigint
+    (ANSI-safe: j*h2 <= k*m << 2^63)."""
+    return F.expr(
+        f"transform(sequence(0, {k - 1}), j -> pmod("
+        f"  cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint) % {m}"
+        f"  + j * (cast(conv(substring(md5({col}), 17, 15), 16, 10) as bigint) % {m} + 1),"
+        f" {m}))"
+    )
+
+
+def bloom_build(items: DataFrame, col: str, m: int = _BLOOMP_M, k: int = _BLOOMP_K) -> DataFrame:
+    """items -> the filter as a word table (word_idx bigint, word bigint).
+
+    One shuffle keyed on word_idx, output bounded by m/64 rows no matter
+    the corpus size (m=39,261 bits here -> <=614 longs; a 10^9-item,
+    1% -FPP filter is 9.6 Gbit -> 150 M... no: 1.2 GB of words — size m
+    for the partition-level prefilter or feed expected_items/fpp
+    accordingly; the representation itself never depends on n)."""
+    return (
+        items.select(F.explode(bloom_positions(col, m, k)).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("bigint").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+
+
+def bloom_probe(probes: DataFrame, key: str, col: str, words: DataFrame,
+                m: int = _BLOOMP_M, k: int = _BLOOMP_K) -> DataFrame:
+    """(key, col) probes -> (key, bloom_maybe): maybe iff EVERY position's
+    bit is set. The word table broadcasts (m/64 longs); the only shuffle
+    is the k-row-per-probe AND-reduction on the probe key."""
+    pos = probes.select(key, F.explode(bloom_positions(col, m, k)).alias("p")).select(
+        key,
+        (F.col("p") / 64).cast("bigint").alias("word_idx"),
+        F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias("bit"),
+    )
+    hit = (
+        pos.join(F.broadcast(words), "word_idx", "left")
+        .select(key, (F.col("word").isNotNull() & (F.col("word").bitwiseAND(F.col("bit")) != 0)).alias("hit"))
+    )
+    return hit.groupBy(key).agg(F.min("hit").alias("bloom_maybe"))
+
+
+@query(
+    "x_bloom_prefilter_prod",
+    # production Bloom prefilter, fully deterministic across engines:
+    # the oracle recomputes the identical double-hash positions, so
+    # bloom_maybe (including any false positive) hash-matches — unlike
+    # a rows-only sketch check, a wrong bit ANYWHERE in the filter
+    # fails the gate.
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT % {_BLOOMP_M} AS h1,
+               ('0x' || substr(md5(text), 17, 15))::BIGINT % {_BLOOMP_M} + 1 AS h2
+        FROM documents),
+    pos AS (
+        SELECT doc_id, (h1 + j * h2) % {_BLOOMP_M} AS p
+        FROM h CROSS JOIN (SELECT unnest(range({_BLOOMP_K})) AS j)),
+    hist AS (SELECT DISTINCT p FROM pos WHERE doc_id % 2 = 0),
+    miss AS (
+        SELECT DISTINCT doc_id FROM pos
+        WHERE doc_id % 2 = 1 AND p NOT IN (SELECT p FROM hist)),
+    exact AS (SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id % 2 = 0)
+    SELECT d.doc_id,
+           d.doc_id NOT IN (SELECT doc_id FROM miss) AS bloom_maybe,
+           d.doc_id NOT IN (SELECT doc_id FROM miss)
+             AND md5(d.text) IN (SELECT sig FROM exact) AS is_dup
+    FROM documents d
+    WHERE d.doc_id % 2 = 1
+    """,
+    doc="production-sized Bloom prefilter (m,k from expected-items/FPP; word-packed bitset via bit_or) + exact confirm: new docs -> (bloom_maybe, is_dup)",
+)
+def x_bloom_prefilter_prod(spark: SparkSession, sf: str) -> DataFrame:
+    """Production twin of x_bloom_prefilter (VERDICT r3 item 8): the
+    64 KiB fixture filter becomes a properly SIZED one — m/k derived
+    from expected items (_BLOOMP_N=4096) and target FPP (1%) via the
+    standard formulas — stored as a word-packed bitset built with one
+    ``bit_or`` aggregate, the same layout
+    ``DataFrameStatFunctions.bloomFilter`` materializes JVM-side.
+
+    Composition contract: bloom_maybe=false is DEFINITELY new (Bloom
+    filters have no false negatives — tested in
+    tests/test_llm_recall.py); only the maybe-rows proceed to the exact
+    membership check (is_dup), so at 100 TB the daily batch anti-joins
+    ~FPP x batch rows against the hash ledger instead of all of them.
+    The filter ships as m/64 longs (here <=614) — broadcast-trivial, and
+    still only ~1.2 GB for a billion-item ledger at 1% FPP.
+    """
+    docs = load_table(spark, sf, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    words = bloom_build(hist, "text")
+    maybes = bloom_probe(new.select("doc_id", "text"), "doc_id", "text", words)
+    exact = hist.select(F.md5("text").alias("sig")).distinct()
+    confirmed = (
+        new.select("doc_id", F.md5("text").alias("sig"))
+        .join(F.broadcast(exact), "sig", "left_semi")
+        .select("doc_id", F.lit(True).alias("exact_dup"))
+    )
+    return (
+        new.select("doc_id")
+        .join(maybes, "doc_id", "left")
+        .join(confirmed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_maybe",
+            (F.col("bloom_maybe") & F.coalesce("exact_dup", F.lit(False))).alias("is_dup"),
+        )
+    )
+
+
 @query(
     "x_minhash_containment",
     # asymmetric near-dup: containment C(A,B) = |A∩B| / |A| catches a

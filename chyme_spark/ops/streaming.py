@@ -222,31 +222,37 @@ def x_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
 # Structured Streaming (rows-only: state/emission timing is engine-specific)
 # ---------------------------------------------------------------------------
 
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
-_stream_dirs: dict[str, str] = {}
+# (src dir, raw footer schema) per sf — the generator has shipped
+# events.ts as TIMESTAMP(NANOS)-read-as-int64 in some rounds and plain
+# TIMESTAMP(MICROS) in others, so the stream's required explicit schema
+# must come from the actual parquet footer, not a frozen literal: a
+# frozen int64 schema over a micros file reads micros as "nanos",
+# compresses event time 1000x, and every watermark window silently
+# stays open (zero rows emitted — round-4 regression).
+_stream_dirs: dict[str, tuple[str, T.StructType]] = {}
 
 
 def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
     # FileStreamSource requires a directory; the synthetic table is a
     # single parquet file, so stage a symlink into a temp source dir.
-    src = _stream_dirs.get(sf)
-    if src is None:
+    cached = _stream_dirs.get(sf)
+    if cached is None:
         src = tempfile.mkdtemp(prefix="chyme_stream_src_")
         os.symlink(os.path.abspath(f"{sf}/events.parquet"), f"{src}/events.parquet")
-        _stream_dirs[sf] = src
-    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(src)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+        cached = (src, raw_schema)
+        _stream_dirs[sf] = cached
+    src, raw_schema = cached
+    raw = spark.readStream.schema(raw_schema).parquet(src)
+    ts_type = raw_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # int64 nanos -> micros timestamp (integer division is exact:
+        # the generator emits whole microseconds)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # naive micros -> LTZ; exact under the UTC session timezone
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:

@@ -35,6 +35,11 @@ _DEFAULTS: dict[str, str] = {
     # vectorized reader rejects; read the raw int64 and convert in
     # load_table (integer DIV — double division would corrupt 1e18 nanos).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive (no-timezone) parquet timestamps read as TIMESTAMP_LTZ, not
+    # TIMESTAMP_NTZ: with the UTC session timezone this is byte-identical
+    # to DuckDB's naive-as-UTC semantics, and it keeps epoch functions
+    # (unix_micros & friends, which reject NTZ) working on every table.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Quiet the UI for headless runs.
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
@@ -130,9 +135,12 @@ def s3_credentials_conf(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table (see TESTDATA.md) as a DataFrame.
 
-    ``events.ts`` arrives as int64 nanoseconds (see the nanosAsLong conf);
-    it is converted to a TIMESTAMP at microsecond precision with integer
-    division, which is exact — the generator emits whole microseconds.
+    ``events.ts`` has arrived as int64 nanoseconds in some testdata
+    generations (see the nanosAsLong conf) and as TIMESTAMP(MICROS) in
+    others; the int64 case is converted to a TIMESTAMP at microsecond
+    precision with integer division, which is exact — the generator
+    emits whole microseconds. Timestamp columns that infer as NTZ are
+    cast to LTZ (exact under the UTC session timezone).
 
     The resolved DataFrame is memoized per (session, sf_dir, table) on
     the session object: ``spark.read.parquet`` does driver-side file
@@ -153,6 +161,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # If NTZ inference was pinned on in a session we don't own, naive
+        # parquet timestamps arrive as TIMESTAMP_NTZ; cast back to LTZ —
+        # exact under the UTC session timezone, and required by the epoch
+        # functions (unix_micros rejects NTZ).
+        for col, dtype in df.dtypes:
+            if dtype == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
         cache[key] = df
     return df
 

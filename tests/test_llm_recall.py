@@ -146,3 +146,29 @@ def test_semdedup_sampled_fit(spark, sf_dir):
     assert full.count() == n_all  # assign covers rows the fit never saw
     surv = x_semdedup(spark, sf_dir, tau=0.4, max_fit_rows=100)
     assert 0 < surv.count() < n_all
+
+
+def test_bloom_prod_no_false_negatives_and_prunes(spark):
+    """Bloom contract over a corpus WITH real duplicates (the synthetic
+    documents table has none across the even/odd split at small sf):
+    every true duplicate must come back bloom_maybe=true (no false
+    negatives — the property that makes the prefilter sound), and the
+    mostly-unique probe set must be pruned near the designed FPP, not
+    pass wholesale."""
+    from chyme_spark.ops.llm import bloom_build, bloom_probe
+
+    hist_texts = [f"historical document body number {i}" for i in range(300)]
+    dup_texts = hist_texts[::10]  # 30 true duplicates
+    new_texts = [f"freshly crawled text {i}" for i in range(170)]
+    hist = spark.createDataFrame([(t,) for t in hist_texts], "text string")
+    probes = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(dup_texts + new_texts)], "pid long, text string"
+    )
+    words = bloom_build(hist, "text")
+    out = {r["pid"]: r["bloom_maybe"] for r in bloom_probe(probes, "pid", "text", words).collect()}
+    # no false negatives: every true duplicate is a maybe
+    assert all(out[i] for i in range(len(dup_texts)))
+    # pruning: the 170 genuinely-new probes mostly miss (FPP target 1%;
+    # allow generous slack for a 300-item fill of a 4096-item filter)
+    false_pos = sum(out[i] for i in range(len(dup_texts), len(dup_texts) + len(new_texts)))
+    assert false_pos <= 5, f"{false_pos} false positives out of 170"
