@@ -87,8 +87,26 @@ def list_files(spark, root: str, max_depth: int | None = None) -> DataFrame:
     return spark.createDataFrame(rows, "url string, size long, mtime long")
 
 
+def _resolve_fs(url: str, s3_options: dict | None = None):
+    """(filesystem, path) for a URL; explicit ``s3_options`` (a dict of
+    ``pyarrow.fs.S3FileSystem`` kwargs — endpoint_override, access_key,
+    role_arn, ...) override the ambient env/instance-profile chain, the
+    engine-side hook for the reference's credential bootstrap (R40, ref
+    ``cmd/util.go:21-57``). A plain dict, so it pickles cleanly into
+    executor closures."""
+    from urllib.parse import urlparse
+
+    from pyarrow import fs as pafs
+
+    parsed = urlparse(url)
+    if s3_options and parsed.scheme in ("s3", "s3a"):
+        return pafs.S3FileSystem(**s3_options), f"{parsed.netloc}{parsed.path}".rstrip("/")
+    return pafs.FileSystem.from_uri(url)
+
+
 def list_files_distributed(
-    spark, root: str, max_depth: int | None = None, fanout_partitions: int = 64
+    spark, root: str, max_depth: int | None = None, fanout_partitions: int = 64,
+    s3_options: dict | None = None,
 ) -> DataFrame:
     """Recursive listing with the per-prefix recursion fanned out to
     executors — same output as :func:`list_files`, driver does only the
@@ -100,13 +118,15 @@ def list_files_distributed(
     touches one page of first-level entries and each executor recurses
     one prefix. Uses ``pyarrow.fs`` rather than the Hadoop FS API
     because executors' Python workers have no JVM gateway; both resolve
-    the same schemes for file/s3/hdfs.
+    the same schemes for file/s3/hdfs. ``s3_options`` binds explicit
+    object-store credentials/endpoint into the executor closures (the
+    env chain is invisible to already-running Python workers).
     """
     import pandas as pd
     from pyarrow import fs as pafs
 
     scheme = root.split("://", 1)[0] if "://" in root else "file"
-    fs, base = pafs.FileSystem.from_uri(root if "://" in root else f"file://{root}")
+    fs, base = _resolve_fs(root if "://" in root else f"file://{root}", s3_options)
     base = base.rstrip("/")
     base_depth = base.count("/")
 
@@ -130,7 +150,7 @@ def list_files_distributed(
         for pdf in batches:
             rows = []
             for prefix in pdf["prefix"]:
-                pfs, ppath = pafs.FileSystem.from_uri(prefix)
+                pfs, ppath = _resolve_fs(prefix, s3_options)
                 for i in pfs.get_file_info(pafs.FileSelector(ppath, recursive=True)):
                     if i.type != pafs.FileType.File:
                         continue

@@ -1,0 +1,173 @@
+"""Real object-store semantics end-to-end (VERDICT r3 item 1 of the
+environment gaps): a live S3 API (moto server) underneath the exact
+code paths production would use — prefix listing, chunked/multipart
+transfers, credential conf — instead of the file:// stand-ins.
+
+Covers reference behavior ``pkg/aws/s3.go:82-205`` (download/upload/
+exists/delete), ``:311-338`` (recursive prefix listing), and the R40
+credential bootstrap (explicit options instead of the env chain,
+``cmd/util.go:21-57``).
+
+moto quirk, patched in the fixture: moto 5.2 serializes
+CompleteMultipartUpload with root element
+``CompleteMultipartUploadResponse``; real S3 (and aws-sdk-cpp, which is
+pyarrow's S3 client) use ``CompleteMultipartUploadResult``. boto3
+tolerates the wrong root, Arrow rejects the 200 as an embedded error —
+so the fixture rewrites the root element to the wire-correct name and
+everything else is stock moto.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+moto = pytest.importorskip("moto")
+boto3 = pytest.importorskip("boto3")
+
+BUCKET = "chyme-e2e"
+
+
+@pytest.fixture(scope="module")
+def s3():
+    """(endpoint_url, boto3 client, pyarrow s3_options) against a live
+    moto server, with the multipart-complete root-element fix."""
+    from moto.core.responses import BaseResponse
+    from moto.server import ThreadedMotoServer
+
+    orig = BaseResponse.serialized
+
+    def wire_correct(self, action_result):
+        status, headers, body = orig(self, action_result)
+        fix = (
+            ("CompleteMultipartUploadResponse", "CompleteMultipartUploadResult")
+            if isinstance(body, str)
+            else (b"CompleteMultipartUploadResponse", b"CompleteMultipartUploadResult")
+        )
+        if fix[0] in body:
+            body = body.replace(*fix)
+        return status, headers, body
+
+    BaseResponse.serialized = wire_correct
+    server = ThreadedMotoServer(ip_address="127.0.0.1", port=0)
+    server.start()
+    try:
+        host, port = server.get_host_and_port()
+        endpoint = f"http://{host}:{port}"
+        client = boto3.client(
+            "s3",
+            endpoint_url=endpoint,
+            region_name="us-east-1",
+            aws_access_key_id="testing",
+            aws_secret_access_key="testing",
+        )
+        client.create_bucket(Bucket=BUCKET)
+        s3_options = {
+            "access_key": "testing",
+            "secret_key": "testing",
+            "endpoint_override": endpoint,
+            "region": "us-east-1",
+        }
+        yield endpoint, client, s3_options
+    finally:
+        server.stop()
+        BaseResponse.serialized = orig
+
+
+def _seed_media(client) -> dict[str, bytes]:
+    objects = {
+        "media/a.mov": b"A" * 100,
+        "media/deep/b.mp4": b"B" * 50,
+        "media/deep/deeper/c.mov": b"C" * 25,
+        "media/skip.log": b"z",
+    }
+    for key, body in objects.items():
+        client.put_object(Bucket=BUCKET, Key=key, Body=body)
+    return objects
+
+
+def test_arrowfs_loader_roundtrip_multipart(s3, tmp_path):
+    """download (chunked) / upload (multipart) / exists / delete against
+    live S3 semantics, including a payload larger than the loader's
+    8 MiB chunk size so the read loop takes more than one pass."""
+    endpoint, client, opts = s3
+    from chyme_spark.runner import ArrowFsLoader
+
+    big = bytes(range(256)) * (40 * 1024)  # 10 MiB
+    client.put_object(Bucket=BUCKET, Key="rt/in/big.bin", Body=big)
+    client.put_object(Bucket=BUCKET, Key="rt/in/small.bin", Body=b"tiny")
+
+    loader = ArrowFsLoader(s3_options=opts)
+    dl_dir = tmp_path / "dl"
+    dl_dir.mkdir()
+    n = loader.download(f"s3://{BUCKET}/rt/in", str(dl_dir))
+    assert n == len(big) + 4
+    assert (dl_dir / "big.bin").read_bytes() == big
+    assert (dl_dir / "small.bin").read_bytes() == b"tiny"
+
+    n_up = loader.upload(str(dl_dir), f"s3://{BUCKET}/rt/out")
+    assert n_up == len(big) + 4
+    echoed = client.get_object(Bucket=BUCKET, Key="rt/out/big.bin")["Body"].read()
+    assert echoed == big
+
+    assert loader.exists(f"s3://{BUCKET}/rt/out/big.bin")
+    loader.delete(f"s3://{BUCKET}/rt/out/big.bin")
+    assert not loader.exists(f"s3://{BUCKET}/rt/out/big.bin")
+
+
+def test_distributed_listing_over_s3(s3, spark):
+    """list_files_distributed fans per-prefix recursion to executors
+    with explicit credentials in the closure (no env dependence)."""
+    _endpoint, client, opts = s3
+    objects = _seed_media(client)
+    from chyme_spark.catalog import list_files_distributed
+
+    rows = {
+        r["url"]: r["size"]
+        for r in list_files_distributed(
+            spark, f"s3://{BUCKET}/media", s3_options=opts
+        ).collect()
+    }
+    expected = {f"s3://{BUCKET}/{k}": len(v) for k, v in objects.items()}
+    assert rows == expected
+
+
+def test_pipeline_over_s3_objects(s3, spark, tmp_path):
+    """ingest -> tasker -> worker where every OBJECT lives in S3 (the
+    tables stay local parquet, matching the reference: its tables were
+    Redis/SQS, its objects S3). Exercises listing, template fan-out to
+    s3:// output URLs, executor-side multipart upload of results and
+    metadata, and idempotent re-run."""
+    _endpoint, client, opts = s3
+    _seed_media(client)
+    from chyme_spark.catalog import ingest, list_files_distributed
+    from chyme_spark.runner import loaders_with_credentials, run_tasks
+    from chyme_spark.tasker import create_tasks
+    from chyme_spark.templates import DEFAULT_TEMPLATES, with_overrides
+
+    urls = list_files_distributed(spark, f"s3://{BUCKET}/media", s3_options=opts).select("url")
+    catalog = ingest(urls, "ext/mov/mp4")
+    assert catalog.count() == 3  # skip.log filtered out
+
+    templates = with_overrides(
+        DEFAULT_TEMPLATES,
+        mirror_base=f"s3://{BUCKET}/mirror",
+        executor="subprocess",
+        cmd='for f in "$IN"/*; do wc -c < "$f" > "$OUT/$(basename $f).size"; done',
+    )
+    tasks = create_tasks(catalog, None, templates)
+    results = run_tasks(tasks, loaders=loaders_with_credentials(opts)).cache()
+    assert results.filter("NOT ok").count() == 0
+    assert results.count() == 3
+
+    # the transcode-analog output and the metadata objects landed in S3
+    listed = client.list_objects_v2(Bucket=BUCKET, Prefix="mirror/")
+    keys = [o["Key"] for o in listed.get("Contents", [])]
+    assert sum(k.endswith(".size") for k in keys) == 3
+    assert sum("/metadata/" in k for k in keys) == 3
+    # spot-check content: "100\n" for the 100-byte a.mov
+    out_key = next(k for k in keys if k.endswith("a.mov/a.mov.size"))
+    assert client.get_object(Bucket=BUCKET, Key=out_key)["Body"].read().strip() == b"100"
+
+    # idempotence: a ledger built from the results blanks the re-run
+    ledger = results.filter("ok").select("task_hash")
+    assert create_tasks(catalog, ledger, templates).count() == 0
