@@ -48,38 +48,37 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # Round-1/2 lesson (VERDICT.md): the driver checks exactly the FIRST 50
-# registry entries per round, in insertion order.  Round 2 spent all 50
-# slots proving d01..d50 (49 green, d37 red on a HUGEINT oracle bug).
-# Round 3's window therefore leads with the two red-rows-on-record
-# (d37 now fixed; x_array_agg_sorted fixed in round 2 but never
-# re-checked), then the 34 registered-but-never-checked queries, then
-# backfills the remaining 14 slots with already-green d-ids.
+# registry entries per round, in insertion order.  Each round the window
+# MUST rotate: lead with every query lacking a green driver CORRECTNESS
+# row (new this round or red last round), then backfill with the greens
+# whose last driver check is oldest, so staleness is bounded.
+#
+# Round-5 window: the two round-4 ops that were added without rotating
+# the window (r4 verdict "What's wrong" #1) go first, then any ops new
+# in round 5, then the 47 greens last driver-checked in round 2
+# (d03..d50) and the oldest r1 green x_asof_join.
 _FRONT_50 = [
-    # red rows on record, fixes awaiting a driver row
-    "d37_sessionization", "x_array_agg_sorted",
-    # never driver-checked (round-1 scalar/streaming/subquery x-ops)
-    "x_explode_outer", "x_string_fns2", "x_unpivot", "x_from_json_struct",
-    "x_map_fns2", "x_skew_salted_agg", "x_percentiles", "x_stats_moments",
-    "x_session_window", "x_time_rollup", "x_stream_static_join",
-    "x_stream_stream_join", "x_stream_stateful_counts",
-    "x_corr_scalar_subquery", "x_range_frame", "x_nullsafe_join",
-    "x_global_agg",
-    # never driver-checked (round-2 training-pipeline x-ops)
-    "x_decontaminate", "x_repetition_filter", "x_pii_scrub",
-    "x_domain_stats", "x_mixture_sample",
-    "x_sequence_pack", "x_cosine_topk_np", "x_neardup_survivors",
-    "x_interval_join_bucketed", "x_frame_sample", "x_media_resize",
-    "x_approx_quantiles", "x_skew_salted_join",
-    "x_url_canonicalize", "x_text_normalize", "x_incremental_dedup",
-    "x_compression_ratio",
-    # new in round 3 — never checked, go straight into the window
-    "x_gopher_rules", "x_bpe_pretokenize", "x_duplicate_ngram_fraction",
-    "x_bm25_score", "x_bloom_prefilter",
-    "x_tpch_q3_shipping", "x_tpch_q5_local_supplier",
-    "x_python_udtf", "x_gap_fill", "x_variant_json",
-    "x_minhash_containment", "x_semdedup",
-    # backfill: already-green core d-ids re-prove for free
-    "d01_parquet_scan", "d02_projection",
+    # never driver-checked (added in round 4 outside the window)
+    "x_tpch_q18_big_orders", "x_bloom_prefilter_prod",
+    # backfill: greens last checked in round 2 — re-prove before they
+    # go three rounds stale
+    "d03_filter", "d04_regex_ext_filter", "d05_distinct",
+    "d06_keyed_dedup", "d07_inner_join", "d08_broadcast_join",
+    "d09_left_outer_join", "d10_left_semi_join", "d11_left_anti_join",
+    "d12_star_join", "d13_theta_join", "d14_hash_agg_q1",
+    "d15_count_distinct", "d16_approx_count_distinct", "d17_rollup",
+    "d18_having", "d19_sort", "d20_limit_topk", "d21_topk_per_group",
+    "d22_ranking_windows", "d23_lag_lead", "d24_running_sum",
+    "d25_union", "d26_intersect_except", "d27_string_fns",
+    "d28_url_parse", "d29_hash_fns", "d30_datetime_fns", "d31_math_fns",
+    "d32_conditional_fns", "d33_array_fns", "d34_map_fns",
+    "d35_json_extract", "d36_pivot", "d38_tumbling_window",
+    "d39_sliding_window", "d40_stream_watermark", "d41_stream_dedup",
+    "d42_exact_dedup", "d43_minhash_lsh", "d44_cosine_topk",
+    "d45_token_counts", "d46_binary_files", "d47_python_udf",
+    "d48_pandas_udf", "d49_apply_in_pandas", "d50_pipeline_flagship",
+    # oldest r1 green: the custom as-of join operator
+    "x_asof_join",
 ]
 
 _D_NAME = re.compile(r"^d\d\d_")
@@ -96,11 +95,11 @@ def _order_key(name: str) -> tuple:
 def load_all() -> dict[str, Query]:
     """Import every ops module so its @query decorators run; return REGISTRY.
 
-    The returned dict is re-ordered deterministically: the round-3 front
-    window ``_FRONT_50`` first (red-row fixes, then never-checked ops,
-    then green backfill), then remaining d-ids, then remaining x-ops, so
-    a driver that checks the first 50 entries proves exactly the
-    intended set this round.
+    The returned dict is re-ordered deterministically: the current-round
+    front window ``_FRONT_50`` first (never-checked ops, then stalest
+    green backfill), then remaining d-ids, then remaining x-ops, so a
+    driver that checks the first 50 entries proves exactly the intended
+    set this round.
     """
     from chyme_spark.ops import analytics, asof, binary, llm, pipeline, relational, scalar, streaming, subqueries, training, udfs, windows  # noqa: F401
 

@@ -210,7 +210,15 @@ class ArrowFsLoader(Loader):
 
     def upload(self, src_dir: str, url: str) -> int:
         fs, path = self._resolve(url)
-        fs.create_dir(path, recursive=True)
+        # Object stores have no directories: pyarrow's S3FileSystem
+        # implements create_dir as a zero-byte "<path>/" marker object,
+        # which pollutes the bucket (billions of empty keys at 100 TB
+        # scale) and double-counts in prefix listings. The reference
+        # does plain PUTs with no markers (ref pkg/aws/s3.go:91-162);
+        # open_output_stream materializes the key directly, so only
+        # real filesystems (local/hdfs) need the mkdir.
+        if fs.type_name not in ("s3", "gcs", "abfs"):
+            fs.create_dir(path, recursive=True)
         total = 0
         for name in sorted(os.listdir(src_dir)):
             p = os.path.join(src_dir, name)

@@ -161,7 +161,14 @@ def test_pipeline_over_s3_objects(s3, spark, tmp_path):
 
     # the transcode-analog output and the metadata objects landed in S3
     listed = client.list_objects_v2(Bucket=BUCKET, Prefix="mirror/")
-    keys = [o["Key"] for o in listed.get("Contents", [])]
+    contents = listed.get("Contents", [])
+    keys = [o["Key"] for o in contents]
+    # no zero-byte directory-marker pollution (reference parity: plain
+    # PUTs only, ref pkg/aws/s3.go:91-162) — pyarrow's create_dir would
+    # emit "<prefix>/" markers; ArrowFsLoader.upload must not call it
+    # on object stores
+    markers = [o["Key"] for o in contents if o["Size"] == 0 or o["Key"].endswith("/")]
+    assert markers == []
     assert sum(k.endswith(".size") for k in keys) == 3
     assert sum("/metadata/" in k for k in keys) == 3
     # spot-check content: "100\n" for the 100-byte a.mov
