@@ -147,10 +147,18 @@ def list_files_distributed(
         return files_df
 
     def list_prefixes(batches):
+        # all prefixes share one scheme/credential config, so build the
+        # filesystem client once per worker instead of once per prefix
+        # (S3FileSystem setup is an aws-sdk client bootstrap — material
+        # when a batch carries thousands of prefixes)
+        cached_fs = None
         for pdf in batches:
             rows = []
             for prefix in pdf["prefix"]:
-                pfs, ppath = _resolve_fs(prefix, s3_options)
+                if cached_fs is None:
+                    cached_fs, _ = _resolve_fs(prefix, s3_options)
+                pfs = cached_fs
+                ppath = prefix.split("://", 1)[1].rstrip("/")
                 for i in pfs.get_file_info(pafs.FileSelector(ppath, recursive=True)):
                     if i.type != pafs.FileType.File:
                         continue

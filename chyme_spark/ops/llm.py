@@ -1557,11 +1557,14 @@ def bloom_positions(col: str, m: int, k: int):
 def bloom_build(items: DataFrame, col: str, m: int = _BLOOMP_M, k: int = _BLOOMP_K) -> DataFrame:
     """items -> the filter as a word table (word_idx bigint, word bigint).
 
-    One shuffle keyed on word_idx, output bounded by m/64 rows no matter
-    the corpus size (m=39,261 bits here -> <=614 longs; a 10^9-item,
-    1% -FPP filter is 9.6 Gbit -> 150 M... no: 1.2 GB of words — size m
-    for the partition-level prefilter or feed expected_items/fpp
-    accordingly; the representation itself never depends on n)."""
+    One shuffle keyed on word_idx; output is bounded by m/64 rows no
+    matter the corpus size (m=39,261 bits here -> <=614 longs). Sizing
+    note for 100 TB: a 10^9-item filter at 1% FPP is ~1.2 GB of words —
+    too big to broadcast. At that scale keep the word table as a
+    DataFrame and probe via a shuffle join on word_idx (or build one
+    bounded filter per partition/date and prefilter partition-locally);
+    broadcasting in bloom_probe is correct only while m/64 longs fit
+    the broadcast threshold."""
     return (
         items.select(F.explode(bloom_positions(col, m, k)).alias("p"))
         .select(
@@ -1577,15 +1580,24 @@ def bloom_probe(probes: DataFrame, key: str, col: str, words: DataFrame,
                 m: int = _BLOOMP_M, k: int = _BLOOMP_K) -> DataFrame:
     """(key, col) probes -> (key, bloom_maybe): maybe iff EVERY position's
     bit is set. The word table broadcasts (m/64 longs); the only shuffle
-    is the k-row-per-probe AND-reduction on the probe key."""
-    pos = probes.select(key, F.explode(bloom_positions(col, m, k)).alias("p")).select(
+    is the k-row-per-probe AND-reduction on the probe key.
+
+    NULL probe values hash to no positions (md5(NULL) -> NULL array), so
+    ``explode_outer`` keeps them as a single NULL-position row scored
+    maybe=true — the conservative verdict: an unknown value falls through
+    to the exact-confirm stage instead of silently vanishing from the
+    output (and instead of diverging from SQL NOT IN NULL-semantics
+    oracles, which also yield maybe for NULL)."""
+    pos = probes.select(key, F.explode_outer(bloom_positions(col, m, k)).alias("p")).select(
         key,
         (F.col("p") / 64).cast("bigint").alias("word_idx"),
         F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias("bit"),
     )
-    hit = (
-        pos.join(F.broadcast(words), "word_idx", "left")
-        .select(key, (F.col("word").isNotNull() & (F.col("word").bitwiseAND(F.col("bit")) != 0)).alias("hit"))
+    hit = pos.join(F.broadcast(words), "word_idx", "left").select(
+        key,
+        F.when(F.col("word_idx").isNull(), F.lit(True))
+        .otherwise(F.col("word").isNotNull() & (F.col("word").bitwiseAND(F.col("bit")) != 0))
+        .alias("hit"),
     )
     return hit.groupBy(key).agg(F.min("hit").alias("bloom_maybe"))
 
@@ -1614,7 +1626,7 @@ def bloom_probe(probes: DataFrame, key: str, col: str, words: DataFrame,
     SELECT d.doc_id,
            d.doc_id NOT IN (SELECT doc_id FROM miss) AS bloom_maybe,
            d.doc_id NOT IN (SELECT doc_id FROM miss)
-             AND md5(d.text) IN (SELECT sig FROM exact) AS is_dup
+             AND COALESCE(md5(d.text) IN (SELECT sig FROM exact), FALSE) AS is_dup
     FROM documents d
     WHERE d.doc_id % 2 = 1
     """,
