@@ -141,12 +141,29 @@ try:  # Python Data Source API needs pyspark >= 4.0
             self.prefix = prefix
             self.is_file = is_file
 
+    def _s3_opts_from(options: dict) -> dict:
+        """Extract ``s3.<key>`` reader options into S3FileSystem kwargs
+        (the data-source channel for explicit credentials/endpoint —
+        options travel through Spark, env chains don't reach Python
+        workers)."""
+        return {k[3:]: v for k, v in options.items() if k.startswith("s3.")}
+
+    def _fs_for(root: str, s3_opts: dict):
+        """(filesystem, base path) honoring explicit s3 options."""
+        from pyarrow import fs as pafs
+
+        scheme, rest = root.split("://", 1)
+        if s3_opts and scheme in ("s3", "s3a"):
+            return pafs.S3FileSystem(**s3_opts), rest.rstrip("/")
+        return pafs.FileSystem.from_uri(root)
+
     class ListingReader(DataSourceReader):
         def __init__(self, options: dict):
             self.root = options.get("path") or options.get("root")
             if not self.root:
                 raise ValueError("chyme_listing requires option 'path'")
             self.max_depth = int(options["depth"]) if options.get("depth") else None
+            self.s3_opts = _s3_opts_from(options)
 
         def partitions(self):
             # driver touches ONE non-recursive page (the reference's
@@ -155,7 +172,7 @@ try:  # Python Data Source API needs pyspark >= 4.0
             from pyarrow import fs as pafs
 
             root = self.root if "://" in self.root else f"file://{self.root}"
-            fs, base = pafs.FileSystem.from_uri(root)
+            fs, base = _fs_for(root, self.s3_opts)
             infos = fs.get_file_info(pafs.FileSelector(base.rstrip("/"), recursive=False))
             scheme = root.split("://", 1)[0]
             parts = [
@@ -175,7 +192,7 @@ try:  # Python Data Source API needs pyspark >= 4.0
             def mtime_ms(i):
                 return i.mtime_ns // 1_000_000 if i.mtime_ns is not None else None
 
-            fs, path = pafs.FileSystem.from_uri(partition.prefix)
+            fs, path = _fs_for(partition.prefix, self.s3_opts)
             if partition.is_file:
                 info = fs.get_file_info(path)
                 yield (partition.prefix, info.size, mtime_ms(info))
@@ -228,6 +245,31 @@ try:  # Python Data Source API needs pyspark >= 4.0
         first batch is a full listing and the offset filter keeps
         exactly-once delivery, so the memo is a pure I/O optimization
         with no correctness footprint.
+
+        **Object stores (``appendOnlyKeys`` high-water mode).** The memo
+        above is inert on S3: prefixes are synthesized list-time with no
+        mtime (pyarrow reports ``mtime_ns None``), so every micro-batch
+        would degrade to a full re-list — the reference's flaw
+        (ref ``cmd/tasker.go:85-99``) exactly where it hurts most
+        (100 M-object buckets). There is no server-side "changed since"
+        filter in the S3 list API; the public incremental-listing
+        strategy (same contract as Databricks Auto Loader's
+        ``cloudFiles.useIncrementalListing``) is lexicographic: when the
+        producer writes keys in lexically increasing order (date/time-
+        prefixed paths, ULIDs — the normal log-ingest layout), the
+        offset can be the **high-water KEY**, and each micro-batch is a
+        single ``ListObjectsV2`` page train with ``StartAfter=<high
+        water>``. Unchanged bucket ⇒ ONE empty-page API call, zero
+        object re-listing, regardless of bucket size; and pagination is
+        followed (``ContinuationToken``) — fixing the reference's
+        truncation-at-1000-keys bug (ref ``pkg/aws/s3.go:354``).
+
+        Enable with ``.option("appendOnlyKeys", "true")`` on an s3://
+        root (credentials/endpoint via ``s3.<opt>`` options). The offset
+        is the key itself, so a query restart resumes from the
+        checkpoint with NO cold-start full re-list — strictly better
+        than the memo path. Without the option, s3 roots stay on the
+        always-correct full-listing path (arrival order unconstrained).
         """
 
         _SLACK_NS = 2_000_000_000  # trust memos only past this age (2 s)
@@ -237,10 +279,81 @@ try:  # Python Data Source API needs pyspark >= 4.0
             if not self.root:
                 raise ValueError("chyme_listing requires option 'path'")
             self.max_depth = int(options["depth"]) if options.get("depth") else None
+            self.s3_opts = _s3_opts_from(options)
+            append_only = str(
+                options.get("appendOnlyKeys") or options.get("appendonlykeys") or ""
+            ).lower() in ("true", "1", "yes")
+            scheme = self.root.split("://", 1)[0] if "://" in self.root else "file"
+            self.key_mode = append_only and scheme in ("s3", "s3a")
+            if append_only and not self.key_mode:
+                raise ValueError(
+                    "appendOnlyKeys is an object-store option (s3:// roots); "
+                    "local/hdfs roots already list incrementally via dir-mtime memos"
+                )
             # dir path -> (mtime_ns, [file rows], [(subdir path, mtime_ns)])
             self._memo: dict[str, tuple[int, list, list]] = {}
             self.n_dir_lists = 0  # instrumentation: non-recursive listings issued
             self.n_dir_stats = 0  # instrumentation: batched stat calls issued
+            self.n_api_calls = 0  # instrumentation: key-mode ListObjectsV2 calls
+
+        # -- appendOnlyKeys high-water path (object stores) ----------------
+
+        def _s3_client(self):
+            try:
+                import boto3
+            except ImportError as e:  # pragma: no cover
+                raise NotImplementedError(
+                    "appendOnlyKeys incremental listing needs boto3 for "
+                    "StartAfter-paged ListObjectsV2 (pyarrow's S3 filesystem "
+                    "exposes no list cursor); pip install boto3 or drop the option"
+                ) from e
+            o = self.s3_opts
+            kwargs = {}
+            if o.get("endpoint_override"):
+                ep = o["endpoint_override"]
+                kwargs["endpoint_url"] = ep if "://" in ep else f"http://{ep}"
+            if o.get("region"):
+                kwargs["region_name"] = o["region"]
+            if o.get("access_key"):
+                kwargs["aws_access_key_id"] = o["access_key"]
+            if o.get("secret_key"):
+                kwargs["aws_secret_access_key"] = o["secret_key"]
+            if o.get("session_token"):
+                kwargs["aws_session_token"] = o["session_token"]
+            return boto3.client("s3", **kwargs)
+
+        def _list_after(self, start_key: str, stop_key: str | None = None):
+            """Keys lexically after ``start_key`` (and <= ``stop_key`` if
+            given), in order, as (url, size, mtime_ms, key) tuples —
+            paginated, directory markers skipped, depth bound applied."""
+            bucket, _, prefix = self.root.split("://", 1)[1].partition("/")
+            prefix = prefix.rstrip("/")
+            pfx = f"{prefix}/" if prefix else ""
+            base_slashes = pfx.count("/")
+            client = self._s3_client()
+            kwargs = {"Bucket": bucket, "Prefix": pfx}
+            if start_key:
+                kwargs["StartAfter"] = start_key
+            while True:
+                self.n_api_calls += 1
+                page = client.list_objects_v2(**kwargs)
+                for obj in page.get("Contents", []):
+                    key = obj["Key"]
+                    if stop_key is not None and key > stop_key:
+                        return
+                    if key.endswith("/"):  # directory-marker pollution
+                        continue
+                    if (
+                        self.max_depth is not None
+                        and key.count("/") - base_slashes > self.max_depth
+                    ):
+                        continue
+                    mtime_ms = int(obj["LastModified"].timestamp() * 1000)
+                    yield (f"s3://{bucket}/{key}", obj["Size"], mtime_ms, key)
+                token = page.get("NextContinuationToken")
+                if not token:  # the reference never follows this (s3.go:354)
+                    return
+                kwargs["ContinuationToken"] = token
 
         def _list(self):
             import time
@@ -249,7 +362,7 @@ try:  # Python Data Source API needs pyspark >= 4.0
 
             root = self.root if "://" in self.root else f"file://{self.root}"
             scheme = root.split("://", 1)[0]
-            fs, base = pafs.FileSystem.from_uri(root)
+            fs, base = _fs_for(root, self.s3_opts)
             base = base.rstrip("/")
             base_depth = base.count("/")
             now_ns = time.time_ns()
@@ -308,9 +421,14 @@ try:  # Python Data Source API needs pyspark >= 4.0
                     stack.append(sub)
 
         def initialOffset(self) -> dict:
-            return {"m": -1, "at": []}
+            return {"k": ""} if self.key_mode else {"m": -1, "at": []}
 
         def read(self, start: dict):
+            if self.key_mode:
+                rows = list(self._list_after(start.get("k", "")))
+                if not rows:
+                    return iter([]), start
+                return iter(r[:3] for r in rows), {"k": rows[-1][3]}
             rows = [
                 r
                 for r in self._list()
@@ -324,6 +442,11 @@ try:  # Python Data Source API needs pyspark >= 4.0
 
         def readBetweenOffsets(self, start: dict, end: dict):
             # replay for recovery: everything past `start` up to `end`
+            if self.key_mode:
+                return iter(
+                    r[:3]
+                    for r in self._list_after(start.get("k", ""), stop_key=end.get("k", ""))
+                )
             return iter(
                 r
                 for r in self._list()

@@ -178,3 +178,82 @@ def test_pipeline_over_s3_objects(s3, spark, tmp_path):
     # idempotence: a ledger built from the results blanks the re-run
     ledger = results.filter("ok").select("task_hash")
     assert create_tasks(catalog, ledger, templates).count() == 0
+
+
+def test_stream_reader_high_water_key_mode(s3):
+    """appendOnlyKeys incremental listing on a real S3 API: the offset
+    is the high-water KEY, so a micro-batch over an UNCHANGED bucket
+    costs exactly ONE ListObjectsV2 call returning an empty page —
+    never a re-list of the 100 M-object history (the reference re-lists
+    everything every tick, cmd/tasker.go:85-99). Pagination is followed
+    (ContinuationToken — the reference's 1000-key truncation bug,
+    pkg/aws/s3.go:354, fixed here)."""
+    _endpoint, client, opts = s3
+    from chyme_spark.sources import ListingStreamReader
+
+    # lexically increasing arrivals: date-partitioned log layout
+    for key in ["logs/2026/01/a.mov", "logs/2026/01/b.mp4", "logs/2026/02/c.mov"]:
+        client.put_object(Bucket=BUCKET, Key=key, Body=b"x" * 9)
+
+    r = ListingStreamReader(
+        {
+            "path": f"s3://{BUCKET}/logs",
+            "appendOnlyKeys": "true",
+            **{f"s3.{k}": v for k, v in opts.items()},
+        }
+    )
+    rows1, off1 = r.read(r.initialOffset())
+    urls1 = [u.rsplit("/", 1)[-1] for u, _s, _m in rows1]
+    assert urls1 == ["a.mov", "b.mp4", "c.mov"]
+    assert off1 == {"k": "logs/2026/02/c.mov"}
+    first_calls = r.n_api_calls
+
+    # unchanged bucket: ONE empty-page call, offset unchanged
+    rows2, off2 = r.read(off1)
+    assert list(rows2) == []
+    assert off2 == off1
+    assert r.n_api_calls == first_calls + 1
+
+    # a lexically-later arrival is picked up without touching history
+    client.put_object(Bucket=BUCKET, Key="logs/2026/03/d.mov", Body=b"y" * 4)
+    rows3, off3 = r.read(off2)
+    assert [u.rsplit("/", 1)[-1] for u, _s, _m in rows3] == ["d.mov"]
+    assert off3 == {"k": "logs/2026/03/d.mov"}
+    assert r.n_api_calls == first_calls + 2
+
+    # recovery replay between committed offsets is exact
+    replay = [u.rsplit("/", 1)[-1] for u, _s, _m in r.readBetweenOffsets(off2, off3)]
+    assert replay == ["d.mov"]
+
+    # restart resumes from the checkpointed offset with NO cold re-list
+    r2 = ListingStreamReader(
+        {
+            "path": f"s3://{BUCKET}/logs",
+            "appendOnlyKeys": "true",
+            **{f"s3.{k}": v for k, v in opts.items()},
+        }
+    )
+    rows4, _ = r2.read(off3)
+    assert list(rows4) == []
+    assert r2.n_api_calls == 1
+
+
+def test_stream_reader_key_mode_pagination(s3):
+    """ContinuationToken is followed across pages (>1000 keys) — the
+    reference truncates at one page (pkg/aws/s3.go:354)."""
+    _endpoint, client, opts = s3
+    from chyme_spark.sources import ListingStreamReader
+
+    for i in range(1005):
+        client.put_object(Bucket=BUCKET, Key=f"big/{i:05d}.bin", Body=b"z")
+    r = ListingStreamReader(
+        {
+            "path": f"s3://{BUCKET}/big",
+            "appendOnlyKeys": "true",
+            **{f"s3.{k}": v for k, v in opts.items()},
+        }
+    )
+    rows, off = r.read(r.initialOffset())
+    assert len(list(rows)) == 1005
+    assert off == {"k": "big/01004.bin"}
+    assert r.n_api_calls == 2  # two pages, token followed
