@@ -31,6 +31,7 @@ import json
 import os
 import shutil
 import subprocess
+import tarfile
 import tempfile
 import traceback
 from collections.abc import Callable, Iterator
@@ -95,6 +96,44 @@ class Loader:
     def delete(self, url: str) -> None:
         raise NotImplementedError
 
+    # -- .tar archive cases (ref internal/core/loader.go:169,258 — the
+    # reference DECLARES object(.tar)<->dir transfers but returns
+    # "unimplemented"; here they are real, streaming both ways) --------
+
+    @staticmethod
+    def _extract_tar(fileobj, dest_dir: str) -> int:
+        """Stream-extract a tar into dest_dir; returns member bytes.
+        Members are confined to dest_dir (no path traversal)."""
+        total = 0
+        with tarfile.open(fileobj=fileobj, mode="r|*") as tf:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                name = os.path.basename(member.name)
+                if not name:
+                    continue
+                src = tf.extractfile(member)
+                if src is None:
+                    continue
+                with open(os.path.join(dest_dir, name), "wb") as dst:
+                    shutil.copyfileobj(src, dst)
+                total += member.size
+        return total
+
+    @staticmethod
+    def _pack_tar(src_dir: str, fileobj) -> int:
+        """Stream-pack src_dir's files into an uncompressed tar on
+        fileobj; returns member bytes (tar framing excluded, matching
+        the byte-counting contract of the plain-file paths)."""
+        total = 0
+        with tarfile.open(fileobj=fileobj, mode="w|") as tf:
+            for name in sorted(os.listdir(src_dir)):
+                p = os.path.join(src_dir, name)
+                if os.path.isfile(p):
+                    tf.add(p, arcname=name)
+                    total += os.path.getsize(p)
+        return total
+
 
 class FileLoader(Loader):
     """file:// transfers — the testable stand-in for the S3 loader."""
@@ -108,6 +147,9 @@ class FileLoader(Loader):
                 if os.path.isfile(p):
                     shutil.copy(p, os.path.join(dest_dir, name))
                     total += os.path.getsize(p)
+        elif src.endswith(".tar"):
+            with open(src, "rb") as f:
+                total = self._extract_tar(f, dest_dir)
         else:
             shutil.copy(src, os.path.join(dest_dir, os.path.basename(src)))
             total = os.path.getsize(src)
@@ -115,6 +157,10 @@ class FileLoader(Loader):
 
     def upload(self, src_dir: str, url: str) -> int:
         dest = urlparse(url).path
+        if dest.endswith(".tar"):
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            with open(dest, "wb") as f:
+                return self._pack_tar(src_dir, f)
         os.makedirs(dest, exist_ok=True)
         total = 0
         for name in sorted(os.listdir(src_dir)):
@@ -189,6 +235,11 @@ class ArrowFsLoader(Loader):
 
         fs, path = self._resolve(url)
         info = fs.get_file_info(path)
+        if info.type == pafs.FileType.File and path.endswith(".tar"):
+            # object(.tar) -> dir: stream-extract, no local tar copy
+            # (ref loader.go:169 declares this case, unimplemented there)
+            with fs.open_input_stream(path) as src:
+                return self._extract_tar(src, dest_dir)
         if info.type == pafs.FileType.Directory:
             infos = [
                 i for i in fs.get_file_info(pafs.FileSelector(path, recursive=False))
@@ -210,6 +261,14 @@ class ArrowFsLoader(Loader):
 
     def upload(self, src_dir: str, url: str) -> int:
         fs, path = self._resolve(url)
+        if path.endswith(".tar"):
+            # dir -> object(.tar): stream-pack straight into the (multipart
+            # on s3) output stream (ref loader.go:258, unimplemented there)
+            parent = path.rsplit("/", 1)[0]
+            if parent and fs.type_name not in ("s3", "gcs", "abfs"):
+                fs.create_dir(parent, recursive=True)
+            with fs.open_output_stream(path) as dst:
+                return self._pack_tar(src_dir, dst)
         # Object stores have no directories: pyarrow's S3FileSystem
         # implements create_dir as a zero-byte "<path>/" marker object,
         # which pollutes the bucket (billions of empty keys at 100 TB
