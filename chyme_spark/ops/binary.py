@@ -197,7 +197,7 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_idx", T.LongType()),
         T.StructField("frame_len", T.LongType()),
-        T.StructField("frame_md5", T.StringType()),
+        T.StructField("frame_hex", T.StringType()),
     ]
 )
 
@@ -208,7 +208,7 @@ def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     slicing becomes decoder.read_frame(); batch shape, fan-out schema,
     and determinism are what this plumbing pins down."""
     for pdf in batches:
-        doc_ids, idxs, lens, md5s = [], [], [], []
+        doc_ids, idxs, lens, hexes = [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = bytes(payload)
             n_frames = 0 if not b else (len(b) - 1) // _FRAME_BYTES + 1
@@ -217,32 +217,36 @@ def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 doc_ids.append(doc_id)
                 idxs.append(idx)
                 lens.append(len(fr))
-                md5s.append(hashlib.md5(fr).hexdigest())
+                hexes.append(fr.hex().upper())
         yield pd.DataFrame(
-            {"doc_id": doc_ids, "frame_idx": idxs, "frame_len": lens, "frame_md5": md5s}
+            {"doc_id": doc_ids, "frame_idx": idxs, "frame_len": lens, "frame_hex": hexes}
         )
 
 
 @query(
     "x_frame_sample",
-    # NOTE oracle byte semantics: DuckDB substr() slices CHARACTERS
-    # while strlen() counts BYTES and the Spark side slices UTF-8
-    # payload bytes. md5 parity therefore relies on the documents
-    # fixture text being pure ASCII (1 char == 1 byte — true for the
-    # generator, asserted in tests/test_binary_ops.py); a multi-byte
-    # corpus would need blob slicing on the DuckDB side (ADVICE r2).
+    # True BYTE semantics on both sides (r3 item 7 / ADVICE r2 done):
+    # DuckDB v1.0 has no BLOB slicing or md5(BLOB), so the byte slice is
+    # carried at the hex level — hex(encode(text)) is 2 chars per BYTE,
+    # and a frame of B bytes is the 2B-char substring at doubled
+    # offsets. frame_hex proves exact content like md5 did, and the
+    # parity no longer assumes ASCII (multi-byte fixture proven in
+    # tests/test_binary_ops.py).
     oracle=f"""
-    WITH fr AS (
-        SELECT doc_id, text,
-               unnest(generate_series(0, (strlen(text) - 1) // {_FRAME_BYTES})) AS frame_idx
-        FROM documents WHERE strlen(text) > 0),
+    WITH h AS (
+        SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        FROM documents),
+    fr AS (
+        SELECT doc_id, hx,
+               unnest(generate_series(0, (n - 1) // {_FRAME_BYTES})) AS frame_idx
+        FROM h WHERE n > 0),
     s AS (
         SELECT doc_id, frame_idx,
-               substr(text, 1 + frame_idx * {_FRAME_BYTES}, {_FRAME_BYTES}) AS frame
+               substr(hx, 1 + frame_idx * {2 * _FRAME_BYTES}, {2 * _FRAME_BYTES}) AS frame_hex
         FROM fr WHERE frame_idx % {_FRAME_STRIDE} = 0)
     SELECT doc_id, frame_idx,
-           strlen(frame) AS frame_len,
-           md5(frame) AS frame_md5
+           strlen(frame_hex) // 2 AS frame_len,
+           frame_hex
     FROM s
     """,
     doc="multimodal frame sampling: payload -> fixed-size frames -> keep every k-th, Arrow-batched fan-out (1 blob row -> N frame rows)",
@@ -263,7 +267,7 @@ RESIZE_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("in_len", T.LongType()),
         T.StructField("out_len", T.LongType()),
-        T.StructField("out_md5", T.StringType()),
+        T.StructField("out_hex", T.StringType()),
     ]
 )
 
@@ -279,25 +283,29 @@ def _resize_half(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "doc_id": pdf["doc_id"],
                 "in_len": pdf["payload"].map(len).astype("int64"),
                 "out_len": out_payload.map(len).astype("int64"),
-                "out_md5": out_payload.map(lambda b: hashlib.md5(b).hexdigest()),
+                "out_hex": out_payload.map(lambda b: b.hex().upper()),
             }
         )
 
 
 @query(
     "x_media_resize",
-    # NOTE same ASCII assumption as x_frame_sample's oracle: char-wise
-    # substr vs the Spark side's byte-wise slice agree only on 1-byte
-    # characters (fixture text is pure ASCII; see x_frame_sample).
+    # True BYTE semantics (see x_frame_sample): every 2nd BYTE of the
+    # UTF-8 payload, expressed as hex-pair slicing — in_len/out_len are
+    # byte counts and out_hex the exact downsampled bytes, valid for
+    # multi-byte text (no ASCII assumption).
     oracle="""
-    WITH r AS (
-        SELECT doc_id, strlen(text) AS in_len,
-               array_to_string(list_transform(generate_series(1, strlen(text), 2),
-                               i -> substr(text, i, 1)), '') AS resized
-        FROM documents)
+    WITH h AS (
+        SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        FROM documents),
+    r AS (
+        SELECT doc_id, n AS in_len,
+               COALESCE(array_to_string(list_transform(generate_series(1, n, 2),
+                        i -> substr(hx, (i - 1) * 2 + 1, 2)), ''), '') AS out_hex
+        FROM h)
     SELECT doc_id, in_len,
-           strlen(resized) AS out_len,
-           md5(resized) AS out_md5
+           strlen(out_hex) // 2 AS out_len,
+           out_hex
     FROM r
     """,
     doc="multimodal resize plumbing: deterministic 2:1 payload downsample through Arrow batches (image-resize kernel analog)",
