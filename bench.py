@@ -88,16 +88,32 @@ def main() -> None:
         run(name)
         timings[name] = round(time.time() - t0, 3)
 
-    # second pass: steady-state execution with plan/codegen already JIT'd —
+    # steady-state passes: execution with plan/codegen already JIT'd —
     # the per-query number a long-running cluster actually pays. The
     # headline `value` stays the cold pass for round-over-round
-    # comparability; `queries_steady` separates one-time compile cost
-    # (O(1) per query, irrelevant at 100 TB) from real execution.
-    steady: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        run(name)
-        steady[name] = round(time.time() - t0, 3)
+    # comparability. n>=5 passes with per-query MEDIAN (+ spread) so a
+    # host-load wobble on any single pass can't masquerade as a
+    # regression (r3 item 4): `queries_steady` is the median,
+    # `queries_steady_spread` the max-min across passes.
+    n_steady = int(os.environ.get("SPARK_GRAFT_STEADY_PASSES", "5"))
+    passes: list[dict[str, float]] = []
+    for _ in range(n_steady):
+        p: dict[str, float] = {}
+        for name in names:
+            t0 = time.time()
+            run(name)
+            p[name] = time.time() - t0
+        passes.append(p)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    steady = {n: round(median([p[n] for p in passes]), 3) for n in names}
+    spread = {
+        n: round(max(p[n] for p in passes) - min(p[n] for p in passes), 3) for n in names
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -108,6 +124,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_steady": steady,
+                "queries_median": steady,  # alias: steady numbers ARE medians now
+                "queries_steady_spread": spread,
+                "steady_passes": n_steady,
                 "steady_total": round(sum(steady.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

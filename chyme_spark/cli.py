@@ -378,12 +378,25 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def query_counts() -> tuple[int, int, int]:
+    """(registered, oracle-checked, rows-only) — the single source for
+    every scoreboard number (README asserts against this in tests)."""
+    from chyme_spark.registry import load_all
+
+    reg = load_all()
+    n_oracle = sum(1 for q in reg.values() if q.oracle)
+    return len(reg), n_oracle, len(reg) - n_oracle
+
+
 def cmd_ls(args) -> int:
     from chyme_spark.registry import load_all
 
     for name, q in sorted(load_all().items()):
         kind = "oracle" if q.oracle else "rows-only"
         print(f"{name:28s} [{kind}] {q.doc.strip().splitlines()[0] if q.doc else ''}")
+    total, n_oracle, n_rows_only = query_counts()
+    print(f"-- {total} registered queries ({n_oracle} DuckDB-oracle hash-checked, "
+          f"{n_rows_only} rows-only by design)")
     return 0
 
 

@@ -240,3 +240,35 @@ def test_convert_verb_roundtrip(spark, tmp_path, capsys):
     assert spark.read.orc(dst).count() == 5
     rc2 = cli.main(["convert", "--src", src, "--dst", str(tmp_path / "x"), "--dst-format", "delta"])
     assert rc2 == 2  # gated format -> clean error, not a stacktrace
+
+
+def test_readme_counts_match_registry():
+    """The README scoreboard number is generated, not hand-maintained:
+    this fails the suite the moment the registry grows past the stated
+    count (r3 item 10)."""
+    import os
+    import re
+
+    from chyme_spark.cli import query_counts
+
+    total, n_oracle, n_rows_only = query_counts()
+    readme = open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md")
+    ).read()
+    m = re.search(
+        r"\*\*(\d+) registered queries\*\* \((\d+) DuckDB-oracle hash-checked,\s*(\d+)\s*rows-only",
+        readme,
+    )
+    assert m, "README scoreboard line missing"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (total, n_oracle, n_rows_only)
+
+
+def test_ls_queries_prints_counts(capsys):
+    from chyme_spark import cli
+    from chyme_spark.cli import query_counts
+
+    total, n_oracle, n_rows_only = query_counts()
+    rc = cli.main(["ls-queries"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"-- {total} registered queries ({n_oracle} DuckDB-oracle hash-checked, " in out
