@@ -428,3 +428,188 @@ def x_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_events"),
         )
     )
+
+
+@query(
+    "x_tpch_q4_order_priority",
+    # TPC-H Q4 shape (public spec) adapted to the synthetic schema: the
+    # spec's commit<receipt lateness predicate becomes shipped-after-
+    # order (l_commitdate/l_receiptdate don't exist in this dataset);
+    # the plan shape — date-pruned orders EXISTS-semi-joined to the
+    # lineitem fact, then a tiny priority rollup — is the point.
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: date-pruned orders LEFT SEMI (EXISTS) lineitem with a cross-side non-equi conjunct, priority rollup",
+)
+def x_tpch_q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the quarter filter prunes orders at the scan; the
+    EXISTS is a LEFT SEMI join on the order key, so lineitem is never
+    widened into the output (no dedup needed, no row explosion) and the
+    non-equi shipdate conjunct rides the same hash join; the final
+    rollup is a ~5-row map-side aggregate."""
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "x_tpch_q7_volume_shipping",
+    # TPC-H Q7 shape (public spec): bilateral trade volume between two
+    # nations, by supplier-nation / customer-nation / ship-year, with
+    # the disjunctive either-direction pair predicate.
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l_shipdate) AS ship_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: bilateral nation-pair volume with disjunctive direction predicate, per ship-year decimal revenue",
+)
+def x_tpch_q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: both nation dims broadcast (the pair filter lands on
+    broadcast-local columns, so the disjunction prunes before any
+    exchange); supplier broadcasts; the only shuffles are the two fact
+    hashes (lineitem on orderkey, orders x customer on custkey). The
+    date filter pushes to the lineitem scan."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    supp = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(money(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("volume"))
+    )
+
+
+@query(
+    "x_tpch_q10_returned_items",
+    # TPC-H Q10 shape (public spec): revenue lost to returns per
+    # customer for one quarter, top-20 customers.
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+           c_acctbal
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue per customer (one quarter), nation context, top-20 with unique tiebreak",
+)
+def x_tpch_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: returnflag + date predicates push to both fact
+    scans; lineitem x orders co-hash on the orderkey, the result hashes
+    on custkey to meet customer; nation broadcasts; top-20 is a
+    TakeOrderedAndProject (never a global sort)."""
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(money(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "x_grouping_sets",
+    # explicit GROUPING SETS that are NOT a rollup/cube prefix chain —
+    # two independent single-column sets plus the grand total, i.e. two
+    # different marginal views computed in one pass over the fact.
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="GROUPING SETS ((a),(b),()) — independent marginals + grand total in one pass (not expressible as rollup/cube), grouping_id disambiguated",
+)
+def x_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 DataFrame ``groupingSets``: one Expand + one aggregate
+    — the fact is scanned ONCE for all marginals (at 100 TB the naive
+    alternative is k scans + k shuffles union'd). Expand multiplies
+    rows by the number of sets BEFORE the shuffle, but map-side partial
+    aggregation collapses them to ~cardinality(sets) rows per task."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            money(F.sum(dec("l_quantity"))).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "gid",
+            "n",
+            "sum_qty",
+        )
+    )

@@ -217,3 +217,43 @@ def x_cosine_topk_np(spark: SparkSession, sf: str, topk: int = 3) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
     return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= topk).drop("rn")
+
+
+@query(
+    "x_embedding_centroids",
+    # per-label centroids of the embedding column — the statistic behind
+    # IVF coarse quantizers, semantic-dedup cluster summaries, and
+    # class-prototype models. Output is (label, pos, centroid component)
+    # rows, decimal-pinned; DuckDB's generate_subscripts is 1-based,
+    # Spark's posexplode 0-based, aligned via pos + 1.
+    oracle="""
+    SELECT label,
+           pos,
+           CAST(ROUND(SUM(CAST(v AS DECIMAL(18,8))) / count(*), 4) AS DOUBLE) AS centroid
+    FROM (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings)
+    GROUP BY label, pos
+    """,
+    doc="per-label embedding centroids: posexplode + decimal mean per (label, dimension) — the IVF coarse-quantizer / class-prototype statistic",
+)
+def x_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: posexplode widens each row to dim rows BEFORE the
+    shuffle, but hash aggregation runs map-side first, so the exchange
+    carries at most n_labels x dim partial sums PER TASK (a few KB),
+    not n_rows x dim — the same partial-agg shape that makes d14 scale.
+    The decimal sum makes the mean order-insensitive (float addition
+    is not associative; a double sum would hash-diverge between
+    engines and between partitionings)."""
+    emb = load_table(spark, sf, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,8)")) / F.count("*"), 4
+            ).cast("double").alias("centroid")
+        )
+    )

@@ -60,22 +60,29 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 _FRONT_50 = [
     # never driver-checked (added in round 4 outside the window)
     "x_tpch_q18_big_orders", "x_bloom_prefilter_prod",
-    # backfill: greens last checked in round 2 — re-prove before they
-    # go three rounds stale
+    # new in round 5 — straight into the window
+    "x_tpch_q4_order_priority", "x_tpch_q7_volume_shipping",
+    "x_tpch_q10_returned_items", "x_grouping_sets",
+    "x_embedding_centroids",
+    # backfill: hash-proven greens last checked in round 2 — re-prove
+    # before they go three rounds stale (the five rows-only-by-design
+    # d-ids d16/d40/d41/d43/d46 are excluded: their driver row is only
+    # a rows>0 check, the weakest re-proof, and their contracts are
+    # pinned by stream==batch / recall pytest suites instead)
     "d03_filter", "d04_regex_ext_filter", "d05_distinct",
     "d06_keyed_dedup", "d07_inner_join", "d08_broadcast_join",
     "d09_left_outer_join", "d10_left_semi_join", "d11_left_anti_join",
     "d12_star_join", "d13_theta_join", "d14_hash_agg_q1",
-    "d15_count_distinct", "d16_approx_count_distinct", "d17_rollup",
+    "d15_count_distinct", "d17_rollup",
     "d18_having", "d19_sort", "d20_limit_topk", "d21_topk_per_group",
     "d22_ranking_windows", "d23_lag_lead", "d24_running_sum",
     "d25_union", "d26_intersect_except", "d27_string_fns",
     "d28_url_parse", "d29_hash_fns", "d30_datetime_fns", "d31_math_fns",
     "d32_conditional_fns", "d33_array_fns", "d34_map_fns",
     "d35_json_extract", "d36_pivot", "d38_tumbling_window",
-    "d39_sliding_window", "d40_stream_watermark", "d41_stream_dedup",
-    "d42_exact_dedup", "d43_minhash_lsh", "d44_cosine_topk",
-    "d45_token_counts", "d46_binary_files", "d47_python_udf",
+    "d39_sliding_window",
+    "d42_exact_dedup", "d44_cosine_topk",
+    "d45_token_counts", "d47_python_udf",
     "d48_pandas_udf", "d49_apply_in_pandas", "d50_pipeline_flagship",
     # oldest r1 green: the custom as-of join operator
     "x_asof_join",
