@@ -428,7 +428,10 @@ try:  # Python Data Source API needs pyspark >= 4.0
                 rows = list(self._list_after(start.get("k", "")))
                 if not rows:
                     return iter([]), start
-                return iter(r[:3] for r in rows), {"k": rows[-1][3]}
+                # iter over a materialized list, never a generator:
+                # Spark's prefetching reader copy()s the record iterator
+                # for offset-replay, and list_iterators are copyable
+                return iter([r[:3] for r in rows]), {"k": rows[-1][3]}
             rows = [
                 r
                 for r in self._list()
@@ -443,10 +446,10 @@ try:  # Python Data Source API needs pyspark >= 4.0
         def readBetweenOffsets(self, start: dict, end: dict):
             # replay for recovery: everything past `start` up to `end`
             if self.key_mode:
-                return iter(
+                return iter([
                     r[:3]
                     for r in self._list_after(start.get("k", ""), stop_key=end.get("k", ""))
-                )
+                ])
             return iter(
                 r
                 for r in self._list()

@@ -266,6 +266,50 @@ def test_stream_reader_high_water_key_mode(s3):
     assert r2.n_api_calls == 1
 
 
+def test_key_mode_streaming_query_end_to_end(s3, spark, tmp_path):
+    """appendOnlyKeys mode through a real Structured Streaming query:
+    offsets are committed to the checkpoint, a second drain picks up
+    only the lexically-later arrival, a third appends nothing."""
+    _endpoint, client, opts = s3
+    from chyme_spark.sources import register_listing_source
+
+    for key in ["inbox/2026/01/a.mov", "inbox/2026/02/b.mp4"]:
+        client.put_object(Bucket=BUCKET, Key=key, Body=b"x" * 7)
+    register_listing_source(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        rd = (
+            spark.readStream.format("chyme_listing")
+            .option("path", f"s3://{BUCKET}/inbox")
+            .option("appendOnlyKeys", "true")
+        )
+        for k, v in opts.items():
+            rd = rd.option(f"s3.{k}", v)
+        q = (
+            rd.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    names = sorted(r.url.rsplit("/", 1)[-1] for r in spark.read.parquet(out).collect())
+    assert names == ["a.mov", "b.mp4"]
+
+    client.put_object(Bucket=BUCKET, Key="inbox/2026/03/c.mov", Body=b"y" * 3)
+    drain()
+    names = sorted(r.url.rsplit("/", 1)[-1] for r in spark.read.parquet(out).collect())
+    assert names == ["a.mov", "b.mp4", "c.mov"]  # no duplicates
+
+    drain()
+    assert spark.read.parquet(out).count() == 3
+
+
 def test_stream_reader_key_mode_pagination(s3):
     """ContinuationToken is followed across pages (>1000 keys) — the
     reference truncates at one page (pkg/aws/s3.go:354)."""
