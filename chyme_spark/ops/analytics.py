@@ -613,3 +613,105 @@ def x_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@query(
+    "x_tpch_q13_cust_distribution",
+    # TPC-H Q13 shape (public spec): the order-count histogram over ALL
+    # customers including the zero-order ones — a LEFT OUTER join
+    # followed by a second aggregation over the first's result (the
+    # double-agg topology none of the other queries exercise). The
+    # spec's comment-pattern exclusion becomes an order-priority
+    # exclusion (no o_comment column in the synthetic schema).
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape: LEFT OUTER join keeping zero-order customers, per-customer count, then the count-of-counts histogram (double aggregation)",
+)
+def x_tpch_q13_cust_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: orders shuffles on custkey once; customer joins on
+    the same key (outer, so customers with no surviving orders keep a
+    row — count(o_orderkey) ignores the NULLs); the second aggregate's
+    input is one row per customer and its output one row per distinct
+    count, so the histogram exchange is tiny. The non-join-key
+    predicate sits IN the join condition (not a post-filter), which is
+    what preserves the zero-order rows."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "x_tpch_q22_sales_opportunity",
+    # TPC-H Q22 shape (public spec): positive-balance customers above
+    # the average positive balance with no recent urgent order — an
+    # UNCORRELATED scalar subquery (the global average) feeding a
+    # filter, then an anti join against a date/priority-pruned slice of
+    # the fact. Country-code grouping becomes nationkey-mod grouping
+    # (no phone column), and "never ordered" becomes "no urgent order
+    # since 2000" (the synthetic generator gives every customer at
+    # least one order, so the literal spec predicate is degenerate).
+    oracle="""
+    WITH avg_bal AS (
+        SELECT AVG(CAST(c_acctbal AS DECIMAL(18,4))) AS a
+        FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey % 5 AS cntry_grp,
+           count(*) AS n_cust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cntry_grp
+    """,
+    doc="TPC-H Q22 shape: uncorrelated scalar-subquery average gating a filter, LEFT ANTI join vs orders (never-ordered customers), grouped balance rollup",
+)
+def x_tpch_q22_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the scalar average is a one-row subquery Spark
+    evaluates first and folds into the filter (no join); the NOT EXISTS
+    is a LEFT ANTI hash join on custkey — orders projects ONLY the join
+    key into the exchange (column pruning keeps the anti-join build
+    narrow); the final rollup is a ~5-row aggregate. The decimal cast
+    on the average matters: a double average would hash-diverge at the
+    filter boundary for customers exactly at the mean."""
+    cust = load_table(spark, sf, "customer")
+    orders = (
+        load_table(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= "2000-01-01")
+        )
+        .select("o_custkey")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(dec("c_acctbal")).alias("a"))
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cntry_grp"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            money(F.sum(dec("c_acctbal"))).alias("total_bal"),
+        )
+    )

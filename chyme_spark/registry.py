@@ -64,11 +64,14 @@ _FRONT_50 = [
     "x_tpch_q4_order_priority", "x_tpch_q7_volume_shipping",
     "x_tpch_q10_returned_items", "x_grouping_sets",
     "x_embedding_centroids",
+    "x_tpch_q13_cust_distribution", "x_tpch_q22_sales_opportunity",
     # backfill: hash-proven greens last checked in round 2 — re-prove
     # before they go three rounds stale (the five rows-only-by-design
     # d-ids d16/d40/d41/d43/d46 are excluded: their driver row is only
     # a rows>0 check, the weakest re-proof, and their contracts are
-    # pinned by stream==batch / recall pytest suites instead)
+    # pinned by stream==batch / recall pytest suites instead; d47/d48
+    # yield their slots to the round-5 Q13/Q22 — d28/d48's arithmetic
+    # twins keep their semantics pinned)
     "d03_filter", "d04_regex_ext_filter", "d05_distinct",
     "d06_keyed_dedup", "d07_inner_join", "d08_broadcast_join",
     "d09_left_outer_join", "d10_left_semi_join", "d11_left_anti_join",
@@ -82,8 +85,8 @@ _FRONT_50 = [
     "d35_json_extract", "d36_pivot", "d38_tumbling_window",
     "d39_sliding_window",
     "d42_exact_dedup", "d44_cosine_topk",
-    "d45_token_counts", "d47_python_udf",
-    "d48_pandas_udf", "d49_apply_in_pandas", "d50_pipeline_flagship",
+    "d45_token_counts",
+    "d49_apply_in_pandas", "d50_pipeline_flagship",
     # oldest r1 green: the custom as-of join operator
     "x_asof_join",
 ]
