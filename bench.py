@@ -60,10 +60,12 @@ HEADLINE = [
     # that does NOT broadcast, so the sort-merge (+ spill) path the
     # engine runs at 100 TB is finally on the scoreboard (VERDICT r3)
     "x_tpch_q18_big_orders",
-    # round-5: semi-join, bilateral-pair, and returns-topk join shapes
+    # round-5: semi-join, bilateral-pair, returns-topk, and
+    # outer-join-double-agg join shapes
     "x_tpch_q4_order_priority",
     "x_tpch_q7_volume_shipping",
     "x_tpch_q10_returned_items",
+    "x_tpch_q13_cust_distribution",
 ]
 
 
