@@ -131,7 +131,11 @@ def d42_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     doc="exact n-gram Jaccard near-dup pairs via inverted-index join (ground truth for MinHash)",
 )
 def x_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    ng = doc_ngrams(spark, sf)
+    # the gram string never reaches the output: shuffle/join on its
+    # 8-byte xxhash64 instead (same trade as x_duplicate_ngram_fraction;
+    # zero collisions on the oracle-checked data, pinned there by the
+    # exact-gram DuckDB oracle itself)
+    ng = doc_ngrams(spark, sf).select("doc_id", F.xxhash64("g").alias("g"))
     sizes = ng.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = ng.alias("a")
     b = ng.alias("b")
@@ -1709,7 +1713,8 @@ def x_minhash_containment(spark: SparkSession, sf: str) -> DataFrame:
     |A| only, so each ordered pair is scored. At 100 TB the candidate
     step swaps to containment-biased minhash (bottom-k of A's sketch
     probed against B's), same downstream verify."""
-    ng = doc_ngrams(spark, sf)
+    # 8-byte hashed gram key in the self-join (see x_ngram_jaccard)
+    ng = doc_ngrams(spark, sf).select("doc_id", F.xxhash64("g").alias("g"))
     sizes = ng.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = ng.alias("a")
     b = ng.alias("b")
