@@ -715,3 +715,46 @@ def x_tpch_q22_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
             money(F.sum(dec("c_acctbal"))).alias("total_bal"),
         )
     )
+
+
+@query(
+    "x_cohort_retention",
+    # the classic product-analytics cohort matrix: users bucketed by
+    # first-seen week, counted in each subsequent week they were
+    # active — week truncation is ISO-Monday in both engines.
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id),
+    active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS INT) AS week_offset,
+           count(*) AS n_users
+    FROM active a JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="cohort retention matrix: first-seen-week cohorts x active-week offsets -> user counts (product-analytics staple over the events stream)",
+)
+def x_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: both inputs aggregate on the user key (map-side
+    combine collapses each user's events before the exchange), the
+    cohort join is user-key-aligned with the aggregation output, and
+    the final matrix is a ~weeks^2-row aggregate — no event-grain
+    self-join anywhere (the naive formulation joins events to events
+    and explodes)."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.to_date("wk"), F.to_date("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -65,6 +65,7 @@ _FRONT_50 = [
     "x_tpch_q10_returned_items", "x_grouping_sets",
     "x_embedding_centroids",
     "x_tpch_q13_cust_distribution", "x_tpch_q22_sales_opportunity",
+    "x_cohort_retention",
     # backfill: hash-proven greens last checked in round 2 — re-prove
     # before they go three rounds stale (the five rows-only-by-design
     # d-ids d16/d40/d41/d43/d46 are excluded: their driver row is only
@@ -86,7 +87,7 @@ _FRONT_50 = [
     "d39_sliding_window",
     "d42_exact_dedup", "d44_cosine_topk",
     "d45_token_counts",
-    "d49_apply_in_pandas", "d50_pipeline_flagship",
+    "d50_pipeline_flagship",
     # oldest r1 green: the custom as-of join operator
     "x_asof_join",
 ]
