@@ -39,6 +39,61 @@ def _read_ledger_or_none(spark, path: str):
     return None if df is None else df.dropDuplicates(["task_hash"])
 
 
+def _ingest_follow(spark, args) -> int:
+    """Perpetual ingest: the recursive lister as a STREAMING source
+    feeding the catalog — the reference's always-on indexer service
+    (ref internal/ingest/service.go:42-119 behind its HTTP loop) as a
+    Structured Streaming query with exactly-once file delivery.
+
+    On object stores add ``--append-only-keys`` when the producer
+    writes lexically increasing keys: the stream offset becomes the
+    high-water KEY and an unchanged bucket costs one empty
+    ListObjectsV2 page per poll instead of a full re-list (see
+    sources.ListingStreamReader)."""
+    from chyme_spark.catalog import ingest as _ingest
+    from chyme_spark.sources import register_listing_source
+
+    register_listing_source(spark)
+    rd = spark.readStream.format("chyme_listing").option("path", args.root)
+    if args.recursion is not None:
+        rd = rd.option("depth", str(args.recursion))
+    if getattr(args, "append_only_keys", False):
+        rd = rd.option("appendOnlyKeys", "true")
+    counts = {"n": 0}
+
+    def process(batch_df, _batch_id: int) -> None:
+        catalog = _ingest(batch_df.select("url"), args.filter)
+        existing = _read_or_none(spark, args.catalog)
+        if existing is not None:
+            catalog = catalog.join(existing.select("url"), "url", "left_anti")
+        catalog = catalog.cache()
+        counts["n"] += catalog.count()
+        catalog.write.mode("append").parquet(args.catalog)
+        catalog.unpersist()
+
+    ckpt = args.follow_checkpoint or f"{args.catalog.rstrip('/')}_stream_ckpt"
+    writer = (
+        rd.load()
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+    )
+    interval = getattr(args, "follow_interval", None)
+    writer = (
+        writer.trigger(processingTime=interval)
+        if interval
+        else writer.trigger(availableNow=True)
+    )
+    q = writer.start()
+    duration = getattr(args, "follow_duration", None)
+    if duration is not None:
+        q.awaitTermination(duration)
+        q.stop()
+    q.awaitTermination()
+    mode = f"long-poll every {interval}" if interval else "stream drain"
+    print(f"cataloged {counts['n']} new resources ({mode})")
+    return 0
+
+
 def cmd_ingest(args) -> int:
     from chyme_spark.catalog import (
         ingest,
@@ -58,6 +113,8 @@ def cmd_ingest(args) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+    if getattr(args, "follow", False):
+        return _ingest_follow(spark, args)
     if "://" in args.root and not args.root.startswith("file://"):
         urls = spark.createDataFrame([(args.root,)], "url string")
     else:
@@ -411,6 +468,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--catalog", required=True, help="catalog parquet dir")
     p.add_argument("--distributed-listing", action="store_true",
                    help="fan per-prefix recursion out to executors (large buckets)")
+    p.add_argument("--follow", action="store_true",
+                   help="streaming ingest: watch root for new arrivals (exactly-once)")
+    p.add_argument("--follow-interval", default=None, metavar="'20 seconds'",
+                   help="perpetual poll trigger; default drains once (availableNow)")
+    p.add_argument("--follow-duration", type=int, default=None,
+                   help="stop the perpetual poll after N ms (tests/bounded runs)")
+    p.add_argument("--follow-checkpoint", default=None,
+                   help="stream checkpoint dir (default: <catalog>_stream_ckpt)")
+    p.add_argument("--append-only-keys", action="store_true",
+                   help="s3 roots with lexically increasing keys: high-water-key "
+                   "incremental listing (one empty page per unchanged poll)")
     p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("tasker", help="expand catalog through templates into tasks")

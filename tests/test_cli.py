@@ -272,3 +272,34 @@ def test_ls_queries_prints_counts(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert f"-- {total} registered queries ({n_oracle} DuckDB-oracle hash-checked, " in out
+
+
+def test_ingest_follow_streams_new_arrivals(spark, tmp_path, capsys):
+    """ingest --follow catalogs via the chyme_listing streaming source:
+    first drain catalogs the existing files, a second drain after a new
+    arrival appends ONLY it (stream checkpoint + exactly-once), and the
+    extension filter applies inside every micro-batch."""
+    import time
+
+    src = tmp_path / "inbox"
+    src.mkdir()
+    (src / "a.mov").write_bytes(b"A" * 10)
+    (src / "skip.log").write_bytes(b"z")
+    cat = str(tmp_path / "catalog")
+    args = [
+        "ingest", str(src), "--filter", "ext/mov/mp4",
+        "--catalog", cat, "--follow",
+    ]
+    assert cli.main(args) == 0
+    rows = spark.read.parquet(cat).collect()
+    assert [r.url.rsplit("/", 1)[-1] for r in rows] == ["a.mov"]
+
+    time.sleep(0.05)  # distinct mtime millisecond for the arrival
+    (src / "b.mp4").write_bytes(b"B" * 20)
+    assert cli.main(args) == 0
+    names = sorted(r.url.rsplit("/", 1)[-1] for r in spark.read.parquet(cat).collect())
+    assert names == ["a.mov", "b.mp4"]
+
+    # unchanged inbox: third drain appends nothing
+    assert cli.main(args) == 0
+    assert spark.read.parquet(cat).count() == 2
