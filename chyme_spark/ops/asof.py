@@ -134,3 +134,73 @@ def x_interval_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("sum_value"),
         F.min("event_id").alias("first_event"),
     )
+
+
+@query(
+    "x_asof_join_tolerance",
+    # tolerance-bounded as-of (pandas merge_asof(tolerance=...) / kdb wj
+    # semantics): each event matches the latest PURCHASE by the same
+    # user at-or-before it — but only within 6 hours, the variant where
+    # a stale reference row must NOT carry forward indefinitely.
+    # Self-aligned inside the events table (orders and events occupy
+    # disjoint year ranges in the synthetic data, so a cross-table
+    # tolerance would be vacuously empty).
+    oracle="""
+    WITH ref AS (
+        SELECT user_id, ts, max(event_id) AS ref_event
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT e.event_id, e.user_id, r.ref_event AS asof_purchase
+    FROM events e
+    ASOF JOIN ref r ON e.user_id = r.user_id AND e.ts >= r.ts
+    WHERE e.ts - r.ts <= INTERVAL 6 HOUR
+    """,
+    doc="tolerance-bounded as-of join: latest purchase at-or-before each event AND within 6 hours (merge_asof tolerance semantics); DuckDB ASOF + tolerance filter oracle",
+)
+def x_asof_join_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """Same union + keyed ordered window plan as x_asof_join (one
+    shuffle per input, all-JVM), carrying the matched REFERENCE TIME
+    through the window in a struct so the tolerance is a post-window
+    filter — no second join, no range explosion. At 100 TB the window
+    sort rides the same exchange the plain as-of already pays."""
+    events = load_table(spark, sf, "events")
+    ref = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("ref_event"))
+    )
+    left = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("r_t"),
+        F.lit(None).cast("long").alias("ref_event"),
+        F.lit(1).alias("is_event"),
+    )
+    right = ref.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("r_t"),
+        "ref_event",
+        F.lit(0).alias("is_event"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", "ref_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        left.unionByName(right)
+        .withColumn("m", F.last(F.when(F.col("is_event") == 0,
+                                       F.struct("r_t", "ref_event")),
+                                ignorenulls=True).over(w))
+    )
+    return (
+        merged.filter(
+            (F.col("is_event") == 1)
+            & F.col("m").isNotNull()
+            & (F.col("t") <= F.col("m.r_t") + F.expr("INTERVAL 6 HOUR"))
+        )
+        .select("event_id", F.col("k").alias("user_id"),
+                F.col("m.ref_event").alias("asof_purchase"))
+    )

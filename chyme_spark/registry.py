@@ -65,7 +65,7 @@ _FRONT_50 = [
     "x_tpch_q10_returned_items", "x_grouping_sets",
     "x_embedding_centroids",
     "x_tpch_q13_cust_distribution", "x_tpch_q22_sales_opportunity",
-    "x_cohort_retention",
+    "x_cohort_retention", "x_asof_join_tolerance",
     # backfill: hash-proven greens last checked in round 2 — re-prove
     # before they go three rounds stale (the five rows-only-by-design
     # d-ids d16/d40/d41/d43/d46 are excluded: their driver row is only
@@ -84,7 +84,6 @@ _FRONT_50 = [
     "d28_url_parse", "d29_hash_fns", "d30_datetime_fns", "d31_math_fns",
     "d32_conditional_fns", "d33_array_fns", "d34_map_fns",
     "d35_json_extract", "d36_pivot", "d38_tumbling_window",
-    "d39_sliding_window",
     "d42_exact_dedup", "d44_cosine_topk",
     "d45_token_counts",
     "d50_pipeline_flagship",
