@@ -192,3 +192,14 @@ def test_listing_datasource_streams_new_arrivals(spark, tmp_path):
     # nothing new -> a third drain appends nothing
     drain()
     assert spark.read.parquet(out).count() == 2
+
+
+def test_append_only_keys_rejected_on_local_roots(tmp_path):
+    """appendOnlyKeys is an object-store contract; a local root gets a
+    clean error (the dir-mtime memo already lists incrementally there)."""
+    import pytest as _pytest
+
+    from chyme_spark.sources import ListingStreamReader
+
+    with _pytest.raises(ValueError, match="object-store"):
+        ListingStreamReader({"path": str(tmp_path), "appendOnlyKeys": "true"})
