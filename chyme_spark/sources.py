@@ -324,8 +324,11 @@ try:  # Python Data Source API needs pyspark >= 4.0
 
         def _list_after(self, start_key: str, stop_key: str | None = None):
             """Keys lexically after ``start_key`` (and <= ``stop_key`` if
-            given), in order, as (url, size, mtime_ms, key) tuples —
-            paginated, directory markers skipped, depth bound applied."""
+            given), in order, as (url, size, mtime_ms, key, keep)
+            tuples — paginated; directory markers and depth-excluded
+            keys carry keep=False (they still advance the high-water
+            offset, or a deep subtree past the high water would be
+            re-listed on every poll)."""
             bucket, _, prefix = self.root.split("://", 1)[1].partition("/")
             prefix = prefix.rstrip("/")
             pfx = f"{prefix}/" if prefix else ""
@@ -341,15 +344,12 @@ try:  # Python Data Source API needs pyspark >= 4.0
                     key = obj["Key"]
                     if stop_key is not None and key > stop_key:
                         return
-                    if key.endswith("/"):  # directory-marker pollution
-                        continue
-                    if (
+                    keep = not key.endswith("/") and not (  # dir markers
                         self.max_depth is not None
                         and key.count("/") - base_slashes > self.max_depth
-                    ):
-                        continue
+                    )
                     mtime_ms = int(obj["LastModified"].timestamp() * 1000)
-                    yield (f"s3://{bucket}/{key}", obj["Size"], mtime_ms, key)
+                    yield (f"s3://{bucket}/{key}", obj["Size"], mtime_ms, key, keep)
                 token = page.get("NextContinuationToken")
                 if not token:  # the reference never follows this (s3.go:354)
                     return
@@ -430,8 +430,9 @@ try:  # Python Data Source API needs pyspark >= 4.0
                     return iter([]), start
                 # iter over a materialized list, never a generator:
                 # Spark's prefetching reader copy()s the record iterator
-                # for offset-replay, and list_iterators are copyable
-                return iter([r[:3] for r in rows]), {"k": rows[-1][3]}
+                # for offset-replay, and list_iterators are copyable;
+                # the offset advances past EVERY seen key (kept or not)
+                return iter([r[:3] for r in rows if r[4]]), {"k": rows[-1][3]}
             rows = [
                 r
                 for r in self._list()
@@ -449,6 +450,7 @@ try:  # Python Data Source API needs pyspark >= 4.0
                 return iter([
                     r[:3]
                     for r in self._list_after(start.get("k", ""), stop_key=end.get("k", ""))
+                    if r[4]
                 ])
             return iter(
                 r

@@ -266,6 +266,32 @@ def test_stream_reader_high_water_key_mode(s3):
     assert r2.n_api_calls == 1
 
 
+def test_stream_reader_key_mode_depth_bound(s3):
+    """--recursion parity in key mode: keys deeper than the bound are
+    filtered client-side without affecting the high-water offset."""
+    _endpoint, client, opts = s3
+    from chyme_spark.sources import ListingStreamReader
+
+    for key in ["dpth/a.mov", "dpth/x/b.mov", "dpth/x/y/c.mov"]:
+        client.put_object(Bucket=BUCKET, Key=key, Body=b"d")
+    r = ListingStreamReader(
+        {
+            "path": f"s3://{BUCKET}/dpth",
+            "appendOnlyKeys": "true",
+            "depth": "1",
+            **{f"s3.{k}": v for k, v in opts.items()},
+        }
+    )
+    rows, off = r.read(r.initialOffset())
+    assert [u.rsplit("/", 1)[-1] for u, _s, _m in rows] == ["a.mov", "b.mov"]
+    # the offset advances past the filtered deep key too — a deep
+    # subtree beyond the high water must not be re-listed every poll
+    assert off == {"k": "dpth/x/y/c.mov"}
+    rows2, off2 = r.read(off)
+    assert list(rows2) == []
+    assert off2 == off
+
+
 def test_key_mode_streaming_query_end_to_end(s3, spark, tmp_path):
     """appendOnlyKeys mode through a real Structured Streaming query:
     offsets are committed to the checkpoint, a second drain picks up
