@@ -737,20 +737,22 @@ def x_tpch_q22_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
     doc="cohort retention matrix: first-seen-week cohorts x active-week offsets -> user counts (product-analytics staple over the events stream)",
 )
 def x_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
-    """100 TB plan: both inputs aggregate on the user key (map-side
-    combine collapses each user's events before the exchange), the
-    cohort join is user-key-aligned with the aggregation output, and
-    the final matrix is a ~weeks^2-row aggregate — no event-grain
-    self-join anywhere (the naive formulation joins events to events
-    and explodes)."""
+    """100 TB plan: events collapse to distinct (user, week) rows first
+    (map-side combine before the exchange), then the cohort week is a
+    MIN window over the user partition of that already-tiny activity
+    set — no first-seen aggregate, no join (a join formulation either
+    broadcasts a users-sized table, impossible at 10^9 users, or pays a
+    third full exchange). The final matrix is a ~weeks^2-row aggregate.
+    No event-grain self-join anywhere."""
     ev = load_table(spark, sf, "events").select(
         "user_id", F.date_trunc("week", "ts").alias("wk")
     )
-    first_seen = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
     active = ev.distinct()
+    cohort = active.withColumn(
+        "cohort_week", F.min("wk").over(Window.partitionBy("user_id"))
+    )
     return (
-        active.join(first_seen, "user_id")
-        .groupBy(
+        cohort.groupBy(
             F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
             (F.datediff(F.to_date("wk"), F.to_date("cohort_week")) / 7)
             .cast("int")
