@@ -66,6 +66,9 @@ HEADLINE = [
     "x_tpch_q7_volume_shipping",
     "x_tpch_q10_returned_items",
     "x_tpch_q13_cust_distribution",
+    # the correlated per-key aggregate (fact joined back to its own
+    # rollup on the same key — exchange-reuse showcase)
+    "x_tpch_q17_small_qty_parts",
 ]
 
 

@@ -760,3 +760,186 @@ def x_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@query(
+    "x_tpch_q14_promo_revenue",
+    # TPC-H Q14 shape (public spec): the share of one month's revenue
+    # from promo parts — a conditional aggregate over a fact x dim join
+    # collapsing to ONE row.
+    oracle="""
+    SELECT CAST(ROUND(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                 ELSE 0 END)
+             / SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE)
+             AS promo_pct,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    doc="TPC-H Q14 shape: promo revenue share for one ship-month — conditional decimal aggregate over a broadcast dim join, single-row output",
+)
+def x_tpch_q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the month filter pushes to the lineitem scan; part
+    broadcasts; the conditional sums are ONE map-side partial aggregate
+    (no shuffle of data rows at all — the only exchange carries partial
+    sums). The CASE rides inside the aggregate, not a second scan."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = load_table(spark, sf, "part")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                / F.sum(rev),
+                4,
+            ).cast("double").alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "x_tpch_q15_top_supplier",
+    # TPC-H Q15 shape (public spec): the supplier(s) whose quarterly
+    # revenue EQUALS the maximum — an aggregate feeding a scalar-max
+    # subquery over itself (the classic agg-then-self-max topology).
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape: quarterly revenue per supplier, keep the max-revenue supplier(s) via scalar-max over the aggregate itself",
+)
+def x_tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: one suppkey-hashed aggregate of the date-pruned
+    fact; the scalar max is a one-row reduction of that SAME aggregate
+    (exchange reuse — the rev subtree is materialized once under AQE),
+    and the equality filter + supplier broadcast join touch only the
+    ~one surviving row. Decimal revenue makes the max/equality exact —
+    a double tie at the top would be engine-dependent."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = load_table(spark, sf, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(money(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "x_tpch_q17_small_qty_parts",
+    # TPC-H Q17 shape (public spec): revenue from small-quantity orders
+    # of one brand — lines below 20% of their PART'S OWN average
+    # quantity. The correlated-average topology: a per-partkey aggregate
+    # of the fact joined back to the same fact on the same key.
+    oracle="""
+    WITH pa AS (
+        SELECT l_partkey AS pk,
+               0.2 * AVG(CAST(l_quantity AS DECIMAL(18,4))) AS threshold
+        FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2) AS DOUBLE)
+             AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pk = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND CAST(l_quantity AS DECIMAL(18,4)) < threshold
+    """,
+    doc="TPC-H Q17 shape: lines under 20% of their part's own average quantity (per-key correlated aggregate joined back to the fact on the same key), one-row revenue output",
+)
+def x_tpch_q17_small_qty_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the per-partkey average is ONE hash aggregate of the
+    fact (map-side combine -> one row per part); joining it back to
+    lineitem is partkey-to-partkey — the aggregate's exchange is reused
+    for the join side, so the fact shuffles once total. The brand
+    filter rides the broadcast part dim. The threshold comparison stays
+    in DECIMAL end-to-end: a double 0.2*avg at the boundary would admit
+    different rows per engine."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#13")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg(dec("l_quantity"))).alias("threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pa, li.l_partkey == pa.pk)
+        .filter(dec("l_quantity") < F.col("threshold"))
+        .agg(
+            money(F.sum(dec("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "x_tpch_q19_disjunctive_join",
+    # TPC-H Q19 shape (public spec): revenue matching an OR of three
+    # brand/size/quantity conjunct bundles — the disjunctive multi-
+    # predicate join the optimizer must NOT turn into three scans.
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    doc="TPC-H Q19 shape: OR of three brand/size/quantity conjunct bundles over one broadcast join pass (no scan-per-disjunct), one-row decimal revenue",
+)
+def x_tpch_q19_disjunctive_join(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: ONE scan of lineitem, one broadcast of part, the
+    whole disjunction evaluated post-join inside codegen. The union-of-
+    three-joins formulation would scan the fact three times; Catalyst
+    also derives the implied l_quantity range [1,40] for scan-level
+    row-group pruning."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#7") & sz.between(10, 30) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#13") & sz.between(20, 50) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            money(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -66,6 +66,8 @@ _FRONT_50 = [
     "x_embedding_centroids",
     "x_tpch_q13_cust_distribution", "x_tpch_q22_sales_opportunity",
     "x_cohort_retention", "x_asof_join_tolerance",
+    "x_tpch_q14_promo_revenue", "x_tpch_q15_top_supplier",
+    "x_tpch_q17_small_qty_parts", "x_tpch_q19_disjunctive_join",
     # backfill: hash-proven greens last checked in round 2 — re-prove
     # before they go three rounds stale (the five rows-only-by-design
     # d-ids d16/d40/d41/d43/d46 are excluded: their driver row is only
@@ -81,9 +83,9 @@ _FRONT_50 = [
     "d18_having", "d19_sort", "d20_limit_topk", "d21_topk_per_group",
     "d22_ranking_windows", "d23_lag_lead", "d24_running_sum",
     "d25_union", "d26_intersect_except", "d27_string_fns",
-    "d28_url_parse", "d29_hash_fns", "d30_datetime_fns", "d31_math_fns",
-    "d32_conditional_fns", "d33_array_fns", "d34_map_fns",
-    "d35_json_extract", "d36_pivot", "d38_tumbling_window",
+    "d28_url_parse", "d29_hash_fns", "d30_datetime_fns",
+    "d32_conditional_fns", "d33_array_fns",
+    "d35_json_extract",
     "d42_exact_dedup", "d44_cosine_topk",
     "d45_token_counts",
     "d50_pipeline_flagship",
