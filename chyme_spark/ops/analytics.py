@@ -943,3 +943,152 @@ def x_tpch_q19_disjunctive_join(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "x_tpch_q8_market_share",
+    # TPC-H Q8 shape (public spec): one supplier-nation's share of a
+    # region's promo-part revenue per order-year — the conditional
+    # share-of-total ratio computed per group in one pass.
+    oracle="""
+    WITH all_nations AS (
+        SELECT year(o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n1.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+          AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+                      / SUM(volume), 4) AS DOUBLE) AS mkt_share,
+           count(*) AS n_lines
+    FROM all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape: one nation's share of a region's promo revenue per order-year — conditional share-of-total ratio, 8-way snowflake with four broadcast dims",
+)
+def x_tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: part/nation/region/supplier all broadcast (with the
+    p_type + r_name filters applied broadcast-local before the join);
+    lineitem x orders co-hash on the orderkey, then one custkey hash to
+    meet customer; the share-of-total is a CASE inside the same
+    aggregate — never a second pass or a windowed total. The decimal
+    volume keeps the ratio exact at the 4th decimal."""
+    part = load_table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = load_table(spark, sf, "customer")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    supp = load_table(spark, sf, "supplier")
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(F.lit(0)))
+                / F.sum(volume),
+                4,
+            ).cast("double").alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "x_tpch_q21_waiting_supplier",
+    # TPC-H Q21 shape (public spec): suppliers who were the ONLY late
+    # supplier on a multi-supplier order — the double correlated
+    # EXISTS / NOT-EXISTS self-join on the fact. "Late" is adapted to
+    # shipped >60 days after the order date (no commit/receipt dates in
+    # the synthetic schema); the topology is the point.
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F')
+    SELECT s_name, count(*) AS numwait
+    FROM l l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.is_late
+      AND EXISTS (
+        SELECT 1 FROM l l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM l l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.is_late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape: only-late supplier on multi-supplier orders — correlated EXISTS (semi) + NOT EXISTS (anti) self-joins on the fact, top-20 by wait count",
+)
+def x_tpch_q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the lateness flag is computed ONCE on the
+    orders-joined fact (cached subtree), then both correlated
+    subqueries become orderkey-keyed SEMI and ANTI hash joins against
+    that same relation — three uses of one exchange, never three scans
+    of lineitem. The supplier dim broadcasts; top-20 is a
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf, "supplier")
+    l = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")).alias("is_late"),
+        )
+    )
+    l1 = l.filter(F.col("is_late")).alias("l1")
+    l2 = l.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = (
+        l.filter(F.col("is_late"))
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    )
+    waited = (
+        l1.join(
+            l2, (F.col("l1.l_orderkey") == F.col("k2")) & (F.col("l1.l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3, (F.col("l1.l_orderkey") == F.col("k3")) & (F.col("l1.l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

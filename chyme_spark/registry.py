@@ -68,6 +68,7 @@ _FRONT_50 = [
     "x_cohort_retention", "x_asof_join_tolerance",
     "x_tpch_q14_promo_revenue", "x_tpch_q15_top_supplier",
     "x_tpch_q17_small_qty_parts", "x_tpch_q19_disjunctive_join",
+    "x_tpch_q8_market_share", "x_tpch_q21_waiting_supplier",
     # backfill: hash-proven greens last checked in round 2 — re-prove
     # before they go three rounds stale (the five rows-only-by-design
     # d-ids d16/d40/d41/d43/d46 are excluded: their driver row is only
@@ -84,8 +85,7 @@ _FRONT_50 = [
     "d22_ranking_windows", "d23_lag_lead", "d24_running_sum",
     "d25_union", "d26_intersect_except", "d27_string_fns",
     "d28_url_parse", "d29_hash_fns", "d30_datetime_fns",
-    "d32_conditional_fns", "d33_array_fns",
-    "d35_json_extract",
+    "d32_conditional_fns",
     "d42_exact_dedup", "d44_cosine_topk",
     "d45_token_counts",
     "d50_pipeline_flagship",

@@ -36,6 +36,7 @@ AUDIT = [
     "x_cohort_retention", "x_asof_join_tolerance",
     "x_tpch_q14_promo_revenue", "x_tpch_q15_top_supplier",
     "x_tpch_q17_small_qty_parts", "x_tpch_q19_disjunctive_join",
+    "x_tpch_q8_market_share", "x_tpch_q21_waiting_supplier",
     # x_neardup_survivors / x_dedup_clusters excluded: their iterative
     # min-label loop accumulates per-round subtrees, so the one-shot
     # exchange/broadcast counts here mis-state per-round work (which is
