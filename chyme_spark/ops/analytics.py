@@ -1052,43 +1052,49 @@ def x_tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     doc="TPC-H Q21 shape: only-late supplier on multi-supplier orders — correlated EXISTS (semi) + NOT EXISTS (anti) self-joins on the fact, top-20 by wait count",
 )
 def x_tpch_q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
-    """100 TB plan: the lateness flag is computed ONCE on the
-    orders-joined fact (cached subtree), then both correlated
-    subqueries become orderkey-keyed SEMI and ANTI hash joins against
-    that same relation — three uses of one exchange, never three scans
-    of lineitem. The supplier dim broadcasts; top-20 is a
-    TakeOrderedAndProject."""
+    """100 TB plan: the naive translation (semi + anti self-joins like
+    the SQL) scans and shuffles lineitem THREE times — verified on the
+    executed plan before this rewrite. Instead the correlated pair of
+    subqueries collapses algebraically into per-order supplier counts:
+    a late (order, supplier) qualifies iff the order has >= 2 suppliers
+    and exactly ONE late supplier (necessarily this one). So: one
+    orderkey co-shuffle of the two facts, one (orderkey, suppkey)
+    rollup, one orderkey rollup of THAT (tiny), one key-aligned join
+    back — the full-grain fact is read and shuffled exactly once.
+    Supplier broadcasts; top-20 is a TakeOrderedAndProject."""
     li = load_table(spark, sf, "lineitem")
     orders = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load_table(spark, sf, "supplier")
+    # the explicit suppkey null-filter makes the two consumers of
+    # per_os (the per-order rollup and the qualify join) share an
+    # IDENTICAL subtree: without it the downstream supplier join pushes
+    # isnotnull(l_suppkey) into only one branch, the subtrees diverge,
+    # and ReuseExchange cannot dedupe the fact scan+shuffle (verified
+    # on the executed plan: two lineitem scans without, one with)
     l = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.filter(F.col("l_suppkey").isNotNull())
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             "l_orderkey",
             "l_suppkey",
             (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")).alias("is_late"),
         )
     )
-    l1 = l.filter(F.col("is_late")).alias("l1")
-    l2 = l.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
-    l3 = (
-        l.filter(F.col("is_late"))
-        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    per_os = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("is_late").cast("int")).alias("any_late"),
+        F.sum(F.col("is_late").cast("int")).alias("n_late_lines"),
     )
-    waited = (
-        l1.join(
-            l2, (F.col("l1.l_orderkey") == F.col("k2")) & (F.col("l1.l_suppkey") != F.col("s2")),
-            "left_semi",
-        )
-        .join(
-            l3, (F.col("l1.l_orderkey") == F.col("k3")) & (F.col("l1.l_suppkey") != F.col("s3")),
-            "left_anti",
-        )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("any_late").alias("n_late_supp"),
+    )
+    qual = per_os.join(per_o, "l_orderkey").filter(
+        (F.col("any_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     return (
-        waited.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        qual.join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
