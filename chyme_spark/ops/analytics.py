@@ -830,12 +830,16 @@ def x_tpch_q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     doc="TPC-H Q15 shape: quarterly revenue per supplier, keep the max-revenue supplier(s) via scalar-max over the aggregate itself",
 )
 def x_tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
-    """100 TB plan: one suppkey-hashed aggregate of the date-pruned
-    fact; the scalar max is a one-row reduction of that SAME aggregate
-    (exchange reuse — the rev subtree is materialized once under AQE),
-    and the equality filter + supplier broadcast join touch only the
-    ~one surviving row. Decimal revenue makes the max/equality exact —
-    a double tie at the top would be engine-dependent."""
+    """100 TB plan: ONE suppkey-hashed aggregate of the date-pruned
+    fact; the scalar max is then a global window over that aggregate's
+    output (one row per supplier — small), so the fact is never
+    aggregated twice. (A separate `rev.agg(max)` subquery looks
+    cheaper but column pruning narrows its partial aggregate, the
+    subtrees diverge, exchange reuse cannot fire, and the fact
+    aggregates twice — verified on the executed plan.) The equality
+    filter + supplier broadcast join touch only the surviving row(s).
+    Decimal revenue makes the max/equality exact — a double tie at the
+    top would be engine-dependent."""
     li = load_table(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
@@ -844,9 +848,8 @@ def x_tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(money(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("total_revenue"))
     )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
-        rev.join(F.broadcast(mx))
+        rev.withColumn("mx", F.max("total_revenue").over(Window.partitionBy()))
         .filter(F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")

@@ -45,14 +45,27 @@ AUDIT = [
 
 
 def audit_one(name: str, df) -> dict:
-    # materialize first: under AQE the final plan (join strategies,
-    # codegen spans, coalesced partitions) only exists after execution
-    df.write.format("noop").mode("overwrite").save()
+    # Execute THIS df's own QueryExecution (collect, not a write clone):
+    # a `.write` builds a separate execution, leaving this plan's
+    # AdaptiveSparkPlan un-finalized (isFinalPlan=false) — the audit
+    # would then read the INITIAL static plan and miss AQE's runtime
+    # join promotions and stage reuse (found while verifying Q21's
+    # ReusedExchange). Outputs at sf0.01 are bounded, so collect is safe.
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # a persisted subtree prints once per InMemoryTableScan site but its
-    # exchanges execute once (at materialization): dedupe by plan_id so
-    # the count is physical work, not toString repetition
-    ex_lines = re.findall(r"Exchange (?:hash|range|Single)[^\n]*", plan)
+    assert "AdaptiveSparkPlan" not in plan or "isFinalPlan=true" in plan
+    # the adaptive toString appends the pre-execution plan under an
+    # "== Initial Plan ==" header — count only the final section
+    plan = plan.split("== Initial Plan ==")[0]
+    # a shared subtree prints once per consumer site but its exchanges
+    # execute once: dedupe by plan_id, and skip ReusedExchange lines
+    # (they quote the referenced exchange's description)
+    ex_lines = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"(?<!Reused)Exchange (?:hash|range|Single)", ln)
+        and "ReusedExchange" not in ln
+    ]
     ex_ids = [re.search(r"\[plan_id=(\d+)\]", ln) for ln in ex_lines]
     n_exchanges = len({m.group(1) for m in ex_ids if m}) + sum(1 for m in ex_ids if m is None)
     return {
