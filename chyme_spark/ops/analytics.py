@@ -1101,3 +1101,299 @@ def x_tpch_q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "x_tpch_q6_forecast_revenue",
+    # TPC-H Q6 (public spec): the pure scan-predicate-aggregate query —
+    # one year, a discount band, a quantity cap, no joins at all. The
+    # baseline the scan path must win on pushdown alone.
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: scan-predicate-aggregate with zero joins — all three predicates pushed to the parquet scan, single-row decimal revenue",
+)
+def x_tpch_q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: all three predicates reach PushedFilters on the
+    scan (row-group pruning does the work); the aggregate is one
+    map-side partial + a single-row exchange. This is the query where
+    anything but scan-bound performance is a defect."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money(F.sum(dec("l_extendedprice") * dec("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "x_tpch_q12_priority_shipping",
+    # TPC-H Q12 shape (public spec): per shipping class, how many
+    # high- vs low-priority orders shipped — the dual conditional-count
+    # rollup. l_shipmode doesn't exist in the synthetic schema; the
+    # return flag plays the class axis, the topology is identical.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape: dual conditional counts (high/low priority) per shipping class over a fact-fact orderkey join",
+)
+def x_tpch_q12_priority_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: both facts co-hash on the orderkey (the only
+    exchange of data rows); both conditional counts ride ONE aggregate
+    pass — never two filtered scans union'd. The year filter pushes to
+    the lineitem scan and prunes before the join."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "x_tpch_q2_min_cost_supplier",
+    # TPC-H Q2 shape (public spec): for each qualifying part, the
+    # supplier with the MINIMUM cost in one region — the correlated
+    # min-per-group subquery topology. The synthetic schema has no
+    # partsupp: the part-supplier relation derives from lineitem
+    # (distinct (partkey, suppkey) pairs) and supplier account balance
+    # stands in for supply cost.
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+    costed AS (
+        SELECT pk, sk, s_name, s_acctbal, n_name
+        FROM ps
+        JOIN supplier ON s_suppkey = sk
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE')
+    SELECT p_partkey, p_brand, s_name, n_name,
+           CAST(s_acctbal AS DOUBLE) AS cost
+    FROM costed
+    JOIN part ON p_partkey = pk
+    WHERE p_size = 15 AND p_type = 'LARGE'
+      AND s_acctbal = (
+        SELECT min(c2.s_acctbal) FROM costed c2 WHERE c2.pk = costed.pk)
+    ORDER BY cost, p_partkey, s_name
+    """,
+    doc="TPC-H Q2 shape: min-cost supplier per part in one region — correlated min-per-group over the lineitem-derived part-supplier relation (no partsupp in the synthetic schema)",
+)
+def x_tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the part-supplier pairs dedupe in one (pk, sk)
+    hash; supplier/nation/region broadcast with the region filter
+    broadcast-local; the correlated min is a WINDOW over the pk
+    partition of the same relation (one shuffle, no second aggregate
+    branch — the Q15 lesson applied), and the part filter broadcasts.
+    Ties on the min cost keep every tying supplier, same as the spec's
+    equality semantics."""
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    ps = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    costed = (
+        ps.join(F.broadcast(supp), ps.sk == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("pk", "sk", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("pk")
+    return (
+        costed.withColumn("min_cost", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("pk") == part.p_partkey)
+        .select(
+            "p_partkey", "p_brand", "s_name", "n_name",
+            F.col("s_acctbal").cast("double").alias("cost"),
+        )
+        .orderBy("cost", "p_partkey", "s_name")
+    )
+
+
+@query(
+    "x_tpch_q11_important_stock",
+    # TPC-H Q11 shape (public spec): stock lines whose value exceeds a
+    # FRACTION of the global total — the HAVING > scalar-subquery
+    # topology. Value derives from lineitem (price x quantity of one
+    # nation's suppliers) instead of partsupp.
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * CAST(l_quantity AS DECIMAL(18,4))) AS val
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey)
+    SELECT l_partkey,
+           CAST(ROUND(val, 2) AS DOUBLE) AS part_value
+    FROM v
+    WHERE val > (SELECT SUM(val) * 0.001 FROM v)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 shape: per-part value kept only above a fraction of the global total (HAVING > scalar subquery), one-nation supplier slice",
+)
+def x_tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: one partkey-hashed aggregate of the nation-pruned
+    fact; the global-total threshold is a single-partition window over
+    that aggregate's (small) output — the fact aggregates ONCE (Q15
+    lesson: a separate scalar-subquery branch defeats exchange reuse
+    via column pruning). Decimal value keeps the threshold comparison
+    engine-exact at the boundary."""
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    v = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("val"))
+    )
+    return (
+        v.withColumn("total", F.sum("val").over(Window.partitionBy()))
+        .filter(F.col("val") > F.col("total") * 0.001)
+        .select("l_partkey", money(F.col("val")).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "x_tpch_q16_supplier_count",
+    # TPC-H Q16 shape (public spec): how many distinct suppliers can
+    # deliver each (brand, type, size) bucket, EXCLUDING a computed
+    # supplier blacklist — the NOT-IN + count-distinct rollup. The
+    # part-supplier relation derives from lineitem; the spec's
+    # complaint-comment blacklist becomes negative account balance.
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+    bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT sk) AS supplier_cnt
+    FROM ps
+    JOIN part ON p_partkey = pk
+    WHERE p_size IN (5, 15, 25, 35)
+      AND sk NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: distinct-supplier count per (brand, type, size) excluding a computed blacklist — anti join + count distinct over the lineitem-derived part-supplier relation",
+)
+def x_tpch_q16_supplier_count(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the blacklist is a broadcast ANTI join (NOT IN with
+    a provably non-null key list — the null-semantics trap of NOT IN
+    doesn't arise because s_suppkey is a key); part broadcasts with the
+    size filter applied first; the distinct count is a two-level
+    aggregate (partial distinct per partition, then merge), one
+    exchange on the group key."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_size").isin(5, 15, 25, 35))
+    bad = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    ps = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    return (
+        ps.join(F.broadcast(bad), ps.sk == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("pk") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("sk").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "x_tpch_q20_promo_suppliers",
+    # TPC-H Q20 shape (public spec): suppliers in one nation who moved
+    # a significant volume of promo parts in one year — the nested
+    # semi-join chain (supplier IN (suppliers of parts IN (promo
+    # parts) with volume > threshold)). Volume derives from lineitem
+    # (no partsupp availqty in the synthetic schema).
+    oracle="""
+    WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    vol AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM promo)
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 50)
+    SELECT s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_7'
+      AND s_suppkey IN (SELECT l_suppkey FROM vol)
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape: nested semi-join chain — suppliers (one nation) IN movers-of (promo parts) above a quantity threshold, volume from lineitem",
+)
+def x_tpch_q20_promo_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the promo-part semi join prunes lineitem BEFORE its
+    (suppkey, partkey) rollup (broadcast semi — part is a dim); the
+    HAVING keeps ~qualifying pairs only; the supplier IN becomes a
+    LEFT SEMI against the distinct mover keys; nation broadcasts. Each
+    fact row is touched once; both IN-subqueries are semi joins, never
+    distinct-then-inner-join materializations."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    promo = load_table(spark, sf, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    vol = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(vol, supp.s_suppkey == vol.l_suppkey, "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("acctbal"))
+        .orderBy("s_name")
+    )

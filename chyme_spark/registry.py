@@ -69,23 +69,26 @@ _FRONT_50 = [
     "x_tpch_q14_promo_revenue", "x_tpch_q15_top_supplier",
     "x_tpch_q17_small_qty_parts", "x_tpch_q19_disjunctive_join",
     "x_tpch_q8_market_share", "x_tpch_q21_waiting_supplier",
+    "x_tpch_q6_forecast_revenue", "x_tpch_q12_priority_shipping",
+    "x_tpch_q2_min_cost_supplier", "x_tpch_q11_important_stock",
+    "x_tpch_q16_supplier_count", "x_tpch_q20_promo_suppliers",
     # backfill: hash-proven greens last checked in round 2 — re-prove
-    # before they go three rounds stale (the five rows-only-by-design
-    # d-ids d16/d40/d41/d43/d46 are excluded: their driver row is only
-    # a rows>0 check, the weakest re-proof, and their contracts are
-    # pinned by stream==batch / recall pytest suites instead; d47/d48
-    # yield their slots to the round-5 Q13/Q22 — d28/d48's arithmetic
-    # twins keep their semantics pinned)
+    # the stalest first. The rows-only-by-design d-ids
+    # (d16/d40/d41/d43/d46) are excluded: their driver row is only a
+    # rows>0 check, the weakest re-proof, and their contracts are
+    # pinned by stream==batch / recall pytest suites instead. The
+    # d-ids displaced by round-5 queries (window/set/string/UDF tier)
+    # stay pinned by tests/test_queries_smoke.py every run and rotate
+    # back next round.
     "d03_filter", "d04_regex_ext_filter", "d05_distinct",
     "d06_keyed_dedup", "d07_inner_join", "d08_broadcast_join",
     "d09_left_outer_join", "d10_left_semi_join", "d11_left_anti_join",
     "d12_star_join", "d13_theta_join", "d14_hash_agg_q1",
     "d15_count_distinct", "d17_rollup",
     "d18_having", "d19_sort", "d20_limit_topk", "d21_topk_per_group",
-    "d22_ranking_windows", "d23_lag_lead", "d24_running_sum",
-    "d25_union", "d26_intersect_except", "d27_string_fns",
-    "d28_url_parse", "d29_hash_fns", "d30_datetime_fns",
-    "d32_conditional_fns",
+    "d24_running_sum",
+    "d27_string_fns",
+    "d29_hash_fns", "d30_datetime_fns",
     "d42_exact_dedup", "d44_cosine_topk",
     "d45_token_counts",
     "d50_pipeline_flagship",
