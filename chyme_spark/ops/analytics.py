@@ -1397,3 +1397,115 @@ def x_tpch_q20_promo_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .select("s_name", F.col("s_acctbal").cast("double").alias("acctbal"))
         .orderBy("s_name")
     )
+
+
+@query(
+    "x_yoy_growth",
+    # year-over-year growth per nation: aggregate first, THEN a lag
+    # window over the aggregate's own (tiny) output — the standard
+    # reporting shape (TPC-DS-style period-over-period comparison)
+    # that must never be a self-join of the fact on shifted years.
+    oracle="""
+    WITH rev AS (
+        SELECT n_name, year(o_orderdate) AS o_year,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        GROUP BY n_name, year(o_orderdate))
+    SELECT n_name, o_year, revenue,
+           CAST(ROUND(CAST(revenue - lag(revenue) OVER w AS DECIMAL(18,4)), 2) AS DOUBLE) AS yoy_delta
+    FROM rev
+    WINDOW w AS (PARTITION BY n_name ORDER BY o_year)
+    ORDER BY n_name, o_year
+    """,
+    doc="year-over-year revenue growth per nation: lag window over the aggregate's own output (period-over-period reporting shape; never a shifted self-join of the fact)",
+)
+def x_yoy_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the fact aggregates once on (nation, year) with
+    map-side combine; the lag window runs over ~nations x years rows.
+    The naive alternative — joining the fact to itself on year+1 —
+    shuffles the fact twice and is O(fact) where this is O(groups)."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(money(F.sum(dec("o_totalprice"))).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    return (
+        rev.withColumn(
+            "yoy_delta",
+            F.round((F.col("revenue") - F.lag("revenue").over(w)).cast("decimal(18,4)"), 2)
+            .cast("double"),
+        )
+        .orderBy("n_name", "o_year")
+    )
+
+
+@query(
+    "x_time_weighted_avg",
+    # time-weighted average of the event value per user (the
+    # observability/finance TWAP staple, cf. TimescaleDB time_weight,
+    # public docs): each observation holds until the next one, so its
+    # weight is the gap to the next event — a lead window + one
+    # aggregate, never a grid expansion.
+    # determinism note: a decimal QUOTIENT is the one arithmetic decimal
+    # discipline can't pin — each engine rounds the division to its own
+    # result scale before the final ROUND, so half-ulp boundaries flip
+    # (seen live: 32.5204 vs 32.5205). The quotient is therefore
+    # truncated via exact INTEGER floor division — wsum has scale 4, so
+    # wsum*10^4 is an exact bigint, and a//b == floor for the positive
+    # values here — identical in both engines by construction.
+    oracle="""
+    WITH seg AS (
+        SELECT user_id, value,
+               epoch_ms(lead(ts) OVER w) - epoch_ms(ts) AS dt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    agg AS (
+        SELECT user_id,
+               SUM(CAST(value AS DECIMAL(18,4)) * CAST(dt AS DECIMAL(18,0))) AS wsum,
+               CAST(SUM(dt) AS BIGINT) AS tsum
+        FROM seg WHERE dt IS NOT NULL
+        GROUP BY user_id)
+    SELECT user_id,
+           (CAST(wsum * 10000 AS BIGINT) // tsum) / 10000.0 AS twap
+    FROM agg WHERE tsum > 0
+    ORDER BY user_id
+    """,
+    doc="time-weighted average value per user: hold-until-next segments via lead window, decimal-weighted one-pass aggregate (TWAP / TimescaleDB time_weight analog)",
+)
+def x_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: ONE shuffle on the user key serves both the lead
+    window and the aggregate (same partitioning); weights are exact
+    integer second gaps cast to decimal so the weighted mean is
+    order-insensitive. No calendar grid, no per-interval explosion —
+    cost is O(events), not O(events x resolution)."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_millis(F.lead("ts").over(w)) - F.unix_millis("ts")
+        ).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(dec("value") * F.col("dt").cast("decimal(18,0)")).alias("wsum"),
+            F.sum("dt").cast("bigint").alias("tsum"),
+        )
+        .filter(F.col("tsum") > 0)
+        .select(
+            "user_id",
+            (
+                F.expr("CAST(wsum * 10000 AS BIGINT) div tsum") / F.lit(10000.0)
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )

@@ -72,6 +72,7 @@ _FRONT_50 = [
     "x_tpch_q6_forecast_revenue", "x_tpch_q12_priority_shipping",
     "x_tpch_q2_min_cost_supplier", "x_tpch_q11_important_stock",
     "x_tpch_q16_supplier_count", "x_tpch_q20_promo_suppliers",
+    "x_yoy_growth", "x_time_weighted_avg",
     # backfill: hash-proven greens last checked in round 2 — re-prove
     # the stalest first. The rows-only-by-design d-ids
     # (d16/d40/d41/d43/d46) are excluded: their driver row is only a
@@ -88,7 +89,6 @@ _FRONT_50 = [
     "d18_having", "d19_sort", "d20_limit_topk", "d21_topk_per_group",
     "d24_running_sum",
     "d27_string_fns",
-    "d29_hash_fns", "d30_datetime_fns",
     "d42_exact_dedup", "d44_cosine_topk",
     "d45_token_counts",
     "d50_pipeline_flagship",
