@@ -59,6 +59,15 @@ def _ingest_follow(spark, args) -> int:
         rd = rd.option("depth", str(args.recursion))
     if getattr(args, "append_only_keys", False):
         rd = rd.option("appendOnlyKeys", "true")
+    # explicit object-store config (endpoint/credentials) for the
+    # streaming lister — production normally rides the env credential
+    # chain, but private endpoints (minio, localstack) need overrides
+    for kv in getattr(args, "s3_option", None) or []:
+        k, _, v = kv.partition("=")
+        if not v:
+            print(f"error: --s3-option expects KEY=VALUE, got {kv!r}", file=sys.stderr)
+            return 2
+        rd = rd.option(f"s3.{k}", v)
     counts = {"n": 0}
 
     def process(batch_df, _batch_id: int) -> None:
@@ -479,6 +488,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--append-only-keys", action="store_true",
                    help="s3 roots with lexically increasing keys: high-water-key "
                    "incremental listing (one empty page per unchanged poll)")
+    p.add_argument("--s3-option", action="append", metavar="KEY=VALUE",
+                   help="object-store option for --follow (endpoint_override, "
+                   "access_key, ...); repeatable. Default: env credential chain")
     p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("tasker", help="expand catalog through templates into tasks")

@@ -336,6 +336,30 @@ def test_key_mode_streaming_query_end_to_end(s3, spark, tmp_path):
     assert spark.read.parquet(out).count() == 3
 
 
+def test_cli_streaming_ingest_append_only_keys(s3, spark, tmp_path):
+    """The full user path: `ingest s3://... --follow --append-only-keys
+    --s3-option ...` catalogs arrivals from live S3 with high-water-key
+    offsets committed to the stream checkpoint across drains."""
+    _endpoint, client, opts = s3
+    from chyme_spark import cli
+
+    for key in ["cliinbox/2026/01/a.mov", "cliinbox/2026/01/skip.log"]:
+        client.put_object(Bucket=BUCKET, Key=key, Body=b"x" * 5)
+    cat = str(tmp_path / "catalog")
+    args = [
+        "ingest", f"s3://{BUCKET}/cliinbox", "--filter", "ext/mov/mp4",
+        "--catalog", cat, "--follow", "--append-only-keys",
+    ] + [x for k, v in opts.items() for x in ("--s3-option", f"{k}={v}")]
+    assert cli.main(args) == 0
+    names = sorted(r.url.rsplit("/", 1)[-1] for r in spark.read.parquet(cat).collect())
+    assert names == ["a.mov"]  # .log filtered inside the micro-batch
+
+    client.put_object(Bucket=BUCKET, Key="cliinbox/2026/02/b.mp4", Body=b"y" * 3)
+    assert cli.main(args) == 0
+    names = sorted(r.url.rsplit("/", 1)[-1] for r in spark.read.parquet(cat).collect())
+    assert names == ["a.mov", "b.mp4"]
+
+
 def test_stream_reader_key_mode_pagination(s3):
     """ContinuationToken is followed across pages (>1000 keys) — the
     reference truncates at one page (pkg/aws/s3.go:354)."""
