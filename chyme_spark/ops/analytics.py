@@ -1251,9 +1251,12 @@ def x_tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "x_tpch_q11_important_stock",
     # TPC-H Q11 shape (public spec): stock lines whose value exceeds a
-    # FRACTION of the global total — the HAVING > scalar-subquery
-    # topology. Value derives from lineitem (price x quantity of one
-    # nation's suppliers) instead of partsupp.
+    # global threshold computed from the whole relation — the HAVING >
+    # scalar-subquery topology. Value derives from lineitem (price x
+    # quantity of one nation's suppliers) instead of partsupp, and the
+    # spec's fixed fraction-of-total becomes 2x the MEAN part value so
+    # the predicate is scale-invariant (a fixed fraction goes
+    # degenerate as the part count grows: 0 rows at sf0.1).
     oracle="""
     WITH v AS (
         SELECT l_partkey,
@@ -1267,7 +1270,7 @@ def x_tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_partkey,
            CAST(ROUND(val, 2) AS DOUBLE) AS part_value
     FROM v
-    WHERE val > (SELECT SUM(val) * 0.001 FROM v)
+    WHERE val > (SELECT SUM(val) * 2.0 / COUNT(*) FROM v)
     ORDER BY part_value DESC, l_partkey
     """,
     doc="TPC-H Q11 shape: per-part value kept only above a fraction of the global total (HAVING > scalar subquery), one-nation supplier slice",
@@ -1290,7 +1293,8 @@ def x_tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         v.withColumn("total", F.sum("val").over(Window.partitionBy()))
-        .filter(F.col("val") > F.col("total") * 0.001)
+        .withColumn("cnt", F.count("*").over(Window.partitionBy()))
+        .filter(F.col("val") > F.col("total") * 2.0 / F.col("cnt"))
         .select("l_partkey", money(F.col("val")).alias("part_value"))
         .orderBy(F.desc("part_value"), "l_partkey")
     )
