@@ -481,8 +481,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="streaming ingest: watch root for new arrivals (exactly-once)")
     p.add_argument("--follow-interval", default=None, metavar="'20 seconds'",
                    help="perpetual poll trigger; default drains once (availableNow)")
-    p.add_argument("--follow-duration", type=int, default=None,
-                   help="stop the perpetual poll after N ms (tests/bounded runs)")
+    p.add_argument("--follow-duration", type=float, default=None, metavar="SEC",
+                   help="stop the perpetual poll after SEC seconds "
+                        "(tests/bounded runs); matches worker --follow-duration")
     p.add_argument("--follow-checkpoint", default=None,
                    help="stream checkpoint dir (default: <catalog>_stream_ckpt)")
     p.add_argument("--append-only-keys", action="store_true",

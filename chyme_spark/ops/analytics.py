@@ -767,19 +767,31 @@ def x_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     # TPC-H Q14 shape (public spec): the share of one month's revenue
     # from promo parts — a conditional aggregate over a fact x dim join
     # collapsing to ONE row.
+    # determinism note (TWAP discipline): a decimal QUOTIENT can't be
+    # pinned across engines — each rounds the division to its own result
+    # scale. Both sums are exact decimals; round each to scale 4 (exact
+    # half-away-from-zero in both engines on exact inputs), unscale to
+    # integers, and take the quotient via exact INTEGER floor division
+    # (both numerator and denominator are positive, so Spark `div` and
+    # DuckDB `//` agree). promo_pct is therefore 100*num/den TRUNCATED
+    # to 4 decimals — identical by construction.
     oracle="""
-    SELECT CAST(ROUND(
-             100.0 * SUM(CASE WHEN p_type = 'PROMO'
+    WITH s AS (
+        SELECT SUM(CASE WHEN p_type = 'PROMO'
                  THEN CAST(l_extendedprice AS DECIMAL(18,4))
                       * (1 - CAST(l_discount AS DECIMAL(18,4)))
-                 ELSE 0 END)
-             / SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                   * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE)
-             AS promo_pct,
-           count(*) AS n_lines
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
-      AND l_shipdate <  TIMESTAMP '1997-04-01'
+                 ELSE 0 END) AS num,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS den,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01')
+    SELECT CAST((CAST(ROUND(num, 4) * 10000 AS HUGEINT) * 1000000
+                 // CAST(ROUND(den, 4) * 10000 AS HUGEINT)) / 10000.0
+                AS DOUBLE) AS promo_pct,
+           n_lines
+    FROM s
     """,
     doc="TPC-H Q14 shape: promo revenue share for one ship-month — conditional decimal aggregate over a broadcast dim join, single-row output",
 )
@@ -796,13 +808,19 @@ def x_tpch_q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
-                / F.sum(rev),
-                4,
-            ).cast("double").alias("promo_pct"),
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias("num"),
+            F.sum(rev).alias("den"),
             F.count("*").alias("n_lines"),
+        )
+        .select(
+            (
+                F.expr(
+                    "CAST(ROUND(num, 4) * 10000 AS DECIMAL(38,0)) * 1000000 "
+                    "div CAST(ROUND(den, 4) * 10000 AS DECIMAL(38,0))"
+                )
+                / F.lit(10000.0)
+            ).cast("double").alias("promo_pct"),
+            "n_lines",
         )
     )
 
@@ -863,19 +881,31 @@ def x_tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     # of one brand — lines below 20% of their PART'S OWN average
     # quantity. The correlated-average topology: a per-partkey aggregate
     # of the fact joined back to the same fact on the same key.
+    # determinism note: the 20%-of-average threshold is compared via
+    # exact integer cross-multiplication — qty < 0.2*sum/cnt is
+    # equivalent (cnt > 0) to 5*qty*cnt < sum, which both engines
+    # evaluate in exact decimal arithmetic: no engine-specific AVG
+    # result type (DuckDB AVG(DECIMAL) is DOUBLE, Spark's is DECIMAL)
+    # can flip a boundary row. The /7 quotient is pinned by integer
+    # floor division (positive operands: Spark `div` == DuckDB `//`).
     oracle="""
     WITH pa AS (
         SELECT l_partkey AS pk,
-               0.2 * AVG(CAST(l_quantity AS DECIMAL(18,4))) AS threshold
-        FROM lineitem GROUP BY l_partkey)
-    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2) AS DOUBLE)
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+               count(*) AS cnt
+        FROM lineitem GROUP BY l_partkey),
+    s AS (
+        SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN pa ON pk = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND 5 * CAST(l_quantity AS DECIMAL(18,4)) * cnt < sum_qty)
+    SELECT CAST((CAST(rev * 10000 AS HUGEINT) * 100 // 70000) / 100.0 AS DOUBLE)
              AS avg_yearly,
-           count(*) AS n_lines
-    FROM lineitem
-    JOIN part ON p_partkey = l_partkey
-    JOIN pa ON pk = l_partkey
-    WHERE p_brand = 'Brand#13'
-      AND CAST(l_quantity AS DECIMAL(18,4)) < threshold
+           n_lines
+    FROM s
     """,
     doc="TPC-H Q17 shape: lines under 20% of their part's own average quantity (per-key correlated aggregate joined back to the fact on the same key), one-row revenue output",
 )
@@ -884,21 +914,31 @@ def x_tpch_q17_small_qty_parts(spark: SparkSession, sf: str) -> DataFrame:
     fact (map-side combine -> one row per part); joining it back to
     lineitem is partkey-to-partkey — the aggregate's exchange is reused
     for the join side, so the fact shuffles once total. The brand
-    filter rides the broadcast part dim. The threshold comparison stays
-    in DECIMAL end-to-end: a double 0.2*avg at the boundary would admit
-    different rows per engine."""
+    filter rides the broadcast part dim. The threshold comparison is
+    exact integer cross-multiplication (5*qty*cnt < sum_qty), never a
+    rounded average: a double 0.2*avg at the boundary would admit
+    different rows per engine; the /7 quotient is pinned by integer
+    floor division (TWAP discipline)."""
     li = load_table(spark, sf, "lineitem")
     part = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#13")
     pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.lit(0.2) * F.avg(dec("l_quantity"))).alias("threshold")
+        F.sum(dec("l_quantity")).alias("sum_qty"),
+        F.count("*").alias("cnt"),
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(pa, li.l_partkey == pa.pk)
-        .filter(dec("l_quantity") < F.col("threshold"))
+        .filter(F.lit(5) * dec("l_quantity") * F.col("cnt") < F.col("sum_qty"))
         .agg(
-            money(F.sum(dec("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.sum(dec("l_extendedprice")).alias("rev"),
             F.count("*").alias("n_lines"),
+        )
+        .select(
+            (
+                F.expr("CAST(rev * 10000 AS DECIMAL(38,0)) * 100 div 70000")
+                / F.lit(100.0)
+            ).cast("double").alias("avg_yearly"),
+            "n_lines",
         )
     )
 

@@ -226,10 +226,18 @@ def x_cosine_topk_np(spark: SparkSession, sf: str, topk: int = 3) -> DataFrame:
     # class-prototype models. Output is (label, pos, centroid component)
     # rows, decimal-pinned; DuckDB's generate_subscripts is 1-based,
     # Spark's posexplode 0-based, aligned via pos + 1.
+    # determinism note: the mean is CAST(exact decimal sum AS DOUBLE)
+    # / count — both engines divide the IDENTICAL double by the same
+    # integer, so the IEEE quotient matches bit-for-bit before ROUND.
+    # (A decimal quotient would round to each engine's own result scale
+    # — the un-pinnable case the TWAP note documents; floor-division
+    # pinning is unusable here because components can be NEGATIVE and
+    # Spark `div` truncates toward zero while DuckDB `//` floors.)
     oracle="""
     SELECT label,
            pos,
-           CAST(ROUND(SUM(CAST(v AS DECIMAL(18,8))) / count(*), 4) AS DOUBLE) AS centroid
+           CAST(ROUND(CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / count(*), 4)
+                AS DOUBLE) AS centroid
     FROM (
         SELECT label,
                generate_subscripts(embedding, 1) AS pos,
@@ -253,7 +261,8 @@ def x_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("label", (F.col("pos0") + 1).alias("pos"))
         .agg(
             F.round(
-                F.sum(F.col("v").cast("decimal(18,8)")) / F.count("*"), 4
+                F.sum(F.col("v").cast("decimal(18,8)")).cast("double") / F.count("*"),
+                4,
             ).cast("double").alias("centroid")
         )
     )

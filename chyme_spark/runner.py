@@ -102,20 +102,26 @@ class Loader:
 
     @staticmethod
     def _extract_tar(fileobj, dest_dir: str) -> int:
-        """Stream-extract a tar into dest_dir; returns member bytes.
-        Members are confined to dest_dir (no path traversal)."""
+        """Stream-extract a tar into dest_dir; returns bytes of members
+        actually kept. Members keep their sanitized RELATIVE paths under
+        dest_dir (nested dirs preserved — two a/x and b/x members no
+        longer collide); absolute paths, drive prefixes, and any `..`
+        component are skipped, confining every write to dest_dir."""
         total = 0
         with tarfile.open(fileobj=fileobj, mode="r|*") as tf:
             for member in tf:
                 if not member.isfile():
                     continue
-                name = os.path.basename(member.name)
-                if not name:
+                rel = os.path.normpath(member.name.lstrip("/"))
+                parts = rel.split(os.sep)
+                if not rel or rel == "." or ".." in parts or os.path.isabs(rel):
                     continue
                 src = tf.extractfile(member)
                 if src is None:
                     continue
-                with open(os.path.join(dest_dir, name), "wb") as dst:
+                out = os.path.join(dest_dir, rel)
+                os.makedirs(os.path.dirname(out) or dest_dir, exist_ok=True)
+                with open(out, "wb") as dst:
                     shutil.copyfileobj(src, dst)
                 total += member.size
         return total
@@ -127,10 +133,11 @@ class Loader:
         the byte-counting contract of the plain-file paths)."""
         total = 0
         with tarfile.open(fileobj=fileobj, mode="w|") as tf:
-            for name in sorted(os.listdir(src_dir)):
-                p = os.path.join(src_dir, name)
-                if os.path.isfile(p):
-                    tf.add(p, arcname=name)
+            for root, dirs, files in os.walk(src_dir):
+                dirs.sort()  # deterministic member order
+                for name in sorted(files):
+                    p = os.path.join(root, name)
+                    tf.add(p, arcname=os.path.relpath(p, src_dir))
                     total += os.path.getsize(p)
         return total
 

@@ -170,10 +170,42 @@ def test_tar_extract_confines_members(tmp_path):
     buf.seek(0)
     dest = tmp_path / "safe"
     dest.mkdir()
-    Loader._extract_tar(buf, str(dest))
+    n = Loader._extract_tar(buf, str(dest))
+    # traversal members are SKIPPED entirely (and not counted), never
+    # written anywhere — inside or outside the dest dir
     assert not (tmp_path / "escape.txt").exists()
     assert not (tmp_path.parent / "escape.txt").exists()
-    assert (dest / "escape.txt").read_bytes() == b"evil"  # flattened basename
+    assert not (dest / "escape.txt").exists()
+    assert n == 0
+
+
+def test_tar_roundtrip_preserves_nested_paths(tmp_path):
+    """Nested member paths survive pack->extract: a/x.txt and b/x.txt
+    no longer collide on basename, and the byte count matches only the
+    members actually kept."""
+    import io
+
+    from chyme_spark.runner import Loader
+
+    src = tmp_path / "src"
+    (src / "a").mkdir(parents=True)
+    (src / "b").mkdir()
+    (src / "a" / "x.txt").write_bytes(b"alpha")
+    (src / "b" / "x.txt").write_bytes(b"bravo!")
+    (src / "top.txt").write_bytes(b"t")
+
+    buf = io.BytesIO()
+    packed = Loader._pack_tar(str(src), buf)
+    assert packed == 5 + 6 + 1
+    buf.seek(0)
+
+    dest = tmp_path / "dest"
+    dest.mkdir()
+    extracted = Loader._extract_tar(buf, str(dest))
+    assert extracted == packed
+    assert (dest / "a" / "x.txt").read_bytes() == b"alpha"
+    assert (dest / "b" / "x.txt").read_bytes() == b"bravo!"
+    assert (dest / "top.txt").read_bytes() == b"t"
 
 
 def test_arrowfs_loader_explicit_credentials(tmp_path):
