@@ -243,16 +243,19 @@ def x_funnel(spark: SparkSession, sf: str) -> DataFrame:
     doc="TPC-H Q3 shape: segment-filtered 3-way join, decimal revenue agg, top-10 with unique tiebreak",
 )
 def x_tpch_q3_shipping(spark: SparkSession, sf: str) -> DataFrame:
-    """100 TB plan: the segment-filtered customer dim broadcasts, orders
-    prunes on the date predicate at the scan, lineitem (the fact) is the
-    only shuffled side; the top-10 is a TakeOrderedAndProject, never a
-    global sort."""
+    """100 TB plan: orders prunes on the date predicate at the scan,
+    lineitem (the fact) is the only side shuffled twice; the top-10 is
+    a TakeOrderedAndProject, never a global sort. customer carries NO
+    forced broadcast hint: it scales with the fact (~15M rows/TB), so
+    a hint would OOM the build side at 100x — AQE promotes the
+    segment-filtered dim to broadcast at runtime when (and only when)
+    its measured size fits."""
     cust = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(money(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("revenue"))
         .select(
@@ -354,8 +357,11 @@ def x_tpch_q18_big_orders(spark: SparkSession, sf: str) -> DataFrame:
     aggregate side is ~10^9 rows and SMJ is the only viable plan). The
     exchange from the groupBy is REUSED by the merge join (both hash on
     the orderkey), so forcing SMJ adds a sort, not a second shuffle of
-    lineitem. Customer stays a broadcast: it is a dimension.
-    The top-100 is a TakeOrderedAndProject, never a global sort."""
+    lineitem. Customer carries NO forced broadcast hint — it scales
+    with the fact (~15M rows/TB) and a pinned hint cannot be demoted
+    by AQE, OOMing the build at 100x; AQE promotes it at runtime while
+    it fits. The top-100 is a TakeOrderedAndProject, never a global
+    sort."""
     li = load_table(spark, sf, "lineitem")
     orders = load_table(spark, sf, "orders")
     cust = load_table(spark, sf, "customer")
@@ -368,7 +374,7 @@ def x_tpch_q18_big_orders(spark: SparkSession, sf: str) -> DataFrame:
     return (
         qty.hint("merge")
         .join(orders, qty.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -849,15 +855,19 @@ def x_tpch_q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x_tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """100 TB plan: ONE suppkey-hashed aggregate of the date-pruned
-    fact; the scalar max is then a global window over that aggregate's
-    output (one row per supplier — small), so the fact is never
-    aggregated twice. (A separate `rev.agg(max)` subquery looks
-    cheaper but column pruning narrows its partial aggregate, the
-    subtrees diverge, exchange reuse cannot fire, and the fact
-    aggregates twice — verified on the executed plan.) The equality
-    filter + supplier broadcast join touch only the surviving row(s).
-    Decimal revenue makes the max/equality exact — a double tie at the
-    top would be engine-dependent."""
+    fact, PERSISTED so both the 1-row scalar max and the equality
+    filter read it once — the fact is never aggregated twice AND the
+    max never funnels the whole per-supplier aggregate into a single
+    task. (The previous form used an empty-window max: correct, but an
+    unpartitioned window is a SinglePartition exchange — O(suppliers)
+    rows in one task at 100 TB. A separate rev.agg(max) subquery
+    without persist is no better: column pruning diverges the
+    subtrees, exchange reuse cannot fire, and the fact aggregates
+    twice — verified on the executed plan.) The max reduces
+    partial-per-partition then 1 row, broadcast back via crossJoin.
+    The equality filter + supplier broadcast join touch only the
+    surviving row(s). Decimal revenue makes the max/equality exact —
+    a double tie at the top would be engine-dependent."""
     li = load_table(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
@@ -865,9 +875,10 @@ def x_tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(money(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("total_revenue"))
-    )
+    ).persist()
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
-        rev.withColumn("mx", F.max("total_revenue").over(Window.partitionBy()))
+        rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
@@ -1297,31 +1308,42 @@ def x_tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     # spec's fixed fraction-of-total becomes 2x the MEAN part value so
     # the predicate is scale-invariant (a fixed fraction goes
     # degenerate as the part count grows: 0 rows at sf0.1).
+    # determinism note: the threshold val > 2*total/cnt is compared via
+    # exact cross-multiplication val*cnt > 2*total (cnt > 0) — all
+    # decimal/bigint exact in both engines, no engine-rounded quotient.
+    # Each price*qty product is cast to DECIMAL(18,4) (exact: 2-decimal
+    # price x 2-decimal qty has at most 4 decimals) so val*cnt stays
+    # inside decimal(38,4) without scale-reducing rounds.
     oracle="""
     WITH v AS (
         SELECT l_partkey,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                   * CAST(l_quantity AS DECIMAL(18,4))) AS val
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4))) AS val
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation   ON n_nationkey = s_nationkey
         WHERE n_name = 'NATION_3'
-        GROUP BY l_partkey)
+        GROUP BY l_partkey),
+    s AS (SELECT SUM(val) AS total, COUNT(*) AS cnt FROM v)
     SELECT l_partkey,
            CAST(ROUND(val, 2) AS DOUBLE) AS part_value
-    FROM v
-    WHERE val > (SELECT SUM(val) * 2.0 / COUNT(*) FROM v)
+    FROM v, s
+    WHERE val * cnt > 2 * total
     ORDER BY part_value DESC, l_partkey
     """,
     doc="TPC-H Q11 shape: per-part value kept only above a fraction of the global total (HAVING > scalar subquery), one-nation supplier slice",
 )
 def x_tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     """100 TB plan: one partkey-hashed aggregate of the nation-pruned
-    fact; the global-total threshold is a single-partition window over
-    that aggregate's (small) output — the fact aggregates ONCE (Q15
-    lesson: a separate scalar-subquery branch defeats exchange reuse
-    via column pruning). Decimal value keeps the threshold comparison
-    engine-exact at the boundary."""
+    fact, PERSISTED so both consumers (the 1-row global stats and the
+    threshold filter) read it once — the fact aggregates ONCE and
+    nothing ever funnels into a single partition. The previous form
+    used an empty-window global sum/count, which moves the ENTIRE
+    per-part aggregate (billions of rows at 100 TB) into one task;
+    stats instead reduce partial-per-partition then 1 row, broadcast
+    back via crossJoin (the repo's Q22/BM25 scalar pattern). The
+    threshold comparison is exact cross-multiplication (val*cnt >
+    2*total) in decimal — no engine-rounded quotient at the boundary."""
     li = load_table(spark, sf, "lineitem")
     supp = load_table(spark, sf, "supplier")
     nation = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
@@ -1329,12 +1351,16 @@ def x_tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("l_partkey")
-        .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("val"))
-    )
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * dec("l_quantity")).cast("decimal(18,4)")
+            ).alias("val")
+        )
+    ).persist()
+    stats = v.agg(F.sum("val").alias("total"), F.count("*").alias("cnt"))
     return (
-        v.withColumn("total", F.sum("val").over(Window.partitionBy()))
-        .withColumn("cnt", F.count("*").over(Window.partitionBy()))
-        .filter(F.col("val") > F.col("total") * 2.0 / F.col("cnt"))
+        v.crossJoin(F.broadcast(stats))
+        .filter(F.col("val") * F.col("cnt") > F.lit(2) * F.col("total"))
         .select("l_partkey", money(F.col("val")).alias("part_value"))
         .orderBy(F.desc("part_value"), "l_partkey")
     )

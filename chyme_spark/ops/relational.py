@@ -10,9 +10,13 @@ into the full declarative surface a Spark engine provides natively.
 Scale notes (100 TB posture):
   * Every query is a single declarative plan — Catalyst pushes filters
     and projections into the parquet scan and prunes columns.
-  * Dimension joins (region/nation/customer/part/supplier) are
-    broadcast-hinted: at any scale those sides stay small relative to
-    the fact tables, so no shuffle of the big side is ever needed.
+  * TRUE dimension joins (region/nation/supplier, filtered part) are
+    broadcast-hinted: those sides stay small relative to the fact at
+    any scale, so no shuffle of the big side is ever needed. Customer
+    and customer-derived build sides scale WITH the fact (~15M rows/TB)
+    and carry no hint — a pinned broadcast cannot be demoted by AQE and
+    OOMs the build at 100x; unhinted, AQE promotes at runtime only
+    while the measured size fits.
   * Aggregations are plain hash aggregates: map-side partial combine
     then a key shuffle; AQE coalesces post-shuffle partitions.
   * The theta join (D-13) is the one intentionally shuffle-heavy shape;
@@ -179,8 +183,11 @@ def d06_keyed_dedup(spark: SparkSession, sf: str) -> DataFrame:
 def d07_inner_join(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders")
     cust = load_table(spark, sf, "customer")
-    # customer is a dimension: broadcast it -> no shuffle of orders at any SF
-    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+    # NO forced broadcast: customer scales with the fact (~15M rows/TB),
+    # so a pinned hint OOMs the build side at 100x and AQE cannot demote
+    # it. Left unhinted, AQE promotes to broadcast at runtime while the
+    # measured size fits and falls back to a keyed shuffle beyond that.
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "c_name", "o_totalprice"
     )
 
@@ -277,7 +284,7 @@ def d11_left_anti_join(spark: SparkSession, sf: str) -> DataFrame:
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY r.r_name, n.n_name
     """,
-    doc="D-12 5-way star join, dims broadcast so only the fact tables shuffle",
+    doc="D-12 5-way star join: true dims (nation/region) broadcast; the customer-derived dim is unhinted (AQE-promoted while it fits)",
 )
 def d12_star_join(spark: SparkSession, sf: str) -> DataFrame:
     region = load_table(spark, sf, "region")
@@ -292,7 +299,9 @@ def d12_star_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        # dims is customer-derived (scales with the fact): no forced
+        # broadcast — AQE promotes at runtime only while it fits
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
             money(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue"),

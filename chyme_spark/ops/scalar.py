@@ -633,7 +633,9 @@ def x_stats_moments(spark: SparkSession, sf: str) -> DataFrame:
 def d36_pivot(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders")
     cust = load_table(spark, sf, "customer")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    # customer scales with the fact: no forced broadcast (AQE promotes
+    # at runtime while the measured build side fits)
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
     # explicit pivot values: skips the extra distinct-scan AND makes the
     # output schema deterministic (required for the hash oracle)
     p = j.groupBy("c_mktsegment").pivot("o_orderstatus", ["O", "F", "P"]).count()

@@ -299,7 +299,11 @@ def d40_stream_watermark(spark: SparkSession, sf: str) -> DataFrame:
 def x_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
     ev = _events_stream(spark, sf)
     cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
-    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    # the static side is customer-derived (scales with the fact): no
+    # forced broadcast — Spark picks broadcast per micro-batch while the
+    # 2-column projection fits, and falls back to a keyed shuffle of the
+    # static side beyond that instead of OOMing a pinned build
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(F.count("*").alias("n_events"))
     return _run_to_memory(agg, "complete")
 

@@ -34,7 +34,8 @@ def d21_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
     cust = load_table(spark, sf, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with the fact: unhinted, AQE decides at runtime
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_nationkey", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
