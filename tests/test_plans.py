@@ -1,0 +1,96 @@
+"""Physical-plan regression gate (VERDICT r5 item 7).
+
+PLANS.md documents the plans we WANT at 100 TB; this test makes the
+load-bearing shape properties an asserted contract so a future edit
+cannot silently regress them — e.g. reintroduce a second lineitem
+aggregate in Q21, lose Q18's forced sort-merge join, or resurrect a
+SinglePartition global-scalar exchange in Q11/Q15.
+
+Counts are pinned at the test config (sf0.001, local[4], AQE final
+plans). If you change a query's plan ON PURPOSE, update EXPECTED here
+in the same commit and say why in the commit message.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_spec = importlib.util.spec_from_file_location(
+    "audit_plans", os.path.join(ROOT, "tools", "audit_plans.py")
+)
+audit_plans = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(audit_plans)
+
+# (exchanges, broadcast joins, sort-merge joins, TakeOrderedAndProject)
+# measured on the final adaptive plan at sf0.001 / local[4].
+EXPECTED = {
+    "d06_keyed_dedup": (1, 0, 0, False),
+    "d07_inner_join": (0, 1, 0, False),  # AQE-promoted broadcast (no hint)
+    "d08_broadcast_join": (0, 1, 0, False),  # explicit hint on the part dim
+    "d12_star_join": (3, 4, 0, False),
+    "d14_hash_agg_q1": (1, 0, 0, False),
+    "d20_limit_topk": (0, 0, 0, True),
+    "d44_cosine_topk": (1, 1, 0, False),
+    "d50_pipeline_flagship": (3, 0, 0, False),
+    "x_tpch_q11_important_stock": (2, 3, 0, False),
+    "x_tpch_q15_top_supplier": (2, 2, 0, False),
+    "x_tpch_q18_big_orders": (2, 1, 1, True),  # smj>=1 is the point
+    "x_tpch_q21_waiting_supplier": (4, 4, 0, True),
+    "x_duplicate_ngram_fraction": (2, 2, 0, False),
+}
+
+# queries that must never contain a SinglePartition exchange: their
+# global scalars are 1-row aggregates broadcast back, not empty windows
+NO_SINGLE_PARTITION = (
+    "x_tpch_q11_important_stock",
+    "x_tpch_q15_top_supplier",
+)
+
+
+@pytest.fixture(scope="module")
+def audits(spark, sf_dir):
+    from chyme_spark.registry import load_all
+
+    registry = load_all()
+    return {
+        name: audit_plans.audit_one(name, registry[name].fn(spark, sf_dir))
+        for name in EXPECTED
+    }
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED))
+def test_plan_shape_pinned(audits, name):
+    r = audits[name]
+    got = (r["exchanges"], r["broadcasts"], r["smj"], r["top_k"])
+    assert got == EXPECTED[name], (
+        f"{name}: plan shape (xchg, bcast, smj, topk) changed "
+        f"{EXPECTED[name]} -> {got}. If intentional, update "
+        f"tests/test_plans.py EXPECTED in the same commit.\n{r['plan']}"
+    )
+
+
+def test_no_single_partition_global_scalars(audits):
+    for name in NO_SINGLE_PARTITION:
+        assert "Exchange SinglePartition" not in audits[name]["plan"], (
+            f"{name}: a SinglePartition exchange reappeared — the global "
+            "scalar must stay a 1-row aggregate + crossJoin(broadcast), "
+            "never an empty window (VERDICT r5 item 2)"
+        )
+
+
+def test_q18_keeps_forced_smj(audits):
+    # the fact-fact merge path is the bench's spill-measuring headline;
+    # losing the hint silently turns it into a broadcast at small SF
+    assert audits["x_tpch_q18_big_orders"]["smj"] >= 1
+
+
+def test_q21_reuses_fact_exchange(audits):
+    # Q21 aggregates lineitem once and reuses the exchange across its
+    # EXISTS/NOT-EXISTS branches; a second fact aggregate would show up
+    # as the ReusedExchange disappearing
+    assert "ReusedExchange" in audits["x_tpch_q21_waiting_supplier"]["plan"]
