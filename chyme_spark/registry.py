@@ -53,47 +53,41 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # row (new this round or red last round), then backfill with the greens
 # whose last driver check is oldest, so staleness is bounded.
 #
-# Round-5 window: the two round-4 ops that were added without rotating
-# the window (r4 verdict "What's wrong" #1) go first, then any ops new
-# in round 5, then the 47 greens last driver-checked in round 2
-# (d03..d50) and the oldest r1 green x_asof_join.
+# Round-6 window: (a) new r6 ops go first as they are added; (b) then
+# every query whose oracle or implementation CHANGED this round (the
+# decimal-pinning rewrites of Q14/Q17/centroids and the Q11/Q15
+# single-partition fixes) so the driver re-proves the new arithmetic;
+# (c) then backfill oldest-first — all hash-proven greens last
+# driver-checked in round 1, then round 2. Rows-only-by-design ops
+# (x_ann_*, x_simhash_neardup, d16/d40/d41/d43) are excluded from
+# backfill: their driver row is only rows>0, the weakest re-proof, and
+# their contracts are pinned by recall/stream==batch pytest suites.
+# If the list exceeds 50, the tail (youngest backfill) rotates out and
+# returns next round.
 _FRONT_50 = [
-    # never driver-checked (added in round 4 outside the window)
-    "x_tpch_q18_big_orders", "x_bloom_prefilter_prod",
-    # new in round 5 — straight into the window
-    "x_tpch_q4_order_priority", "x_tpch_q7_volume_shipping",
-    "x_tpch_q10_returned_items", "x_grouping_sets",
-    "x_embedding_centroids",
-    "x_tpch_q13_cust_distribution", "x_tpch_q22_sales_opportunity",
-    "x_cohort_retention", "x_asof_join_tolerance",
-    "x_tpch_q14_promo_revenue", "x_tpch_q15_top_supplier",
-    "x_tpch_q17_small_qty_parts", "x_tpch_q19_disjunctive_join",
-    "x_tpch_q8_market_share", "x_tpch_q21_waiting_supplier",
-    "x_tpch_q6_forecast_revenue", "x_tpch_q12_priority_shipping",
-    "x_tpch_q2_min_cost_supplier", "x_tpch_q11_important_stock",
-    "x_tpch_q16_supplier_count", "x_tpch_q20_promo_suppliers",
-    "x_yoy_growth", "x_time_weighted_avg",
-    # backfill: hash-proven greens last checked in round 2 — re-prove
-    # the stalest first. The rows-only-by-design d-ids
-    # (d16/d40/d41/d43/d46) are excluded: their driver row is only a
-    # rows>0 check, the weakest re-proof, and their contracts are
-    # pinned by stream==batch / recall pytest suites instead. The
-    # d-ids displaced by round-5 queries (window/set/string/UDF tier)
-    # stay pinned by tests/test_queries_smoke.py every run and rotate
-    # back next round.
-    "d03_filter", "d04_regex_ext_filter", "d05_distinct",
-    "d06_keyed_dedup", "d07_inner_join", "d08_broadcast_join",
-    "d09_left_outer_join", "d10_left_semi_join", "d11_left_anti_join",
-    "d12_star_join", "d13_theta_join", "d14_hash_agg_q1",
-    "d15_count_distinct", "d17_rollup",
-    "d18_having", "d19_sort", "d20_limit_topk", "d21_topk_per_group",
-    "d24_running_sum",
-    "d27_string_fns",
-    "d42_exact_dedup", "d44_cosine_topk",
-    "d45_token_counts",
-    "d50_pipeline_flagship",
-    # oldest r1 green: the custom as-of join operator
-    "x_asof_join",
+    # new in round 6 — straight into the window (inserted as added)
+    # changed in round 6 — re-prove the rewritten arithmetic/plan
+    "x_tpch_q14_promo_revenue", "x_tpch_q17_small_qty_parts",
+    "x_embedding_centroids", "x_tpch_q11_important_stock",
+    "x_tpch_q15_top_supplier",
+    # backfill: hash-proven greens last checked in ROUND 1 (stalest)
+    "x_bitwise_fns", "x_cube", "x_dedup_clusters",
+    "x_deterministic_split", "x_doc_token_stats", "x_embedding_neardup",
+    "x_fingerprint", "x_funnel", "x_histogram", "x_langid",
+    "x_multimodal_features", "x_ngram_jaccard", "x_quality_score",
+    "x_string_agg", "x_tfidf", "x_try_fns", "x_window_distribution",
+    # backfill: hash-proven greens last checked in ROUND 2
+    "d22_ranking_windows", "d23_lag_lead", "d25_union",
+    "d26_intersect_except", "d28_url_parse", "d29_hash_fns",
+    "d30_datetime_fns", "d31_math_fns", "d32_conditional_fns",
+    "d33_array_fns", "d34_map_fns", "d35_json_extract", "d36_pivot",
+    "d38_tumbling_window", "d39_sliding_window", "d46_binary_files",
+    "d47_python_udf", "d48_pandas_udf", "d49_apply_in_pandas",
+    # backfill tail: oldest round-4 greens — these rotate out first as
+    # new r6 ops claim slots at the head
+    "d01_parquet_scan", "d02_projection", "d37_sessionization",
+    "x_array_agg_sorted", "x_bloom_prefilter", "x_bm25_score",
+    "x_bpe_pretokenize", "x_corr_scalar_subquery", "x_cosine_topk_np",
 ]
 
 _D_NAME = re.compile(r"^d\d\d_")
