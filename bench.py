@@ -124,23 +124,75 @@ def main() -> None:
         n: round(max(p[n] for p in passes) - min(p[n] for p in passes), 3) for n in names
     }
 
+    # --- scale-cliff probe (VERDICT r5 item 6) --------------------------
+    # The 2x gate at sf0.1 cannot see a cost curve that bends far above
+    # the data ratio. Run the heaviest ops once more at a deterministic
+    # 10x scale-up of sf0.1 (chyme_spark.scaleup — replicated key
+    # spaces, no RNG) and flag any query whose sf1/sf0.1 median ratio
+    # exceeds _CLIFF x the 10x data ratio. Disable: SPARK_GRAFT_SF1=0.
+    SF1_HEAVY = [
+        "d06_keyed_dedup", "d12_star_join", "x_duplicate_ngram_fraction",
+        "x_tpch_q18_big_orders", "d50_pipeline_flagship",
+    ]
+    _CLIFF = 3.0  # flag when time ratio > _CLIFF * data ratio
+    sf1_block = None
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_steady": steady,
-                "queries_median": steady,  # alias: steady numbers ARE medians now
-                "queries_steady_spread": spread,
-                "steady_passes": n_steady,
-                "steady_total": round(sum(steady.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == "0.1":
+        try:
+            from chyme_spark.scaleup import ensure_scaled
+
+            sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/chyme_sf1")
+            t0 = time.time()
+            ensure_scaled(spark, sf_dir, sf1_dir, factor=10)
+            gen_sec = round(time.time() - t0, 3)
+
+            def run_at(name: str, d: str) -> float:
+                t0 = time.time()
+                df = registry[name].fn(spark, d)
+                df.write.format("noop").mode("overwrite").save()
+                return time.time() - t0
+
+            sf1_names = [n for n in SF1_HEAVY if n in registry]
+            for name in sf1_names:  # warm pass (footers, codegen)
+                run_at(name, sf1_dir)
+            sf1_passes = [
+                {n: run_at(n, sf1_dir) for n in sf1_names} for _ in range(3)
+            ]
+            sf1_med = {
+                n: round(median([p[n] for p in sf1_passes]), 3) for n in sf1_names
             }
-        )
-    )
+            ratio = {
+                n: round(sf1_med[n] / steady[n], 1) if steady.get(n) else None
+                for n in sf1_names
+            }
+            sf1_block = {
+                "dir": sf1_dir,
+                "factor": 10,
+                "gen_sec": gen_sec,
+                "queries_median": sf1_med,
+                "ratio_vs_sf0.1": ratio,
+                "flagged_scale_cliff": sorted(
+                    n for n, r in ratio.items() if r is not None and r > _CLIFF * 10
+                ),
+            }
+        except Exception as e:  # noqa: BLE001 — the probe must never sink the bench line
+            sf1_block = {"error": f"{type(e).__name__}: {e}"}
+
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_steady": steady,
+        "queries_median": steady,  # alias: steady numbers ARE medians now
+        "queries_steady_spread": spread,
+        "steady_passes": n_steady,
+        "steady_total": round(sum(steady.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if sf1_block is not None:
+        out["sf1"] = sf1_block
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
