@@ -69,6 +69,9 @@ HEADLINE = [
     # the correlated per-key aggregate (fact joined back to its own
     # rollup on the same key — exchange-reuse showcase)
     "x_tpch_q17_small_qty_parts",
+    # round-6: the corpus-rewrite dedup (two shuffles: seg-text min +
+    # doc_id rebuild) — the heaviest new LLM-pipeline surface
+    "x_segment_dedup_scrub",
 ]
 
 
@@ -133,6 +136,7 @@ def main() -> None:
     SF1_HEAVY = [
         "d06_keyed_dedup", "d12_star_join", "x_duplicate_ngram_fraction",
         "x_tpch_q18_big_orders", "d50_pipeline_flagship",
+        "x_segment_dedup_scrub",
     ]
     _CLIFF = 3.0  # flag when time ratio > _CLIFF * data ratio
     sf1_block = None

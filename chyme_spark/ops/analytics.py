@@ -1579,3 +1579,60 @@ def x_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "x_zorder_layout",
+    # Z-order (Morton) interleave of two key columns — the data-layout
+    # primitive behind multi-dimensional clustering (Delta OPTIMIZE
+    # ZORDER, Iceberg sort orders): rows sorted by the interleaved key
+    # are simultaneously clustered on BOTH dimensions, so min/max file
+    # statistics prune scans on either predicate. Pure integer bit math
+    # (shifts, masks, adds) — bit-identical across engines by
+    # construction, no floating point anywhere.
+    oracle="""
+    WITH z AS (
+      SELECT o_orderkey, o_custkey,
+             (SELECT CAST(SUM( (((o_custkey>>g.i)&1) << (2*g.i))
+                             + (((o_orderkey>>g.i)&1) << (2*g.i+1)) ) AS BIGINT)
+              FROM (SELECT unnest(range(0,16)) AS i) g) AS zval
+      FROM orders)
+    SELECT zval >> 16 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+           min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+           min(o_orderkey) AS min_ord, max(o_orderkey) AS max_ord
+    FROM z GROUP BY zbucket
+    """,
+    doc="Z-order (Morton) bit-interleave of (o_custkey, o_orderkey) + per-zbucket min/max key ranges — the multi-dim clustering layout that makes file-stat pruning work on both columns",
+)
+def x_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Layout op for the 100 TB write path: `df.repartitionByRange(
+    F.col("zval")).sortWithinPartitions("zval").write` clusters every
+    output file on both keys at once; the per-zbucket min/max columns
+    returned here are exactly the file-footer statistics a reader's
+    predicate pushdown would prune on. The interleave itself is an
+    unrolled 16-term shift/mask/add expression — whole-stage-codegen
+    integer ops, one groupBy(zbucket) shuffle whose cardinality is
+    bounded by the key-space, not the row count.
+    """
+    orders = load_table(spark, sf, "orders")
+    # unrolled at plan-build time: 16 shift/mask/add terms fold into one
+    # whole-stage-codegen integer expression (shiftleft takes a literal
+    # bit count, so the loop lives in Python, not in a higher-order fn)
+    zval = F.lit(0).cast("long")
+    for i in range(16):
+        zval = (
+            zval
+            + F.shiftleft(F.shiftright(F.col("o_custkey"), i).bitwiseAND(F.lit(1)), 2 * i).cast("long")
+            + F.shiftleft(F.shiftright(F.col("o_orderkey"), i).bitwiseAND(F.lit(1)), 2 * i + 1).cast("long")
+        )
+    return (
+        orders.select("o_orderkey", "o_custkey", zval.alias("zval"))
+        .groupBy(F.shiftright("zval", 16).cast("long").alias("zbucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("o_orderkey").alias("min_ord"),
+            F.max("o_orderkey").alias("max_ord"),
+        )
+    )

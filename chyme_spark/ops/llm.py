@@ -1804,3 +1804,144 @@ def x_semdedup(
         .join(dupped, "vec_id", "left_anti")
         .select("vec_id", "cluster")
     )
+
+
+@query(
+    "x_segment_dedup_scrub",
+    # Sub-document dedup with RECONSTRUCTION (Lee et al. 2022 "Deduplicating
+    # Training Data Makes Language Models Better", RefinedWeb's line-wise
+    # scrub): the unit of dedup is an 8-word segment, and the output is the
+    # rewritten corpus, not just a metric. Every occurrence of a segment
+    # after its first global occurrence (min (doc_id, seg) across the whole
+    # corpus) is removed, then each doc's survivors are re-joined in order.
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS seg,
+             array_to_string(ws[(t.i*8+1):(t.i*8+8)], ' ') AS seg_text
+      FROM docs, LATERAL unnest(range(0, CAST(ceil(len(ws)/8.0) AS BIGINT))) AS t(i)),
+    f AS (SELECT seg_text, min(doc_id*1000000 + seg) AS first_key
+          FROM segs GROUP BY seg_text)
+    SELECT s.doc_id,
+           coalesce(string_agg(CASE WHEN s.doc_id*1000000+s.seg = f.first_key
+                                    THEN s.seg_text END, ' ' ORDER BY s.seg),
+                    '') AS scrubbed_text,
+           CAST(count(*) FILTER (WHERE s.doc_id*1000000+s.seg = f.first_key) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE s.doc_id*1000000+s.seg <> f.first_key) AS BIGINT) AS n_removed
+    FROM segs s JOIN f ON s.seg_text = f.seg_text
+    GROUP BY s.doc_id
+    """,
+    doc="sub-document dedup with reconstruction: scrub every 8-word segment after its first global occurrence, rebuild doc text (Lee et al. exact-substring removal at segment granularity)",
+)
+def x_segment_dedup_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus rewrite, not just a metric: the output text has cross- and
+    intra-doc duplicated segments removed, keeping the single first
+    occurrence (min doc_id, then min segment index) so both engines pick
+    the same survivor.
+
+    Scale shape (100 TB): two shuffles total — one on the segment text to
+    find each segment's global first occurrence (map-side partial min),
+    one on doc_id to reassemble. The join back is un-hinted on the same
+    key: AQE promotes it to broadcast at small SF (audited plan: bcast=1)
+    and keeps it a co-partitioned shuffle join at corpus scale where the
+    firsts table is fact-sized. No window over the whole corpus, no
+    collect. At production scale the join key becomes
+    xxhash64(seg_text) (8-byte shuffle rows instead of ~50-byte strings;
+    the repo's x_duplicate_ngram_fraction measured -24% from the same
+    swap) — kept as full text here so the oracle equality is exact rather
+    than modulo hash collisions.
+
+    Ref parity: the reference dedups whole URL-addressed blobs via a Redis
+    SET (internal/core/resource.go:54-108); this is the same idempotent
+    keep-first contract pushed inside the document.
+    """
+    docs = load_table(spark, sf, "documents")
+    ws = F.split("text", " ")
+    nseg = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(F.slice(ws, i * 8 + 1, F.lit(8)), " "),
+            )
+        ).alias("seg", "seg_text"),
+    ).select("doc_id", F.col("seg").cast("long").alias("seg"), "seg_text")
+    key = F.col("doc_id") * 1000000 + F.col("seg")
+    firsts = segs.groupBy("seg_text").agg(F.min(key).alias("first_key"))
+    joined = segs.join(firsts, "seg_text")
+    kept = (key == F.col("first_key")).cast("int")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(kept == 1, F.struct("seg", "seg_text"))
+                            )
+                        ),
+                        lambda s: s["seg_text"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("scrubbed_text"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum(1 - kept).cast("long").alias("n_removed"),
+        )
+    )
+
+
+@query(
+    "x_mixture_temperature",
+    # Temperature-scaled mixture weights (UniMax / multilingual-T5 style):
+    # per-language sampling weight proportional to (token count)^(1/T)
+    # with T=2. Cross-engine determinism: sqrt over a DOUBLE is
+    # correctly-rounded per IEEE 754 (identical bits on both engines, no
+    # libm variance, unlike pow/log), floor() pins it to an exact BIGINT,
+    # and the final weight is integer floor division (the TWAP trick) —
+    # no decimal quotient or double accumulation anywhere.
+    oracle="""
+    WITH tok AS (SELECT lang,
+                        CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY lang),
+    sc AS (SELECT lang, n_tokens,
+                  CAST(floor(sqrt(n_tokens * 1000000)) AS BIGINT) AS score
+           FROM tok),
+    tot AS (SELECT CAST(SUM(score) AS BIGINT) AS total FROM sc)
+    SELECT lang, n_tokens, score,
+           CAST((score * 1000000) // total AS BIGINT) AS weight_ppm
+    FROM sc, tot
+    """,
+    doc="temperature-scaled mixture weights (UniMax, T=2): per-lang sampling weight ~ sqrt(token count), pinned via floor(sqrt)->BIGINT + integer floor-division ppm",
+)
+def x_mixture_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Upstream of x_mixture_sample: WHERE the per-language rates come
+    from. T=2 temperature flattening (weight ~ count^(1/2)) upsamples
+    low-resource languages relative to proportional sampling.
+
+    Scale shape: one groupBy(lang) aggregation with map-side partial sums
+    (cardinality = #languages, tiny), then a 1-row global total
+    crossJoin-broadcast back — the repo's scalar-broadcast pattern, no
+    single-partition window. The token count is the exact word count,
+    summed as BIGINT.
+    """
+    docs = load_table(spark, sf, "documents")
+    tok = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    sc = tok.withColumn(
+        "score", F.floor(F.sqrt(F.col("n_tokens") * 1000000)).cast("long")
+    )
+    total = sc.agg(F.sum("score").cast("long").alias("total"))
+    return sc.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_tokens",
+        "score",
+        # `div` is Spark's exact integer division on BIGINT — matching
+        # DuckDB's `//`; a double `/` + floor() could double-round across
+        # an integer boundary
+        F.expr("(score * 1000000L) div total").cast("long").alias("weight_ppm"),
+    )

@@ -266,3 +266,48 @@ def x_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("double").alias("centroid")
         )
     )
+
+
+@query(
+    "x_doc_chunk_windows",
+    # Overlapping context-window chunking: the retrieval/training step
+    # that splits each document into fixed-width character windows with
+    # stride overlap (window 200, stride 150 -> 50-char overlap between
+    # consecutive chunks), the standard pre-embedding chunker for RAG
+    # indexes and long-doc training shards.
+    oracle="""
+    SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_id,
+           substr(text, CAST(t.i*150+1 AS INT), 200) AS chunk_text
+    FROM documents, LATERAL unnest(range(0,
+      CASE WHEN len(text) <= 200 THEN 1
+           ELSE 1 + CAST(ceil((len(text)-200)/150.0) AS BIGINT) END)) AS t(i)
+    """,
+    doc="overlapping char-window chunking (window 200, stride 150): 1 doc -> N chunks for RAG/long-doc training; deterministic substrings",
+)
+def x_doc_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """1 -> N fan-out with zero shuffle: the chunk grid is computed
+    per-row from the document length (sequence + posexplode + substr),
+    entirely inside whole-stage codegen — a narrow map, so at 100 TB it
+    streams through executors at scan speed and the output partitioning
+    inherits the input's. The chunk count formula guarantees full
+    coverage: the last window starts at the largest stride multiple that
+    still leaves <= 200 chars, and short docs yield exactly one chunk.
+
+    Ref parity: the same 1-resource -> N-tasks fan-out contract as the
+    reference's task templating (internal/tasker/template.go:7-35),
+    applied inside a document instead of across blobs.
+    """
+    docs = load_table(spark, sf, "documents")
+    n = F.length("text")
+    n_chunks = F.when(n <= 200, F.lit(1)).otherwise(
+        (F.lit(1) + F.ceil((n - 200) / F.lit(150.0))).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.col("text").substr(i * 150 + 1, F.lit(200)),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    ).select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk_text")

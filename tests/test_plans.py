@@ -42,6 +42,13 @@ EXPECTED = {
     "x_tpch_q18_big_orders": (2, 1, 1, True),  # smj>=1 is the point
     "x_tpch_q21_waiting_supplier": (4, 4, 0, True),
     "x_duplicate_ngram_fraction": (2, 2, 0, False),
+    # round-6: the chunker must stay a 0-exchange narrow map; the scrub
+    # must stay 2 shuffles (seg-text min + doc_id rebuild) with the
+    # un-hinted join AQE-promoted to broadcast at this SF
+    "x_segment_dedup_scrub": (2, 1, 0, False),
+    "x_mixture_temperature": (2, 1, 0, False),
+    "x_doc_chunk_windows": (0, 0, 0, False),
+    "x_zorder_layout": (1, 0, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their

@@ -1,0 +1,135 @@
+"""Semantic contracts for the round-6 ops: sub-document dedup scrub,
+temperature mixture weights, overlapping chunking, Z-order layout.
+
+Each test pins a property the oracle hash cannot see on its own (e.g.
+reconstruction fidelity, exact-integer sqrt pinning, window coverage,
+interleave bijectivity)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from chyme_spark.registry import load_all
+from chyme_spark.session import load_table
+
+REGISTRY = load_all()
+
+
+def _segments(text: str, k: int = 8) -> list[str]:
+    ws = text.split(" ")
+    return [" ".join(ws[i * k : (i + 1) * k]) for i in range(math.ceil(len(ws) / k))]
+
+
+def test_segment_scrub_preserves_unique_docs_and_counts(spark, sf_dir):
+    """Docs with nothing removed come back byte-identical; kept+removed
+    equals the exact segment count of every doc; the kept multiset is
+    exactly one copy of each distinct segment in the corpus."""
+    out = {r["doc_id"]: r for r in REGISTRY["x_segment_dedup_scrub"].fn(spark, sf_dir).collect()}
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, sf_dir, "documents").collect()}
+    assert set(out) == set(docs)
+    all_segs: list[str] = []
+    for doc_id, text in docs.items():
+        segs = _segments(text)
+        all_segs.extend(segs)
+        r = out[doc_id]
+        assert r["n_kept"] + r["n_removed"] == len(segs), doc_id
+        if r["n_removed"] == 0:
+            assert r["scrubbed_text"] == text, doc_id
+    n_kept_total = sum(r["n_kept"] for r in out.values())
+    assert n_kept_total == len(set(all_segs))
+    assert any(r["n_removed"] > 0 for r in out.values())
+
+
+def test_segment_scrub_keeps_first_occurrence(spark, sf_dir):
+    """The survivor of each duplicated segment is the global (min doc_id,
+    min seg) occurrence — recomputed in pure Python."""
+    docs = sorted(
+        (r["doc_id"], r["text"]) for r in load_table(spark, sf_dir, "documents").collect()
+    )
+    expect_kept: dict[int, list[str]] = {}
+    seen: set[str] = set()
+    for doc_id, text in docs:
+        kept = []
+        for seg in _segments(text):
+            if seg not in seen:
+                seen.add(seg)
+                kept.append(seg)
+        expect_kept[doc_id] = kept
+    out = REGISTRY["x_segment_dedup_scrub"].fn(spark, sf_dir).collect()
+    for r in out:
+        assert r["scrubbed_text"] == " ".join(expect_kept[r["doc_id"]]), r["doc_id"]
+
+
+def test_mixture_temperature_exact_isqrt_and_flattening(spark, sf_dir):
+    """score is exactly floor(sqrt(n_tokens * 1e6)) (cross-checked with
+    integer math.isqrt), ppm weights nearly sum to 1e6, and T=2
+    flattening holds: every language's weight share is strictly closer
+    to uniform than its raw token share (up-samples the tail)."""
+    rows = REGISTRY["x_mixture_temperature"].fn(spark, sf_dir).collect()
+    tot_tokens = sum(r["n_tokens"] for r in rows)
+    tot_score = sum(r["score"] for r in rows)
+    uniform = 1.0 / len(rows)
+    assert 1_000_000 - len(rows) < sum(r["weight_ppm"] for r in rows) <= 1_000_000
+    for r in rows:
+        assert r["score"] == math.isqrt(r["n_tokens"] * 1_000_000)
+        assert r["weight_ppm"] == (r["score"] * 1_000_000) // tot_score
+        raw = r["n_tokens"] / tot_tokens
+        flat = r["score"] / tot_score
+        if raw != uniform:
+            assert abs(flat - uniform) < abs(raw - uniform), r["lang"]
+
+
+def test_chunk_windows_cover_and_overlap(spark, sf_dir):
+    """Every doc is fully covered: chunk i starts at 150*i, is <=200
+    chars, consecutive chunks overlap by 50, and the concatenation of
+    chunk starts reconstructs the text exactly."""
+    chunks: dict[int, dict[int, str]] = {}
+    for r in REGISTRY["x_doc_chunk_windows"].fn(spark, sf_dir).collect():
+        chunks.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, sf_dir, "documents").collect()}
+    assert set(chunks) == set(docs)
+    for doc_id, text in docs.items():
+        by_id = chunks[doc_id]
+        n = len(by_id)
+        assert sorted(by_id) == list(range(n))
+        for i in range(n):
+            assert by_id[i] == text[i * 150 : i * 150 + 200], (doc_id, i)
+        # full coverage: the last window reaches the end of the doc
+        assert (n - 1) * 150 + len(by_id[n - 1]) == len(text), doc_id
+        if len(text) > 200:
+            assert n == 1 + math.ceil((len(text) - 200) / 150)
+        else:
+            assert n == 1
+
+
+def _interleave(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_buckets_match_python_interleave(spark, sf_dir):
+    """Per-zbucket counts equal a pure-Python Morton interleave of the
+    same keys, and the layout actually clusters: every bucket's custkey
+    range is a narrow slice of the full key domain."""
+    orders = [
+        (r["o_orderkey"], r["o_custkey"])
+        for r in load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").collect()
+    ]
+    expect: dict[int, int] = {}
+    for ok, ck in orders:
+        b = _interleave(ck, ok) >> 16
+        expect[b] = expect.get(b, 0) + 1
+    got = {r["zbucket"]: r["n"] for r in REGISTRY["x_zorder_layout"].fn(spark, sf_dir).collect()}
+    assert got == expect
+    out = REGISTRY["x_zorder_layout"].fn(spark, sf_dir).collect()
+    domain = max(ck for _, ck in orders) - min(ck for _, ck in orders) + 1
+    # zbucket fixes custkey bits 8..15 (even bit positions 16+), so the
+    # custkey spread inside one bucket is < 256: the min/max file stats
+    # a reader would prune on are genuinely selective on BOTH keys
+    for r in out:
+        assert r["max_cust"] - r["min_cust"] < min(256, domain), r["zbucket"]

@@ -41,6 +41,9 @@ AUDIT = [
     "x_tpch_q2_min_cost_supplier", "x_tpch_q11_important_stock",
     "x_tpch_q16_supplier_count", "x_tpch_q20_promo_suppliers",
     "x_yoy_growth", "x_time_weighted_avg",
+    # round-6 additions: corpus rewrite, mixture design, layout
+    "x_segment_dedup_scrub", "x_mixture_temperature",
+    "x_doc_chunk_windows", "x_zorder_layout",
     # x_neardup_survivors / x_dedup_clusters excluded: their iterative
     # min-label loop accumulates per-round subtrees, so the one-shot
     # exchange/broadcast counts here mis-state per-round work (which is
