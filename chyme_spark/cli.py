@@ -103,7 +103,20 @@ def _ingest_follow(spark, args) -> int:
     return 0
 
 
-def cmd_ingest(args) -> int:
+def _ingest_once(
+    spark,
+    root: str,
+    filter_string: str,
+    recursion: int | None,
+    catalog_path: str,
+    distributed_listing: bool = False,
+) -> tuple[int, int]:
+    """One batch ingest pass (list -> filter -> dedup -> append); returns
+    (n ingested, n quarantined). Shared by the CLI verb and the HTTP
+    transport's endpoint (ref svc.Ingest, internal/ingest/service.go:42-119).
+
+    Raises ValueError on a bad filter string — callers map it to their
+    transport's error convention (exit code 2 / response err field)."""
     from chyme_spark.catalog import (
         ingest,
         list_files,
@@ -111,30 +124,22 @@ def cmd_ingest(args) -> int:
         split_malformed,
         with_resource_columns,
     )
-
     from chyme_spark.filters import compile_filter
 
-    spark = get_spark("chyme_ingest")
-    try:
-        # building the Column requires an active session, so validate
-        # after get_spark — but before any data is touched
-        compile_filter(args.filter)
-    except ValueError as e:
-        print(f"error: {e}", file=sys.stderr)
-        return 2
-    if getattr(args, "follow", False):
-        return _ingest_follow(spark, args)
-    if "://" in args.root and not args.root.startswith("file://"):
-        urls = spark.createDataFrame([(args.root,)], "url string")
+    # building the Column requires an active session, so validate
+    # after get_spark — but before any data is touched
+    compile_filter(filter_string)
+    if "://" in root and not root.startswith("file://"):
+        urls = spark.createDataFrame([(root,)], "url string")
     else:
-        lister = list_files_distributed if getattr(args, "distributed_listing", False) else list_files
-        urls = lister(spark, args.root, args.recursion).select("url")
+        lister = list_files_distributed if distributed_listing else list_files
+        urls = lister(spark, root, recursion).select("url")
     # cache the listing: consumed by both the catalog branch and the
     # quarantine branch below — one listing pass, not two
     urls = urls.cache()
-    catalog = ingest(urls, args.filter)
+    catalog = ingest(urls, filter_string)
     # dedup against what's already cataloged (idempotent re-ingest)
-    existing = _read_or_none(spark, args.catalog)
+    existing = _read_or_none(spark, catalog_path)
     if existing is not None:
         catalog = catalog.join(existing.select("url"), "url", "left_anti")
     # cache: count + write would otherwise execute listing+filter+dedup twice
@@ -142,12 +147,85 @@ def cmd_ingest(args) -> int:
     # metadata (url/hash/ext), bounded, never the underlying objects.
     catalog = catalog.cache()
     n = catalog.count()
-    catalog.write.mode("append").parquet(args.catalog)
+    catalog.write.mode("append").parquet(catalog_path)
     catalog.unpersist()
     _, quarantine = split_malformed(with_resource_columns(urls))
     nq = quarantine.count()
     urls.unpersist()
+    return n, nq
+
+
+def cmd_ingest(args) -> int:
+    if getattr(args, "server", None):
+        # client mode — the reference's `chyme ingest <url>` verb POSTs to
+        # the running service instead of touching storage itself
+        # (cmd/ingest.go:66-92)
+        from chyme_spark.transport import post_ingest
+
+        try:
+            out = post_ingest(args.server, args.root, args.filter, args.recursion)
+        except Exception as e:  # noqa: BLE001 — network/service error -> exit 1
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        print(f"Ingest Success ({out['res']} resources)")
+        return 0
+    if not getattr(args, "catalog", None):
+        print("error: --catalog is required unless --server is given", file=sys.stderr)
+        return 2
+    spark = get_spark("chyme_ingest")
+    if getattr(args, "follow", False):
+        from chyme_spark.filters import compile_filter
+
+        try:
+            compile_filter(args.filter)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        return _ingest_follow(spark, args)
+    try:
+        n, nq = _ingest_once(
+            spark,
+            args.root,
+            args.filter,
+            args.recursion,
+            args.catalog,
+            getattr(args, "distributed_listing", False),
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     print(f"ingested {n} new resources -> {args.catalog} ({nq} malformed skipped)")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """R39: the always-on ingest service — listen at /ingest, run each
+    request through the Spark-backed catalog (ref cmd/ingest.go:37-57;
+    transport contract in chyme_spark/transport.py)."""
+    from chyme_spark.transport import make_server, serve_forever
+
+    spark = get_spark("chyme_ingest_http")
+
+    def _fn(url: str, filter_string: str, depth) -> int:
+        n, _nq = _ingest_once(
+            spark,
+            url,
+            filter_string or "identity/",
+            depth,
+            args.catalog,
+            args.distributed_listing,
+        )
+        return n
+
+    server = make_server(_fn, host=args.host, port=args.port)
+    host, port = server.server_address[:2]
+    print(f"listening at http://{host}:{port}/ingest -> {args.catalog}")
+    if getattr(args, "serve_duration", None):
+        # bounded run for tests/smoke: shut down from a timer thread
+        import threading
+
+        threading.Timer(args.serve_duration, server.shutdown).start()
+    serve_forever(server)
     return 0
 
 
@@ -474,7 +552,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("root", help="directory, file://, or single object URL")
     p.add_argument("--filter", default="identity/", help="e.g. ext/mov or ext/mov/mp4")
     p.add_argument("--recursion", type=int, default=None, help="max listing depth")
-    p.add_argument("--catalog", required=True, help="catalog parquet dir")
+    p.add_argument("--catalog", default=None,
+                   help="catalog parquet dir (required unless --server)")
     p.add_argument("--distributed-listing", action="store_true",
                    help="fan per-prefix recursion out to executors (large buckets)")
     p.add_argument("--follow", action="store_true",
@@ -492,7 +571,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--s3-option", action="append", metavar="KEY=VALUE",
                    help="object-store option for --follow (endpoint_override, "
                    "access_key, ...); repeatable. Default: env credential chain")
+    p.add_argument("--server", default=None, metavar="URL",
+                   help="client mode: POST the request to a running "
+                        "`chyme-spark serve` instead of ingesting locally "
+                        "(ref cmd/ingest.go client verb); --catalog is then "
+                        "the server's concern")
     p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser("serve", help="HTTP ingest service: listen at /ingest (R39)")
+    p.add_argument("--catalog", required=True, help="catalog parquet dir")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080,
+                   help="8080 matches the reference default (cmd/ingest.go:55)")
+    p.add_argument("--distributed-listing", action="store_true")
+    p.add_argument("--serve-duration", type=float, default=None, metavar="SEC",
+                   help="shut down after SEC seconds (tests/bounded runs)")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("tasker", help="expand catalog through templates into tasks")
     p.add_argument("--catalog", required=True)
