@@ -1945,3 +1945,78 @@ def x_mixture_temperature(spark: SparkSession, sf: str) -> DataFrame:
         # an integer boundary
         F.expr("(score * 1000000L) div total").cast("long").alias("weight_ppm"),
     )
+
+
+@query(
+    "x_lm_surprisal_score",
+    # CCNet-style language-model quality signal (Wenzek et al. 2020 score
+    # docs by LM perplexity; here the LM is a bigram model trained on the
+    # corpus itself) made EXACTLY cross-engine: per-bigram surprisal is
+    # quantized to whole bits as floor(log2(T/c)) computed with pure
+    # integer ops — length(bin(T div c)) - 1 — so no libm log is ever
+    # evaluated (floor(log2(floor(x))) == floor(log2(x)) for x >= 1,
+    # hence the integer division loses nothing). The only division is
+    # exact-int -> double (IEEE-deterministic) feeding ROUND.
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+    bg AS (SELECT doc_id, ws[CAST(t.i AS INT)] || ' ' || ws[CAST(t.i+1 AS INT)] AS b
+           FROM docs, LATERAL unnest(range(1, len(ws))) AS t(i)),
+    cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY b),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS T FROM bg)
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(length(bin(T // c)) - 1) AS BIGINT) AS sum_bits,
+           CAST(ROUND(SUM(length(bin(T // c)) - 1) * 1.0 / count(*), 4) AS DOUBLE)
+               AS avg_surprisal
+    FROM bg JOIN cnt USING (b), tot
+    GROUP BY bg.doc_id
+    """,
+    doc="bigram-LM surprisal quality score (CCNet-style): per-doc mean of floor(log2(T/count)) bits, exact integer log2 via bin-length — high = improbable text",
+)
+def x_lm_surprisal_score(spark: SparkSession, sf: str) -> DataFrame:
+    """The perplexity-filter signal a CCNet-style pipeline ranks docs by
+    (keep head/middle of the distribution, drop the gibberish tail),
+    with the LM trained on the corpus being scored — one extra pass, no
+    external model artifact.
+
+    Scale shape (100 TB): bigram fan-out is a narrow map; then exactly
+    two shuffles — one groupBy(bigram) for counts (map-side partial),
+    one groupBy(doc_id) for the score — plus a 1-row total broadcast.
+    The count join back is un-hinted: AQE broadcasts the bigram table at
+    small SF and keeps the co-partitioned shuffle join at corpus scale.
+    Quantizing surprisal to whole bits is what buys exactness; the
+    un-quantized double-log variant is the same plan with F.log2 and a
+    rows-only check.
+    """
+    docs = load_table(spark, sf, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    grams = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                grams,
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+                ),
+            )
+        ).alias("b"),
+    )
+    cnt = bg.groupBy("b").agg(F.count("*").alias("c"))
+    tot = bg.agg(F.count("*").alias("T"))
+    bits = F.length(F.bin(F.expr("T div c"))) - 1
+    return (
+        bg.join(cnt, "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(bits).cast("long").alias("sum_bits"),
+            F.round(F.sum(bits) * 1.0 / F.count("*"), 4)
+            .cast("double")
+            .alias("avg_surprisal"),
+        )
+    )

@@ -49,6 +49,9 @@ EXPECTED = {
     "x_mixture_temperature": (2, 1, 0, False),
     "x_doc_chunk_windows": (0, 0, 0, False),
     "x_zorder_layout": (1, 0, 0, False),
+    # 3 exchanges = bigram-count groupBy + doc_id groupBy + the 1-row
+    # total's partial agg; 2 broadcasts = AQE-promoted count join + tot
+    "x_lm_surprisal_score": (3, 2, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their

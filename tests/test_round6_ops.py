@@ -7,6 +7,7 @@ interleave bijectivity)."""
 
 from __future__ import annotations
 
+import decimal
 import math
 
 from pyspark.sql import functions as F
@@ -133,3 +134,39 @@ def test_zorder_buckets_match_python_interleave(spark, sf_dir):
     # a reader would prune on are genuinely selective on BOTH keys
     for r in out:
         assert r["max_cust"] - r["min_cust"] < min(256, domain), r["zbucket"]
+
+
+def test_lm_surprisal_exact_integer_log2(spark, sf_dir):
+    """sum_bits equals a pure-Python floor(log2(T/c)) recompute over the
+    whole corpus — the bin-length quantization is exactly the math it
+    claims, and high-surprisal docs are rarer-bigram docs."""
+    from collections import Counter
+
+    docs = sorted(
+        (r["doc_id"], r["text"]) for r in load_table(spark, sf_dir, "documents").collect()
+    )
+    corpus: Counter = Counter()
+    per_doc: dict[int, list[str]] = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        bs = [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
+        per_doc[doc_id] = bs
+        corpus.update(bs)
+    total = sum(corpus.values())
+    out = {r["doc_id"]: r for r in REGISTRY["x_lm_surprisal_score"].fn(spark, sf_dir).collect()}
+    assert set(out) == {d for d, bs in per_doc.items() if bs}
+    for doc_id, bs in per_doc.items():
+        if not bs:
+            continue
+        expect_bits = sum(
+            math.floor(math.log2(total / corpus[b])) for b in bs
+        )
+        r = out[doc_id]
+        assert r["n_bigrams"] == len(bs)
+        assert r["sum_bits"] == expect_bits, doc_id
+        # Spark/DuckDB ROUND is half-away-from-zero; Python's round() is
+        # half-even — ties (dyadic quotients like 586/64 = 9.15625) need
+        # the engines' convention here
+        q = decimal.Decimal(repr(expect_bits / len(bs)))  # shortest repr of the double, as BigDecimal.valueOf does
+        expect_avg = float(q.quantize(decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP))
+        assert r["avg_surprisal"] == expect_avg, doc_id
