@@ -2020,3 +2020,88 @@ def x_lm_surprisal_score(spark: SparkSession, sf: str) -> DataFrame:
             .alias("avg_surprisal"),
         )
     )
+
+
+@query(
+    "x_mixture_resample",
+    # The step after x_mixture_temperature: APPLY the T=2 weights as
+    # per-language keep rates and materialize the resampled corpus
+    # stats. rate_l ~ weight_l / n_docs_l, scaled so the most
+    # up-weighted language keeps 100% — every step is integer floor
+    # division on BIGINT (exact on both engines), and the keep decision
+    # is the repo's deterministic md5-bucket coin (x_mixture_sample).
+    oracle="""
+    WITH tok AS (SELECT lang,
+                        CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+                        CAST(count(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY lang),
+    sc AS (SELECT lang, n_tokens, n_docs,
+                  CAST(floor(sqrt(n_tokens * 1000000)) AS BIGINT) AS score
+           FROM tok),
+    tot AS (SELECT CAST(SUM(score) AS BIGINT) AS total FROM sc),
+    w AS (SELECT lang, n_docs,
+                 CAST((score * 1000000) // total AS BIGINT) AS weight_ppm
+          FROM sc, tot),
+    r AS (SELECT lang, n_docs,
+                 CAST((weight_ppm * 1000000) // n_docs AS BIGINT) AS r_raw
+          FROM w),
+    m AS (SELECT CAST(max(r_raw) AS BIGINT) AS m FROM r),
+    rates AS (SELECT lang, n_docs,
+                     CAST((r_raw * 1000000) // m AS BIGINT) AS rate_ppm
+              FROM r, m)
+    SELECT d.lang, any_value(rates.n_docs) AS n_docs,
+           any_value(rates.rate_ppm) AS rate_ppm,
+           CAST(count(*) FILTER (
+               WHERE ('0x' || substr(md5(d.text),1,8))::BIGINT % 1000000
+                     < rates.rate_ppm) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates ON d.lang = rates.lang
+    GROUP BY d.lang
+    """,
+    doc="apply UniMax T=2 mixture weights as per-lang keep rates (max-up-weighted lang keeps 100%); deterministic md5-bucket sampling, all-integer rate math",
+)
+def x_mixture_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Closes the mixture loop: x_mixture_temperature designs the
+    target distribution, this op rewrites the corpus toward it. Keep
+    probability is rate_ppm/1e6 with the doc's md5 bucket as the coin —
+    rerunnable, shard-order-independent, and exactly reproducible (the
+    property the reference's idempotent SET semantics give whole blobs,
+    internal/core/resource.go:54-108, applied to sampling).
+
+    Scale shape: the rate table is #languages rows built from two tiny
+    aggregations (plus 1-row total and max scalars broadcast via
+    crossJoin); it joins back to the corpus broadcast (a true dimension
+    — cardinality fixed by the language set, not the data size), so the
+    corpus is touched in one narrow filtered pass plus one
+    groupBy(lang) rollup.
+    """
+    docs = load_table(spark, sf, "documents")
+    tok = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    sc = tok.withColumn(
+        "score", F.floor(F.sqrt(F.col("n_tokens") * 1000000)).cast("long")
+    )
+    total = sc.agg(F.sum("score").cast("long").alias("total"))
+    w = sc.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        F.expr("(score * 1000000L) div total").alias("weight_ppm"),
+    )
+    r = w.select(
+        "lang", "n_docs", F.expr("(weight_ppm * 1000000L) div n_docs").alias("r_raw")
+    )
+    m = r.agg(F.max("r_raw").alias("m"))
+    rates = r.crossJoin(F.broadcast(m)).select(
+        "lang", "n_docs", F.expr("(r_raw * 1000000L) div m").alias("rate_ppm")
+    )
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 1000000
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.any_value("n_docs").alias("n_docs"),
+            F.any_value("rate_ppm").alias("rate_ppm"),
+            F.sum((bucket < F.col("rate_ppm")).cast("long")).alias("n_kept"),
+        )
+    )

@@ -52,6 +52,9 @@ EXPECTED = {
     # 3 exchanges = bigram-count groupBy + doc_id groupBy + the 1-row
     # total's partial agg; 2 broadcasts = AQE-promoted count join + tot
     "x_lm_surprisal_score": (3, 2, 0, False),
+    # 2 corpus-side lang shuffles + tiny scalar aggs; 4 broadcasts are
+    # the rate-table dim join plus the 1-row total/max scalars
+    "x_mixture_resample": (6, 4, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their

@@ -170,3 +170,34 @@ def test_lm_surprisal_exact_integer_log2(spark, sf_dir):
         q = decimal.Decimal(repr(expect_bits / len(bs)))  # shortest repr of the double, as BigDecimal.valueOf does
         expect_avg = float(q.quantize(decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP))
         assert r["avg_surprisal"] == expect_avg, doc_id
+
+
+def test_mixture_resample_consistent_with_weights(spark, sf_dir):
+    """Rates follow the published weights exactly (integer recompute),
+    the most up-weighted language keeps 100%, and n_kept matches a
+    pure-Python md5-bucket replay over the corpus."""
+    import hashlib
+
+    weights = {
+        r["lang"]: r for r in REGISTRY["x_mixture_temperature"].fn(spark, sf_dir).collect()
+    }
+    out = {r["lang"]: r for r in REGISTRY["x_mixture_resample"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(weights)
+    r_raw = {
+        lang: (weights[lang]["weight_ppm"] * 1_000_000) // out[lang]["n_docs"]
+        for lang in out
+    }
+    m = max(r_raw.values())
+    kept = dict.fromkeys(out, 0)
+    n_docs = dict.fromkeys(out, 0)
+    for row in load_table(spark, sf_dir, "documents").select("lang", "text").collect():
+        lang = row["lang"]
+        n_docs[lang] += 1
+        bucket = int(hashlib.md5(row["text"].encode()).hexdigest()[:8], 16) % 1_000_000
+        if bucket < (r_raw[lang] * 1_000_000) // m:
+            kept[lang] += 1
+    assert any(v["rate_ppm"] == 1_000_000 for v in out.values())
+    for lang, v in out.items():
+        assert v["rate_ppm"] == (r_raw[lang] * 1_000_000) // m, lang
+        assert v["n_docs"] == n_docs[lang], lang
+        assert v["n_kept"] == kept[lang], lang
