@@ -136,7 +136,7 @@ def main() -> None:
     SF1_HEAVY = [
         "d06_keyed_dedup", "d12_star_join", "x_duplicate_ngram_fraction",
         "x_tpch_q18_big_orders", "d50_pipeline_flagship",
-        "x_segment_dedup_scrub",
+        "x_segment_dedup_scrub", "d43_minhash_lsh",
     ]
     _CLIFF = 3.0  # flag when time ratio > _CLIFF * data ratio
     sf1_block = None

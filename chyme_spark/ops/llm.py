@@ -1855,15 +1855,21 @@ def x_segment_dedup_scrub(spark: SparkSession, sf: str) -> DataFrame:
     SET (internal/core/resource.go:54-108); this is the same idempotent
     keep-first contract pushed inside the document.
     """
-    docs = load_table(spark, sf, "documents")
+    return segment_scrub(load_table(spark, sf, "documents"))
+
+
+def segment_scrub(docs: DataFrame, seg_words: int = 8) -> DataFrame:
+    """Core of x_segment_dedup_scrub over any (doc_id, text) DataFrame —
+    factored out so property tests can drive it with adversarial
+    synthetic corpora (tests/test_properties.py)."""
     ws = F.split("text", " ")
-    nseg = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    nseg = F.ceil(F.size(ws) / F.lit(float(seg_words))).cast("int")
     segs = docs.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), nseg - 1),
-                lambda i: F.array_join(F.slice(ws, i * 8 + 1, F.lit(8)), " "),
+                lambda i: F.array_join(F.slice(ws, i * seg_words + 1, F.lit(seg_words)), " "),
             )
         ).alias("seg", "seg_text"),
     ).select("doc_id", F.col("seg").cast("long").alias("seg"), "seg_text")

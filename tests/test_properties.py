@@ -60,3 +60,44 @@ def test_collated_hash_order_insensitive(spark, h1, h2):
     )
     row = df.collect()[0]
     assert row.a == row.b
+
+
+# --- round-6: sub-document dedup scrub vs a pure-Python model ---------------
+
+_word = st.sampled_from(["a", "bb", "ccc", "dd", "é", "词", "x1"])
+_doc_words = st.lists(_word, min_size=0, max_size=14)
+_corpus = st.lists(_doc_words, min_size=1, max_size=6)
+
+
+def _py_scrub(texts: list[str], k: int) -> dict[int, tuple[str, int, int]]:
+    seen: set[str] = set()
+    out = {}
+    for doc_id, text in enumerate(texts):
+        ws = text.split(" ")
+        segs = [" ".join(ws[i * k : (i + 1) * k]) for i in range((len(ws) + k - 1) // k)]
+        kept = []
+        for s in segs:
+            if s in seen:
+                continue
+            seen.add(s)
+            kept.append(s)
+        out[doc_id] = (" ".join(kept), len(kept), len(segs) - len(kept))
+    return out
+
+
+@_PROPERTY_SETTINGS
+@given(corpus=_corpus, k=st.sampled_from([1, 3, 8]))
+def test_segment_scrub_matches_python_model(spark, corpus, k):
+    """segment_scrub == the obvious sequential keep-first model, on
+    adversarial corpora: empty docs (''.split -> ['']), unicode words,
+    intra-doc repeats, whole-doc duplicates, segment width 1 (word-level
+    dedup) through 8."""
+    from chyme_spark.ops.llm import segment_scrub
+
+    texts = [" ".join(ws) for ws in corpus]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["scrubbed_text"], r["n_kept"], r["n_removed"])
+        for r in segment_scrub(docs, seg_words=k).collect()
+    }
+    assert got == _py_scrub(texts, k)
