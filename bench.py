@@ -70,8 +70,10 @@ HEADLINE = [
     # rollup on the same key — exchange-reuse showcase)
     "x_tpch_q17_small_qty_parts",
     # round-6: the corpus-rewrite dedup (two shuffles: seg-text min +
-    # doc_id rebuild) — the heaviest new LLM-pipeline surface
+    # doc_id rebuild) and the bigram-LM scorer (two corpus shuffles +
+    # scalar broadcast) — the heaviest new LLM-pipeline surface
     "x_segment_dedup_scrub",
+    "x_lm_surprisal_score",
 ]
 
 

@@ -1605,11 +1605,12 @@ def x_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
     doc="Z-order (Morton) bit-interleave of (o_custkey, o_orderkey) + per-zbucket min/max key ranges — the multi-dim clustering layout that makes file-stat pruning work on both columns",
 )
 def x_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
-    """Layout op for the 100 TB write path: `df.repartitionByRange(
-    F.col("zval")).sortWithinPartitions("zval").write` clusters every
-    output file on both keys at once; the per-zbucket min/max columns
-    returned here are exactly the file-footer statistics a reader's
-    predicate pushdown would prune on. The interleave itself is an
+    """Query-surface twin of the write path in chyme_spark/layout.py
+    (`compact --zorder c1,c2` does the actual repartitionByRange + sort
+    rewrite, with a per-file min/max pruning test in test_cli.py): the
+    per-zbucket min/max columns returned here are exactly the
+    file-footer statistics a reader's predicate pushdown would prune
+    on. The interleave itself is an
     unrolled 16-term shift/mask/add expression — whole-stage-codegen
     integer ops, one groupBy(zbucket) shuffle whose cardinality is
     bounded by the key-space, not the row count.
