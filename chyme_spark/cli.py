@@ -137,22 +137,30 @@ def _ingest_once(
     # cache the listing: consumed by both the catalog branch and the
     # quarantine branch below — one listing pass, not two
     urls = urls.cache()
-    catalog = ingest(urls, filter_string)
-    # dedup against what's already cataloged (idempotent re-ingest)
-    existing = _read_or_none(spark, catalog_path)
-    if existing is not None:
-        catalog = catalog.join(existing.select("url"), "url", "left_anti")
-    # cache: count + write would otherwise execute listing+filter+dedup twice
-    # (2x a full scan at scale — VERDICT r1). The cached rows are catalog
-    # metadata (url/hash/ext), bounded, never the underlying objects.
-    catalog = catalog.cache()
-    n = catalog.count()
-    catalog.write.mode("append").parquet(catalog_path)
-    catalog.unpersist()
-    _, quarantine = split_malformed(with_resource_columns(urls))
-    nq = quarantine.count()
-    urls.unpersist()
-    return n, nq
+    catalog = None
+    try:
+        catalog = ingest(urls, filter_string)
+        # dedup against what's already cataloged (idempotent re-ingest)
+        existing = _read_or_none(spark, catalog_path)
+        if existing is not None:
+            catalog = catalog.join(existing.select("url"), "url", "left_anti")
+        # cache: count + write would otherwise execute listing+filter+dedup
+        # twice (2x a full scan at scale — VERDICT r1). The cached rows are
+        # catalog metadata (url/hash/ext), bounded, never the objects.
+        catalog = catalog.cache()
+        n = catalog.count()
+        catalog.write.mode("append").parquet(catalog_path)
+        _, quarantine = split_malformed(with_resource_columns(urls))
+        nq = quarantine.count()
+        return n, nq
+    finally:
+        # the `serve` loop calls this in a LONG-LIVED driver and maps
+        # failures to an HTTP err body — without the finally, every
+        # failed request would pin its cached DataFrames until process
+        # death (cache leak found in the round-6 review)
+        if catalog is not None and catalog.is_cached:
+            catalog.unpersist()
+        urls.unpersist()
 
 
 def cmd_ingest(args) -> int:
@@ -160,6 +168,19 @@ def cmd_ingest(args) -> int:
         # client mode — the reference's `chyme ingest <url>` verb POSTs to
         # the running service instead of touching storage itself
         # (cmd/ingest.go:66-92)
+        local_only = [
+            f for f in ("follow", "distributed_listing", "catalog")
+            if getattr(args, f, None)
+        ]
+        if local_only:
+            flags = ", ".join("--" + f.replace("_", "-") for f in local_only)
+            print(
+                f"error: {flags} cannot combine with --server — the server "
+                "owns listing mode and the catalog; a one-shot POST would "
+                "silently ignore them",
+                file=sys.stderr,
+            )
+            return 2
         from chyme_spark.transport import post_ingest
 
         try:

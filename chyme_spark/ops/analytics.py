@@ -872,6 +872,10 @@ def x_tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
     supp = load_table(spark, sf, "supplier")
+    # persist lifetime: evicted by the ContextCleaner once the returned
+    # DataFrame is unreferenced; until then repeat executions in one
+    # session read the cache — do NOT add this query to a timed bench
+    # loop without explicit unpersist handling (round-6 review)
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(money(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("total_revenue"))
@@ -1356,7 +1360,7 @@ def x_tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
                 (dec("l_extendedprice") * dec("l_quantity")).cast("decimal(18,4)")
             ).alias("val")
         )
-    ).persist()
+    ).persist()  # ContextCleaner-bounded; see the x_tpch_q15 persist note
     stats = v.agg(F.sum("val").alias("total"), F.count("*").alias("cnt"))
     return (
         v.crossJoin(F.broadcast(stats))

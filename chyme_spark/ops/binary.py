@@ -143,12 +143,19 @@ def _ffmpeg_decode(payload: bytes) -> dict:
         dst = os.path.join(td, "out.raw")
         with open(src, "wb") as f:
             f.write(payload)
-        r = subprocess.run(
-            [ff, "-y", "-v", "error", "-i", src, "-an", "-sn",
-             "-f", "rawvideo", "-pix_fmt", "rgb24", dst],
-            capture_output=True,
-            timeout=60,
-        )
+        try:
+            r = subprocess.run(
+                [ff, "-y", "-v", "error", "-i", src, "-an", "-sn",
+                 "-f", "rawvideo", "-pix_fmt", "rgb24", dst],
+                capture_output=True,
+                timeout=60,
+            )
+        except (subprocess.TimeoutExpired, OSError) as e:
+            # a hung decode or a vanished binary must hit the same
+            # honest gate as a failed decode — _media_features catches
+            # only NotImplementedError; anything else kills the whole
+            # mapInPandas task over one payload
+            raise NotImplementedError(f"ffmpeg decode aborted: {e}") from e
         if r.returncode != 0 or not os.path.exists(dst) or os.path.getsize(dst) == 0:
             raise NotImplementedError(
                 f"ffmpeg could not decode payload: {r.stderr.decode(errors='replace')[:200]}"

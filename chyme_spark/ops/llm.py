@@ -70,6 +70,14 @@ def doc_ngrams(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
     return staged.select("doc_id", F.explode(_ngrams(F.col("toks"), n)).alias("g"))
 
 
+def md5_bucket(col: str, mod: int):
+    """Deterministic sampling coin: first 8 hex chars of md5(col) as an
+    integer bucket in [0, mod). The single definition behind every
+    hash-sampled op (split/mixture/resample) — one place to change the
+    coin, three queries stay consistent (round-6 review finding)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % mod
+
+
 # DuckDB mirror of doc_ngrams (positional self-join; duckdb can't lateral
 # generate_series over a column)
 _NG_SQL = """
@@ -746,7 +754,7 @@ def x_quality_score(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x_deterministic_split(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    bucket = md5_bucket("text", 100)
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -936,7 +944,7 @@ def x_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    bucket = md5_bucket("text", 100)
     rate = (
         F.when(F.col("lang") == "en", 100)
         .when(F.col("lang").isin("zh", "es"), 50)
@@ -1820,14 +1828,14 @@ def x_semdedup(
       SELECT doc_id, CAST(t.i AS BIGINT) AS seg,
              array_to_string(ws[(t.i*8+1):(t.i*8+8)], ' ') AS seg_text
       FROM docs, LATERAL unnest(range(0, CAST(ceil(len(ws)/8.0) AS BIGINT))) AS t(i)),
-    f AS (SELECT seg_text, min(doc_id*1000000 + seg) AS first_key
+    f AS (SELECT seg_text, min(ROW(doc_id, seg)) AS first_rc
           FROM segs GROUP BY seg_text)
     SELECT s.doc_id,
-           coalesce(string_agg(CASE WHEN s.doc_id*1000000+s.seg = f.first_key
+           coalesce(string_agg(CASE WHEN ROW(s.doc_id, s.seg) = f.first_rc
                                     THEN s.seg_text END, ' ' ORDER BY s.seg),
                     '') AS scrubbed_text,
-           CAST(count(*) FILTER (WHERE s.doc_id*1000000+s.seg = f.first_key) AS BIGINT) AS n_kept,
-           CAST(count(*) FILTER (WHERE s.doc_id*1000000+s.seg <> f.first_key) AS BIGINT) AS n_removed
+           CAST(count(*) FILTER (WHERE ROW(s.doc_id, s.seg) = f.first_rc) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE ROW(s.doc_id, s.seg) <> f.first_rc) AS BIGINT) AS n_removed
     FROM segs s JOIN f ON s.seg_text = f.seg_text
     GROUP BY s.doc_id
     """,
@@ -1873,10 +1881,14 @@ def segment_scrub(docs: DataFrame, seg_words: int = 8) -> DataFrame:
             )
         ).alias("seg", "seg_text"),
     ).select("doc_id", F.col("seg").cast("long").alias("seg"), "seg_text")
-    key = F.col("doc_id") * 1000000 + F.col("seg")
-    firsts = segs.groupBy("seg_text").agg(F.min(key).alias("first_key"))
+    # lexicographic struct min, not doc_id*K+seg: an integer encoding
+    # caps the per-doc segment count at K and silently mis-attributes
+    # the survivor beyond it (round-6 review finding) — struct
+    # comparison has no such bound on either engine
+    key = F.struct("doc_id", "seg")
+    firsts = segs.groupBy("seg_text").agg(F.min(key).alias("first_rc"))
     joined = segs.join(firsts, "seg_text")
-    kept = (key == F.col("first_key")).cast("int")
+    kept = (key == F.col("first_rc")).cast("int")
     return (
         joined.groupBy("doc_id")
         .agg(
@@ -1935,8 +1947,21 @@ def x_mixture_temperature(spark: SparkSession, sf: str) -> DataFrame:
     summed as BIGINT.
     """
     docs = load_table(spark, sf, "documents")
+    return mixture_weights(docs).select("lang", "n_tokens", "score", "weight_ppm")
+
+
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """Shared T=2 weight pipeline (lang, n_tokens, n_docs, score,
+    weight_ppm) — the single definition behind x_mixture_temperature
+    (publishes it) and x_mixture_resample (applies it), so the two
+    halves of the mixture loop cannot drift (round-6 review finding).
+
+    `div` is Spark's exact integer division on BIGINT — matching
+    DuckDB's `//`; a double `/` + floor() could double-round across an
+    integer boundary."""
     tok = docs.groupBy("lang").agg(
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.count("*").alias("n_docs"),
     )
     sc = tok.withColumn(
         "score", F.floor(F.sqrt(F.col("n_tokens") * 1000000)).cast("long")
@@ -1945,10 +1970,8 @@ def x_mixture_temperature(spark: SparkSession, sf: str) -> DataFrame:
     return sc.crossJoin(F.broadcast(total)).select(
         "lang",
         "n_tokens",
+        "n_docs",
         "score",
-        # `div` is Spark's exact integer division on BIGINT — matching
-        # DuckDB's `//`; a double `/` + floor() could double-round across
-        # an integer boundary
         F.expr("(score * 1000000L) div total").cast("long").alias("weight_ppm"),
     )
 
@@ -2081,19 +2104,7 @@ def x_mixture_resample(spark: SparkSession, sf: str) -> DataFrame:
     groupBy(lang) rollup.
     """
     docs = load_table(spark, sf, "documents")
-    tok = docs.groupBy("lang").agg(
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
-        F.count("*").alias("n_docs"),
-    )
-    sc = tok.withColumn(
-        "score", F.floor(F.sqrt(F.col("n_tokens") * 1000000)).cast("long")
-    )
-    total = sc.agg(F.sum("score").cast("long").alias("total"))
-    w = sc.crossJoin(F.broadcast(total)).select(
-        "lang",
-        "n_docs",
-        F.expr("(score * 1000000L) div total").alias("weight_ppm"),
-    )
+    w = mixture_weights(docs).select("lang", "n_docs", "weight_ppm")
     r = w.select(
         "lang", "n_docs", F.expr("(weight_ppm * 1000000L) div n_docs").alias("r_raw")
     )
@@ -2101,7 +2112,7 @@ def x_mixture_resample(spark: SparkSession, sf: str) -> DataFrame:
     rates = r.crossJoin(F.broadcast(m)).select(
         "lang", "n_docs", F.expr("(r_raw * 1000000L) div m").alias("rate_ppm")
     )
-    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 1000000
+    bucket = md5_bucket("text", 1000000)
     return (
         docs.join(F.broadcast(rates), "lang")
         .groupBy("lang")

@@ -83,6 +83,20 @@ def _read_marker(ws_root: str) -> dict | None:
 # ---------------------------------------------------------------------------
 
 
+def walk_files(src_dir: str):
+    """Yield (abs_path, rel_path) for every file under src_dir, in
+    deterministic order, preserving nested structure. The single
+    directory-walking contract for every workspace consumer — uploads,
+    executors, tar packing — so a tar that extracts nested members
+    (``_extract_tar`` keeps relative paths) round-trips through all of
+    them instead of silently dropping subdirectory files."""
+    for root, dirs, files in os.walk(src_dir):
+        dirs.sort()
+        for name in sorted(files):
+            p = os.path.join(root, name)
+            yield p, os.path.relpath(p, src_dir)
+
+
 class Loader:
     def download(self, url: str, dest_dir: str) -> int:
         raise NotImplementedError
@@ -149,11 +163,11 @@ class FileLoader(Loader):
         src = urlparse(url).path
         total = 0
         if os.path.isdir(src):
-            for name in sorted(os.listdir(src)):
-                p = os.path.join(src, name)
-                if os.path.isfile(p):
-                    shutil.copy(p, os.path.join(dest_dir, name))
-                    total += os.path.getsize(p)
+            for p, rel in walk_files(src):
+                out = os.path.join(dest_dir, rel)
+                os.makedirs(os.path.dirname(out) or dest_dir, exist_ok=True)
+                shutil.copy(p, out)
+                total += os.path.getsize(p)
         elif src.endswith(".tar"):
             with open(src, "rb") as f:
                 total = self._extract_tar(f, dest_dir)
@@ -170,11 +184,11 @@ class FileLoader(Loader):
                 return self._pack_tar(src_dir, f)
         os.makedirs(dest, exist_ok=True)
         total = 0
-        for name in sorted(os.listdir(src_dir)):
-            p = os.path.join(src_dir, name)
-            if os.path.isfile(p):
-                shutil.copy(p, os.path.join(dest, name))
-                total += os.path.getsize(p)
+        for p, rel in walk_files(src_dir):
+            out = os.path.join(dest, rel)
+            os.makedirs(os.path.dirname(out) or dest, exist_ok=True)
+            shutil.copy(p, out)
+            total += os.path.getsize(p)
         return total
 
 
@@ -286,11 +300,9 @@ class ArrowFsLoader(Loader):
         if fs.type_name not in ("s3", "gcs", "abfs"):
             fs.create_dir(path, recursive=True)
         total = 0
-        for name in sorted(os.listdir(src_dir)):
-            p = os.path.join(src_dir, name)
-            if not os.path.isfile(p):
-                continue
-            with open(p, "rb") as src, fs.open_output_stream(f"{path}/{name}") as dst:
+        for p, rel in walk_files(src_dir):
+            key = rel.replace(os.sep, "/")
+            with open(p, "rb") as src, fs.open_output_stream(f"{path}/{key}") as dst:
                 while chunk := src.read(self._CHUNK):
                     dst.write(chunk)
                     total += len(chunk)
@@ -345,10 +357,15 @@ class ExecutionResult:
 
 
 def noop_executor(task: dict, workspace: dict[str, str]) -> ExecutionResult:
-    """Copy input -> output untouched; always succeeds."""
-    for name in sorted(os.listdir(workspace["input"])):
-        shutil.copy(os.path.join(workspace["input"], name), os.path.join(workspace["output"], name))
-    return ExecutionResult(ok=True, metadata={"files": str(len(os.listdir(workspace["output"])))})
+    """Copy input -> output untouched (nested dirs preserved); always
+    succeeds."""
+    n = 0
+    for p, rel in walk_files(workspace["input"]):
+        out = os.path.join(workspace["output"], rel)
+        os.makedirs(os.path.dirname(out) or workspace["output"], exist_ok=True)
+        shutil.copy(p, out)
+        n += 1
+    return ExecutionResult(ok=True, metadata={"files": str(n)})
 
 
 def subprocess_executor(task: dict, workspace: dict[str, str]) -> ExecutionResult:

@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib import error as _urlerror
 from urllib import request as _urlrequest
 
 __all__ = ["make_server", "post_ingest", "serve_forever"]
@@ -109,10 +110,18 @@ def post_ingest(server_url: str, url: str, filter_string: str = "identity/",
         headers={"Content-Type": "application/json"},
         method="POST",
     )
-    with _urlrequest.urlopen(req, timeout=timeout) as resp:  # noqa: S310 — caller-supplied local service URL
-        if resp.status != 200:
-            raise RuntimeError(f"response not ok: {resp.status}")
-        out = json.loads(resp.read())
+    try:
+        with _urlrequest.urlopen(req, timeout=timeout) as resp:  # noqa: S310 — caller-supplied local service URL
+            out = json.loads(resp.read())
+    except _urlerror.HTTPError as e:
+        # urlopen raises for any non-2xx before a status check could run;
+        # surface the JSON err body the server wrote instead of a bare
+        # "Bad Request"
+        try:
+            detail = json.loads(e.read()).get("err") or e.reason
+        except Exception:  # noqa: BLE001 — body may not be JSON
+            detail = e.reason
+        raise RuntimeError(f"response not ok: {e.code} ({detail})") from e
     if out.get("err"):
         raise RuntimeError(f"ingest failed: {out['err']}")
     return out

@@ -208,6 +208,53 @@ def test_tar_roundtrip_preserves_nested_paths(tmp_path):
     assert (dest / "top.txt").read_bytes() == b"t"
 
 
+def test_nested_tar_flows_through_whole_task(spark, tmp_path):
+    """The scenario the round-6 review flagged: a tar INPUT with nested
+    members must survive the full worker pipeline — extract (nested
+    paths kept), noop execute (no IsADirectoryError), and upload
+    (subdirectory files actually transferred, not silently dropped)."""
+    import tarfile
+
+    from chyme_spark.runner import FileLoader
+
+    src = tmp_path / "src"
+    (src / "a").mkdir(parents=True)
+    (src / "a" / "x.txt").write_bytes(b"alpha")
+    (src / "y.txt").write_bytes(b"top")
+    archive = tmp_path / "in.tar"
+    with tarfile.open(archive, "w") as tf:
+        tf.add(src / "a" / "x.txt", arcname="a/x.txt")
+        tf.add(src / "y.txt", arcname="y.txt")
+
+    out_dir = tmp_path / "out"
+    tasks = spark.createDataFrame(
+        [(
+            "nested-tar-e2e",
+            f"file://{archive}",
+            f"file://{out_dir}/",
+            f"file://{tmp_path}/meta/",
+            "mov",
+            "noop",
+            {},
+            60,
+            "v1",
+            False,
+        )],
+        _TASK_SCHEMA,
+    )
+    res = run_tasks(tasks).collect()[0]
+    assert res.ok, res
+    assert res.bytes_in == 5 + 3  # member bytes incl. the nested one
+    assert (out_dir / "a" / "x.txt").read_bytes() == b"alpha"
+    assert (out_dir / "y.txt").read_bytes() == b"top"
+    # and the dir->dir loader paths are nested-safe too
+    dl = tmp_path / "dl"
+    dl.mkdir()
+    n = FileLoader().download(f"file://{out_dir}", str(dl))
+    assert n == 5 + 3
+    assert (dl / "a" / "x.txt").read_bytes() == b"alpha"
+
+
 def test_arrowfs_loader_explicit_credentials(tmp_path):
     """R40 parity: the loader accepts an explicit credential config
     (the engine analog of the reference's Vault->STS bootstrap,

@@ -87,6 +87,16 @@ def test_post_ingest_client_raises_on_err_field(stub_server):
         post_ingest(base, "s3://boom/x")
 
 
+def test_post_ingest_maps_http_error_with_body_detail(stub_server):
+    """A non-2xx surfaces as RuntimeError carrying the server's JSON err
+    body (urlopen raises HTTPError before any status check could run —
+    the client catches and re-maps it instead of leaking a bare
+    HTTPError)."""
+    base, _ = stub_server
+    with pytest.raises(RuntimeError, match=r"response not ok: 404 \(no handler"):
+        post_ingest(base + "/nope-prefix", "s3://b/k")
+
+
 def test_http_ingest_end_to_end_spark(spark, tmp_path, capsys):
     """The real thing: serve's endpoint (Spark `_ingest_once`) behind the
     HTTP transport, driven by the `ingest --server` client verb. The
@@ -133,3 +143,13 @@ def test_ingest_requires_catalog_without_server(tmp_path, capsys):
     rc = cli.main(["ingest", str(tmp_path)])
     assert rc == 2
     assert "--catalog" in capsys.readouterr().err
+
+
+def test_ingest_server_rejects_local_only_flags(tmp_path, capsys):
+    """--follow / --distributed-listing / --catalog are server-side
+    concerns; combining them with --server must be a hard error, not a
+    silent one-shot POST that ignores them."""
+    for extra in (["--follow"], ["--distributed-listing"], ["--catalog", "/tmp/c"]):
+        rc = cli.main(["ingest", str(tmp_path), "--server", "http://127.0.0.1:1", *extra])
+        assert rc == 2
+        assert "--server" in capsys.readouterr().err
