@@ -1599,7 +1599,7 @@ def x_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
       SELECT o_orderkey, o_custkey,
              (SELECT CAST(SUM( (((o_custkey>>g.i)&1) << (2*g.i))
                              + (((o_orderkey>>g.i)&1) << (2*g.i+1)) ) AS BIGINT)
-              FROM (SELECT unnest(range(0,16)) AS i) g) AS zval
+              FROM (SELECT unnest(range(0,21)) AS i) g) AS zval
       FROM orders)
     SELECT zval >> 16 AS zbucket, CAST(count(*) AS BIGINT) AS n,
            min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
@@ -1615,16 +1615,19 @@ def x_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     per-zbucket min/max columns returned here are exactly the
     file-footer statistics a reader's predicate pushdown would prune
     on. The interleave itself is an
-    unrolled 16-term shift/mask/add expression — whole-stage-codegen
+    unrolled 21-bit-per-dimension shift/mask/add expression (covers keys
+    to 2M; widen the range for larger key domains — the sf0.01 oracle
+    output is bit-identical from 16 bits up because high bits are zero) — whole-stage-codegen
     integer ops, one groupBy(zbucket) shuffle whose cardinality is
     bounded by the key-space, not the row count.
     """
     orders = load_table(spark, sf, "orders")
-    # unrolled at plan-build time: 16 shift/mask/add terms fold into one
+    # unrolled at plan-build time: 21 shift/mask/add terms per key fold
+    # into one
     # whole-stage-codegen integer expression (shiftleft takes a literal
     # bit count, so the loop lives in Python, not in a higher-order fn)
     zval = F.lit(0).cast("long")
-    for i in range(16):
+    for i in range(21):
         zval = (
             zval
             + F.shiftleft(F.shiftright(F.col("o_custkey"), i).bitwiseAND(F.lit(1)), 2 * i).cast("long")

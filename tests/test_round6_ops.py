@@ -107,7 +107,7 @@ def test_chunk_windows_cover_and_overlap(spark, sf_dir):
 
 def _interleave(x: int, y: int) -> int:
     z = 0
-    for i in range(16):
+    for i in range(21):
         z |= ((x >> i) & 1) << (2 * i)
         z |= ((y >> i) & 1) << (2 * i + 1)
     return z
