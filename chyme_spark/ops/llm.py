@@ -2122,3 +2122,94 @@ def x_mixture_resample(spark: SparkSession, sf: str) -> DataFrame:
             F.sum((bucket < F.col("rate_ppm")).cast("long")).alias("n_kept"),
         )
     )
+
+
+@query(
+    "x_pmi_collocations",
+    # Collocation extraction (phrase mining for vocab/tokenizer design,
+    # Church & Hanks 1990 PMI): adjacent word pairs whose co-occurrence
+    # beats independence, ranked by pointwise mutual information.
+    # Same exactness technique as x_lm_surprisal_score: PMI is
+    # quantized to whole bits with PURE integer math —
+    #   PMI = log2( (cxy/Tb) / ((cx/Tu)(cy/Tu)) )
+    #       = log2( p / q ),  p = cxy*Tu*Tu,  q = Tb*cx*cy
+    # and for the kept (positive-PMI, p >= q) pairs
+    #   floor(log2(p/q)) = length(bin(p div q)) - 1
+    # so no libm log touches the hash path. min-count 5 and the p >= q
+    # keep-filter are the standard collocation gates.
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+    uni AS (SELECT unnest(ws) AS w FROM docs),
+    ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+    ut AS (SELECT CAST(count(*) AS BIGINT) AS tu FROM uni),
+    bg AS (SELECT ws[CAST(t.i AS INT)] AS wa, ws[CAST(t.i+1 AS INT)] AS wb
+           FROM docs, LATERAL unnest(range(1, len(ws))) AS t(i)),
+    bcnt AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS cxy
+             FROM bg GROUP BY wa, wb HAVING count(*) >= 5),
+    bt AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM bg)
+    SELECT wa, wb, cxy,
+           CAST(length(bin((cxy * tu * tu) // (tb * ca.c * cb.c))) - 1 AS BIGINT)
+               AS pmi_bits
+    FROM bcnt JOIN ucnt ca ON ca.w = bcnt.wa JOIN ucnt cb ON cb.w = bcnt.wb, ut, bt
+    WHERE cxy * tu * tu >= tb * ca.c * cb.c
+    ORDER BY pmi_bits DESC, cxy DESC, wa, wb LIMIT 100
+    """,
+    doc="PMI collocation mining: top-100 positive-PMI adjacent word pairs (min-count 5), PMI quantized to exact integer bits via bin-length — phrase mining for vocab design",
+)
+def x_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale shape: two count shuffles (unigrams, bigrams) over hashed
+    word keys — the same inverted-index pattern as the n-gram family —
+    then the pair table joins its two unigram counts (un-hinted; AQE
+    broadcasts the vocab at small SF, keeps a shuffle join when the
+    vocabulary is corpus-sized), the two 1-row totals broadcast via
+    crossJoin, and the top-100 is TakeOrderedAndProject with a full
+    deterministic tiebreak (pmi_bits, cxy, wa, wb). The min-count
+    HAVING prunes the pair table before any join touches it.
+
+    Overflow note: p = cxy*Tu^2 stays in int64 up to ~3B-word corpora;
+    beyond that both engines promote the expression to DECIMAL(38,0)
+    (documented, not yet exercised at the checked scales).
+    """
+    docs = load_table(spark, sf, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    uni = docs.select(F.explode(ws).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    ut = uni.agg(F.count("*").alias("tu"))
+    grams = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bg = docs.select(
+        F.explode(
+            F.transform(
+                grams,
+                lambda i: F.struct(
+                    F.element_at(ws, i).alias("wa"),
+                    F.element_at(ws, i + 1).alias("wb"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.wa", "p.wb")
+    bcnt = bg.groupBy("wa", "wb").agg(F.count("*").alias("cxy")).filter(F.col("cxy") >= 5)
+    bt = bg.agg(F.count("*").alias("tb"))
+    ca = ucnt.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
+    cb = ucnt.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    p = F.col("cxy") * F.col("tu") * F.col("tu")
+    q = F.col("tb") * F.col("ca") * F.col("cb")
+    return (
+        bcnt.join(ca, "wa")
+        .join(cb, "wb")
+        .crossJoin(F.broadcast(ut))
+        .crossJoin(F.broadcast(bt))
+        .filter(p >= q)
+        .select(
+            "wa",
+            "wb",
+            "cxy",
+            (F.length(F.bin(F.expr(
+                "(cxy * tu * tu) div (tb * ca * cb)"
+            ))) - 1).cast("long").alias("pmi_bits"),
+        )
+        .orderBy(F.desc("pmi_bits"), F.desc("cxy"), "wa", "wb")
+        .limit(100)
+    )

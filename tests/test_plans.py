@@ -55,6 +55,9 @@ EXPECTED = {
     # 2 corpus-side lang shuffles + tiny scalar aggs; 4 broadcasts are
     # the rate-table dim join plus the 1-row total/max scalars
     "x_mixture_resample": (6, 4, 0, False),
+    # 4 exchanges = unigram + bigram count shuffles + two 1-row totals;
+    # top-k must stay TakeOrderedAndProject
+    "x_pmi_collocations": (4, 4, 0, True),
 }
 
 # queries that must never contain a SinglePartition exchange: their

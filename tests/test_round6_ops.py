@@ -201,3 +201,36 @@ def test_mixture_resample_consistent_with_weights(spark, sf_dir):
         assert v["rate_ppm"] == (r_raw[lang] * 1_000_000) // m, lang
         assert v["n_docs"] == n_docs[lang], lang
         assert v["n_kept"] == kept[lang], lang
+
+
+def test_pmi_collocations_match_python(spark, sf_dir):
+    """The top-100 positive-PMI pairs equal a pure-Python recompute:
+    counts, the integer bit quantization, the min-count/positivity
+    gates, and the deterministic (pmi_bits, cxy, wa, wb) ordering."""
+    from collections import Counter
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    tb = 0
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        ws = r["text"].split(" ")
+        uni.update(ws)
+        for i in range(len(ws) - 1):
+            bi[(ws[i], ws[i + 1])] += 1
+            tb += 1
+    tu = sum(uni.values())
+    rows = []
+    for (wa, wb), cxy in bi.items():
+        if cxy < 5:
+            continue
+        p = cxy * tu * tu
+        q = tb * uni[wa] * uni[wb]
+        if p >= q:
+            rows.append((wa, wb, cxy, (p // q).bit_length() - 1))
+    rows.sort(key=lambda t: (-t[3], -t[2], t[0], t[1]))
+    expect = rows[:100]
+    got = [
+        (r["wa"], r["wb"], r["cxy"], r["pmi_bits"])
+        for r in REGISTRY["x_pmi_collocations"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expect
