@@ -1870,7 +1870,8 @@ def segment_scrub(docs: DataFrame, seg_words: int = 8) -> DataFrame:
     """Core of x_segment_dedup_scrub over any (doc_id, text) DataFrame —
     factored out so property tests can drive it with adversarial
     synthetic corpora (tests/test_properties.py)."""
-    ws = F.split("text", " ")
+    docs = docs.withColumn("__ws", F.split("text", " "))
+    ws = F.col("__ws")  # materialized once; see x_lm_surprisal_score note
     nseg = F.ceil(F.size(ws) / F.lit(float(seg_words))).cast("int")
     segs = docs.select(
         "doc_id",
@@ -2018,7 +2019,11 @@ def x_lm_surprisal_score(spark: SparkSession, sf: str) -> DataFrame:
     rows-only check.
     """
     docs = load_table(spark, sf, "documents")
-    ws = F.split("text", " ")
+    # materialize the split ONCE: referencing F.split(...) inside the
+    # transform lambda re-evaluates the split per element (O(words^2)
+    # string work per doc — measured 7x slower at sf0.1)
+    docs = docs.withColumn("__ws", F.split("text", " "))
+    ws = F.col("__ws")
     n = F.size(ws)
     grams = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
         F.array().cast("array<int>")
@@ -2171,7 +2176,10 @@ def x_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     (documented, not yet exercised at the checked scales).
     """
     docs = load_table(spark, sf, "documents")
-    ws = F.split("text", " ")
+    # split materialized once — see x_lm_surprisal_score's note on the
+    # per-element re-evaluation trap inside transform lambdas
+    docs = docs.withColumn("__ws", F.split("text", " "))
+    ws = F.col("__ws")
     n = F.size(ws)
     uni = docs.select(F.explode(ws).alias("w"))
     ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
