@@ -52,8 +52,15 @@ def with_resource_columns(urls: DataFrame, phony: bool = False) -> DataFrame:
 
 
 def split_malformed(catalog: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(well-formed, quarantine) — needs a scheme and a non-empty key."""
-    is_valid = (F.col("scheme") != "") & (F.col("key") != "")
+    """(well-formed, quarantine) — needs a scheme and a non-empty key.
+
+    NULL urls yield NULL predicates, and a plain filter/~filter pair
+    drops NULL rows from BOTH outputs — the exact silent-vanish this
+    function exists to prevent; coalesce pins them to quarantine
+    (round-6 review)."""
+    is_valid = F.coalesce(
+        (F.col("scheme") != "") & (F.col("key") != ""), F.lit(False)
+    )
     return catalog.filter(is_valid), catalog.filter(~is_valid)
 
 
@@ -75,7 +82,11 @@ def list_files(spark, root: str, max_depth: int | None = None) -> DataFrame:
     conf = jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(root)
     fs = path.getFileSystem(conf)
-    base_depth = root.rstrip("/").count("/")
+    # depth must be measured against the HADOOP-rendered path: the
+    # caller's 'file:///tmp/x' renders as 'file:/tmp/x' in results, and
+    # counting the raw root's slashes would loosen max_depth by 2
+    # (round-6 review)
+    base_depth = fs.makeQualified(path).toString().rstrip("/").count("/")
     rows = []
     it = fs.listFiles(path, True)
     while it.hasNext():

@@ -243,13 +243,12 @@ class ArrowFsLoader(Loader):
         self.s3_options = dict(s3_options or {})
 
     def _resolve(self, url: str):
-        from pyarrow import fs as pafs
+        # single filesystem resolver (round-6 review: three drifting
+        # copies); catalog._resolve_fs honors explicit s3 options and
+        # falls back to FileSystem.from_uri
+        from chyme_spark.catalog import _resolve_fs
 
-        parsed = urlparse(url)
-        if self.s3_options and parsed.scheme in ("s3", "s3a"):
-            fs = pafs.S3FileSystem(**self.s3_options)
-            return fs, f"{parsed.netloc}{parsed.path}".rstrip("/")
-        return pafs.FileSystem.from_uri(url)
+        return _resolve_fs(url, self.s3_options)
 
     def download(self, url: str, dest_dir: str) -> int:
         from pyarrow import fs as pafs
@@ -262,19 +261,25 @@ class ArrowFsLoader(Loader):
             with fs.open_input_stream(path) as src:
                 return self._extract_tar(src, dest_dir)
         if info.type == pafs.FileType.Directory:
+            # recursive, preserving relative key paths: upload writes
+            # nested keys (walk_files), so a non-recursive basename
+            # listing here would silently drop every nested object on
+            # the way back down (round-6 review finding)
             infos = [
-                i for i in fs.get_file_info(pafs.FileSelector(path, recursive=False))
+                i for i in fs.get_file_info(pafs.FileSelector(path, recursive=True))
                 if i.type == pafs.FileType.File
             ]
         elif info.type == pafs.FileType.File:
             infos = [info]
         else:
             raise FileNotFoundError(url)
+        prefix = path.rstrip("/") + "/"
         total = 0
         for i in sorted(infos, key=lambda i: i.path):
-            with fs.open_input_stream(i.path) as src, open(
-                os.path.join(dest_dir, os.path.basename(i.path)), "wb"
-            ) as dst:
+            rel = i.path[len(prefix):] if i.path.startswith(prefix) else os.path.basename(i.path)
+            out = os.path.join(dest_dir, *rel.split("/"))
+            os.makedirs(os.path.dirname(out) or dest_dir, exist_ok=True)
+            with fs.open_input_stream(i.path) as src, open(out, "wb") as dst:
                 while chunk := src.read(self._CHUNK):
                     dst.write(chunk)
                     total += len(chunk)
@@ -422,6 +427,18 @@ def docker_executor(task: dict, workspace: dict[str, str]) -> ExecutionResult:
         found = _docker(["ps", "-aq", "--filter", f"name=^{name}$"])
         if found.returncode != 0:
             return ExecutionResult(ok=False, error=f"docker ps: {found.stderr[-300:]}")
+        if found.stdout.strip():
+            # reuse is only sound if the kept container's binds point at
+            # THIS run's workspace — without checkpoint_dir each run uses
+            # a fresh tempdir, and starting the old container would mount
+            # the deleted previous one (docker recreates it empty) and
+            # "succeed" on no input (round-6 review finding)
+            binds = _docker(["inspect", "-f", "{{range .HostConfig.Binds}}{{println .}}{{end}}", name])
+            want = {f"{workspace['input']}:/in", f"{workspace['output']}:/out"}
+            have = {b.strip() for b in (binds.stdout or "").splitlines() if b.strip()}
+            if binds.returncode != 0 or not want <= have:
+                _docker(["rm", "-f", name])
+                found = _docker(["ps", "-aq", "--filter", f"name=^{name}$"])
         if not found.stdout.strip():
             if cfg.get("pull"):
                 pulled = _docker(["pull", image], timeout=timeout)
@@ -540,8 +557,14 @@ def _process_one(
         for p in ws.values():
             os.makedirs(p, exist_ok=True)
 
-        # resume point: last COMPLETED stage from a prior interrupted run
+        # resume point: last COMPLETED stage from a prior interrupted run.
+        # An unrecognized stage (marker from another code version, or a
+        # renamed stage) must fall back to a full re-run, not raise —
+        # the raise would quarantine the task on EVERY retry with the
+        # bad marker never cleaned (round-6 review finding).
         marker = _read_marker(ws_root) if durable else None
+        if marker and marker.get("stage") not in STAGES:
+            marker = None
         done_idx = STAGES.index(marker["stage"]) if marker else 0
         bytes_in = int(marker.get("bytes_in", 0)) if marker else 0
         exec_meta = dict(marker.get("metadata") or {}) if marker else None
@@ -627,13 +650,19 @@ def run_tasks(
             os.makedirs(workdir, exist_ok=True)
         else:
             workdir = tempfile.mkdtemp(prefix="chyme_ws_")
-        for pdf in batches:
-            out = [
-                _process_one(row, loaders, executors, hooks_registry, workdir, durable)
-                for row in pdf.to_dict("records")
-            ]
-            yield pd.DataFrame(out, columns=[f.name for f in RESULT_SCHEMA.fields])
-        if not durable:
-            shutil.rmtree(workdir, ignore_errors=True)
+        try:
+            for pdf in batches:
+                out = [
+                    _process_one(row, loaders, executors, hooks_registry, workdir, durable)
+                    for row in pdf.to_dict("records")
+                ]
+                yield pd.DataFrame(out, columns=[f.name for f in RESULT_SCHEMA.fields])
+        finally:
+            # finally, not post-loop: a downstream limit()/take() closes
+            # this generator early (GeneratorExit at the yield) and the
+            # tempdir — holding every task's inputs/outputs — would
+            # otherwise accumulate on executor disk (round-6 review)
+            if not durable:
+                shutil.rmtree(workdir, ignore_errors=True)
 
     return tasks.mapInPandas(process, RESULT_SCHEMA)

@@ -97,7 +97,11 @@ def read_json_with_quarantine(
     """PERMISSIVE JSON read that captures malformed lines instead of
     dropping them (fixes the reference's silent skip,
     ``internal/core/task.go:98-101``)."""
-    full_schema = schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
+    # build a NEW StructType: StructType.add mutates the receiver in
+    # place, so reusing the caller's schema object would append the
+    # corrupt column to it (duplicated on a second call) — round-6 review
+    fields = [f for f in schema.fields if f.name != CORRUPT_COL]
+    full_schema = T.StructType([*fields, T.StructField(CORRUPT_COL, T.StringType(), True)])
     return (
         spark.read.schema(full_schema)
         .option("mode", "PERMISSIVE")
@@ -107,11 +111,19 @@ def read_json_with_quarantine(
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean rows without the corrupt column, quarantine rows)."""
+    """(clean rows without the corrupt column, quarantine rows).
+
+    The quarantine frame always has the single-column
+    ``(_corrupt_record string)`` schema in BOTH branches, so quarantine
+    outputs from different reads union cleanly (round-6 review). The
+    PERMISSIVE branch caches ``df`` (Spark requires it before filtering
+    on the parse-time corrupt column); callers that keep the session
+    long-lived should unpersist the inputs after materializing."""
     if CORRUPT_COL not in df.columns:
-        return df, df.limit(0)
-    # Spark requires caching a PERMISSIVE frame before referencing the
-    # corrupt column in a filter (it is populated at parse time)
+        empty_bad = df.limit(0).select(
+            F.lit(None).cast("string").alias(CORRUPT_COL)
+        )
+        return df, empty_bad
     df = df.cache()
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
@@ -149,13 +161,12 @@ try:  # Python Data Source API needs pyspark >= 4.0
         return {k[3:]: v for k, v in options.items() if k.startswith("s3.")}
 
     def _fs_for(root: str, s3_opts: dict):
-        """(filesystem, base path) honoring explicit s3 options."""
-        from pyarrow import fs as pafs
+        """(filesystem, base path) honoring explicit s3 options —
+        delegates to the single resolver in catalog.py (round-6 review:
+        three near-identical copies had started to drift)."""
+        from chyme_spark.catalog import _resolve_fs
 
-        scheme, rest = root.split("://", 1)
-        if s3_opts and scheme in ("s3", "s3a"):
-            return pafs.S3FileSystem(**s3_opts), rest.rstrip("/")
-        return pafs.FileSystem.from_uri(root)
+        return _resolve_fs(root, s3_opts)
 
     class ListingReader(DataSourceReader):
         def __init__(self, options: dict):
@@ -390,12 +401,7 @@ try:  # Python Data Source API needs pyspark >= 4.0
             while stack:
                 path, mtime = stack.pop()
                 memo = self._memo.get(path)
-                if (
-                    memo is not None
-                    and mtime is not None
-                    and memo[0] == mtime
-                    and mtime + self._SLACK_NS < now_ns
-                ):
+                if memo is not None and mtime is not None and memo[0] == mtime:
                     files, subs = memo[1], memo[2]
                     if subs:  # refresh subdir mtimes: one batched stat, no listing
                         self.n_dir_stats += 1
@@ -407,7 +413,13 @@ try:  # Python Data Source API needs pyspark >= 4.0
                         ]
                 else:
                     files, subs = list_dir(path)
-                    if mtime is not None:
+                    # memoize only listings taken comfortably AFTER the
+                    # dir's last mtime tick: a file landing in the same
+                    # coarse tick as the listing leaves the mtime
+                    # unchanged, and a memo recorded then would mask the
+                    # arrival forever. The slack guard must run at
+                    # RECORD time, not reuse time (round-6 review).
+                    if mtime is not None and mtime + self._SLACK_NS < now_ns:
                         self._memo[path] = (mtime, files, subs)
                 yield from files
                 for sub in subs:

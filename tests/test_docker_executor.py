@@ -19,13 +19,14 @@ echo "$@" >> "$log"
 cmd="$1"
 case "$cmd" in
   ps)      [ -f "$DOCKER_STUB_EXISTS" ] && echo "abc123"; exit 0 ;;
+  inspect) cat "$DOCKER_STUB_BINDS" 2>/dev/null; exit 0 ;;
   create)  exit 0 ;;
   start)   exit 0 ;;
   wait)    [ -n "$DOCKER_STUB_WAIT_SLEEP" ] && sleep "$DOCKER_STUB_WAIT_SLEEP"
            cat "$DOCKER_STUB_EXIT" 2>/dev/null || echo 0; exit 0 ;;
   logs)    echo "container log tail"; exit 0 ;;
   kill)    exit 0 ;;
-  rm)      exit 0 ;;
+  rm)      rm -f "$DOCKER_STUB_EXISTS"; exit 0 ;;
   *)       exit 1 ;;
 esac
 """
@@ -44,6 +45,7 @@ def stub(tmp_path, monkeypatch):
     monkeypatch.setenv("DOCKER_STUB_LOG", str(log))
     monkeypatch.setenv("DOCKER_STUB_EXISTS", str(tmp_path / "exists.flag"))
     monkeypatch.setenv("DOCKER_STUB_EXIT", str(tmp_path / "exit.code"))
+    monkeypatch.setenv("DOCKER_STUB_BINDS", str(tmp_path / "binds.txt"))
     monkeypatch.delenv("DOCKER_STUB_WAIT_SLEEP", raising=False)
     return tmp_path
 
@@ -84,11 +86,27 @@ def test_create_start_wait_remove_success(stub):
 
 def test_container_reuse_skips_create(stub):
     (stub / "exists.flag").write_text("")
-    res = docker_executor(_task(), _ws(stub))
+    ws = _ws(stub)
+    (stub / "binds.txt").write_text(f"{ws['input']}:/in\n{ws['output']}:/out\n")
+    res = docker_executor(_task(), ws)
     assert res.ok, res.error
     verbs = [ln.split()[0] for ln in _log(stub)]
     assert "create" not in verbs
-    assert verbs[:3] == ["ps", "start", "wait"]
+    assert verbs[:4] == ["ps", "inspect", "start", "wait"]
+
+
+def test_container_reuse_rejects_stale_binds(stub):
+    """A kept container whose binds point at a previous (deleted)
+    workspace tempdir must be removed and recreated, not restarted on
+    empty mounts (round-6 review finding)."""
+    (stub / "exists.flag").write_text("")
+    (stub / "binds.txt").write_text("/gone/old-ws/input:/in\n/gone/old-ws/output:/out\n")
+    res = docker_executor(_task(), _ws(stub))
+    assert res.ok, res.error
+    verbs = [ln.split()[0] for ln in _log(stub)]
+    # rm of the stale container, then a fresh ps+create path
+    assert verbs[:3] == ["ps", "inspect", "rm"]
+    assert "create" in verbs
 
 
 def test_nonzero_exit_is_error_and_container_kept(stub):

@@ -59,6 +59,18 @@ def test_malformed_urls_quarantined_not_dropped(spark):
     assert bad.count() == 2
 
 
+def test_null_url_goes_to_quarantine_not_limbo(spark):
+    """A NULL url makes the validity predicate NULL; filter/~filter
+    would drop the row from BOTH frames (round-6 review) — it must land
+    in quarantine."""
+    cat = with_resource_columns(
+        spark.createDataFrame([("s3://b/a.mov",), (None,)], "url string")
+    )
+    good, bad = split_malformed(cat)
+    assert good.count() == 1
+    assert bad.count() == 1
+
+
 def test_template_fanout_0_to_n(spark):
     cat = with_resource_columns(
         urls_df(spark, ["s3://b/a.mov", "s3://b/b.mp4", "s3://b/c.txt"])

@@ -45,6 +45,15 @@ def test_json_quarantine_captures_malformed(spark, tmp_path):
     clean, bad = split_corrupt(df)
     assert {r.id for r in clean.collect()} == {1, 2}
     assert bad.count() == 1  # reference silently dropped it (task.go:98-101)
+    # the caller's schema object must be untouched (StructType.add
+    # mutates in place — round-6 review) and repeat reads stay stable
+    assert [f.name for f in schema.fields] == ["id", "name"]
+    df2 = read_json_with_quarantine(spark, str(p), schema)
+    assert df2.columns == ["id", "name", "_corrupt_record"]
+    # both split_corrupt branches produce union-compatible quarantine
+    clean_only, empty_bad = split_corrupt(clean)
+    assert empty_bad.columns == bad.columns
+    assert empty_bad.unionByName(bad).count() == 1
 
 
 def _norm(url: str) -> str:
@@ -203,3 +212,27 @@ def test_append_only_keys_rejected_on_local_roots(tmp_path):
 
     with _pytest.raises(ValueError, match="object-store"):
         ListingStreamReader({"path": str(tmp_path), "appendOnlyKeys": "true"})
+
+
+def test_list_files_depth_bound_uri_and_plain_roots(spark, tmp_path):
+    """max_depth must bind identically for 'file:///x' and plain '/x'
+    roots — the raw-string slash count loosened URI roots by 2
+    (round-6 review)."""
+    from chyme_spark.catalog import list_files
+
+    root = tmp_path / "tree"
+    (root / "a" / "b").mkdir(parents=True)
+    (root / "top.mov").write_bytes(b"x")
+    (root / "a" / "mid.mov").write_bytes(b"x")
+    (root / "a" / "b" / "deep.mov").write_bytes(b"x")
+    for r in (str(root), f"file://{root}"):
+        names = {
+            u.rsplit("/", 1)[-1]
+            for u in (row["url"] for row in list_files(spark, r, 0).collect())
+        }
+        assert names == {"top.mov"}, r
+        names1 = {
+            u.rsplit("/", 1)[-1]
+            for u in (row["url"] for row in list_files(spark, r, 1).collect())
+        }
+        assert names1 == {"top.mov", "mid.mov"}, r
