@@ -129,7 +129,11 @@ def _ingest_once(
     # building the Column requires an active session, so validate
     # after get_spark — but before any data is touched
     compile_filter(filter_string)
-    if "://" in root and not root.startswith("file://"):
+    if "://" in root and not root.startswith("file://") and not distributed_listing:
+        # remote URL without a listing mode = the reference's
+        # single-object ingest path; --distributed-listing opts a bucket
+        # prefix into the executor-fanned lister instead (previously the
+        # flag was silently ignored here — round-6 review)
         urls = spark.createDataFrame([(root,)], "url string")
     else:
         lister = list_files_distributed if distributed_listing else list_files
@@ -328,6 +332,23 @@ def _worker_follow(spark, args) -> int:
     """
     from chyme_spark.tasker import empty_ledger
 
+    # the long-poll worker may start BEFORE the first tasker run — wait
+    # for the tasks table like the reference polls an empty queue,
+    # instead of dying on PATH_NOT_FOUND (round-6 review). Bounded by
+    # --follow-duration so tests and one-shot drains still exit.
+    import time as _time
+
+    deadline = (
+        _time.monotonic() + args.follow_duration
+        if getattr(args, "follow_duration", None)
+        else None
+    )
+    while _read_or_none(spark, args.tasks) is None:
+        if deadline is not None and _time.monotonic() >= deadline:
+            print("no tasks table appeared before --follow-duration; exiting")
+            return 0
+        print(f"waiting for tasks table {args.tasks} ...")
+        _time.sleep(2.0)
     schema = spark.read.parquet(args.tasks).schema
     counts = {"ok": 0, "fail": 0}
 
@@ -515,9 +536,13 @@ def cmd_query(args) -> int:
         print(f"unknown query {args.name!r}; see ls-queries", file=sys.stderr)
         return 2
     spark = get_spark("chyme_query")
-    df = registry[args.name].fn(spark, args.sf)
-    df.show(args.show, truncate=False)
-    print(f"{df.count()} rows")
+    df = registry[args.name].fn(spark, args.sf).cache()
+    try:
+        # cache: show + count would otherwise run the whole plan twice
+        df.show(args.show, truncate=False)
+        print(f"{df.count()} rows")
+    finally:
+        df.unpersist()
     return 0
 
 
@@ -538,8 +563,13 @@ def cmd_sql(args) -> int:
     df = spark.sql(args.statement)
     if args.explain:
         df.explain("formatted")
-    df.show(args.show, truncate=False)
-    print(f"{df.count()} rows")
+    df = df.cache()
+    try:
+        # cache: show + count would otherwise run the whole plan twice
+        df.show(args.show, truncate=False)
+        print(f"{df.count()} rows")
+    finally:
+        df.unpersist()
     return 0
 
 
@@ -558,7 +588,7 @@ def cmd_ls(args) -> int:
 
     for name, q in sorted(load_all().items()):
         kind = "oracle" if q.oracle else "rows-only"
-        print(f"{name:28s} [{kind}] {q.doc.strip().splitlines()[0] if q.doc else ''}")
+        print(f"{name:28s} [{kind}] {q.doc.strip().splitlines()[0] if q.doc.strip() else ''}")
     total, n_oracle, n_rows_only = query_counts()
     print(f"-- {total} registered queries ({n_oracle} DuckDB-oracle hash-checked, "
           f"{n_rows_only} rows-only by design)")

@@ -58,8 +58,14 @@ def upsert(
 
 
 def latest_per_key(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
-    """Collapse to the latest row per key (deterministic: order_col desc)."""
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    """Collapse to the latest row per key. Deterministic even on
+    order_col TIES: a content hash of the full row is the final
+    tie-breaker, so repeated runs pick the same survivor regardless of
+    shuffle order (round-6 review — row_number over order_col alone is
+    arbitrary within a tie)."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(order_col), F.xxhash64(*[F.col(c) for c in df.columns])
+    )
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
@@ -75,12 +81,27 @@ def scd2_apply(
     changed keys, append the new versions as current.
 
     ``dim`` schema: business columns + effective_from/effective_to/is_current.
-    ``changes`` schema: business columns + effective_from.
+    ``changes`` schema: business columns + effective_from — at most ONE
+    row per key per application (validated: a second change for the
+    same key would fan out the close join and append two "current"
+    versions — apply multi-step histories as successive calls).
     """
+    dup = (
+        changes.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"scd2_apply: changes not unique per key {key!r}; first duplicate: "
+            f"{dup[0][key]!r} — apply multi-version histories one batch per "
+            "version (round-6 review)"
+        )
     changed_keys = changes.select(key).distinct()
+    # NULL is_current must not vanish from both branches (the
+    # split_malformed NULL-predicate class): treat NULL as not-current
+    is_cur = F.coalesce(F.col(current_col), F.lit(False))
     closed = (
         dim.join(changed_keys, key, "left_semi")
-        .filter(F.col(current_col))
+        .filter(is_cur)
         .drop(end_col, current_col)
         .join(changes.select(key, F.col(effective_col).alias("__new_from")), key)
         .withColumn(end_col, F.col("__new_from"))
@@ -88,7 +109,7 @@ def scd2_apply(
         .drop("__new_from")
     )
     untouched = dim.join(changed_keys, key, "left_anti").unionByName(
-        dim.join(changed_keys, key, "left_semi").filter(~F.col(current_col))
+        dim.join(changed_keys, key, "left_semi").filter(~is_cur)
     )
     fresh = changes.withColumn(end_col, F.lit(None).cast("timestamp")).withColumn(
         current_col, F.lit(True)

@@ -57,8 +57,14 @@ def ensure_scaled(
     """Materialize ``factor``x-scaled copies of the src tables under
     dest_dir (idempotent: a done-marker skips regeneration)."""
     marker = os.path.join(dest_dir, _DONE_MARKER)
+    stamp = f"factor={factor} src={src_dir}\n"
     if os.path.exists(marker):
-        return dest_dir
+        # the marker records WHAT was generated; a different factor or
+        # source must regenerate, not silently reuse the stale dataset
+        # (round-6 review: bench would mislabel 10x data as 20x)
+        with open(marker) as f:
+            if f.read() == stamp:
+                return dest_dir
     os.makedirs(dest_dir, exist_ok=True)
 
     t = {n: spark.read.parquet(os.path.join(src_dir, f"{n}.parquet")) for n in TABLES}
@@ -130,5 +136,5 @@ def ensure_scaled(
                    shifts[name]).write.mode("overwrite").parquet(dest)
 
     with open(marker, "w") as f:
-        f.write(f"factor={factor} src={src_dir}\n")
+        f.write(stamp)
     return dest_dir

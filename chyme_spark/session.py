@@ -12,6 +12,7 @@ the legacy 200 default.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -86,6 +87,26 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if extra_conf:
+        # getOrCreate applies configs only at FIRST creation — when the
+        # session already exists, thread filesystem conf (fs.*, e.g.
+        # s3_credentials_conf output) into the live hadoopConfiguration
+        # so late credentials still take effect; non-fs conf cannot be
+        # changed post-hoc and is reported instead of silently dropped
+        # (round-6 review)
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for k, v in extra_conf.items():
+            if k.startswith(("fs.", "spark.hadoop.fs.")):
+                hconf.set(k.removeprefix("spark.hadoop."), v)
+            elif spark.conf.get(k, None) != v:
+                try:
+                    spark.conf.set(k, v)  # runtime-mutable SQL confs apply fine
+                except Exception:  # noqa: BLE001 — static conf on a live session
+                    print(
+                        f"warning: conf {k!r} ignored — session already exists "
+                        "(static conf applies only at first get_spark)",
+                        file=sys.stderr,
+                    )
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

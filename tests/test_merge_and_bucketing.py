@@ -68,3 +68,55 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
     plan = j._jdf.queryExecution().executedPlan().toString()
     # co-located bucketed join: no Exchange on either side
     assert "Exchange hashpartitioning" not in plan
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "id long, attr string, effective_from string, effective_to string, is_current boolean",
+    ).select(
+        "id", "attr",
+        F.to_timestamp("effective_from").alias("effective_from"),
+        F.to_timestamp("effective_to").alias("effective_to"),
+        "is_current",
+    )
+
+
+def test_scd2_rejects_multiple_changes_per_key(spark):
+    """Two change rows for one key would fan out the close join and
+    append two 'current' versions — must raise, not corrupt (round-6
+    review)."""
+    dim = _dim(spark, [(1, "x", "2024-01-01", None, True)])
+    changes = spark.createDataFrame(
+        [(1, "x2", "2026-01-01"), (1, "x3", "2026-02-01")],
+        "id long, attr string, effective_from string",
+    ).select("id", "attr", F.to_timestamp("effective_from").alias("effective_from"))
+    with pytest.raises(ValueError, match="not unique per key"):
+        scd2_apply(dim, changes, "id")
+
+
+def test_scd2_null_is_current_goes_to_history_not_limbo(spark):
+    """A NULL is_current row for a changed key must survive as history;
+    the NULL predicate previously dropped it from both branches."""
+    dim = _dim(
+        spark,
+        [(1, "old", "2023-01-01", "2024-01-01", None),
+         (1, "x", "2024-01-01", None, True)],
+    )
+    changes = spark.createDataFrame(
+        [(1, "x2", "2026-01-01")], "id long, attr string, effective_from string"
+    ).select("id", "attr", F.to_timestamp("effective_from").alias("effective_from"))
+    out = scd2_apply(dim, changes, "id")
+    assert out.count() == 3  # history + closed + fresh; nothing vanished
+    assert out.filter(F.col("attr") == "old").count() == 1
+
+
+def test_latest_per_key_deterministic_on_ties(spark):
+    """Identical order_col values: the survivor must be the same row on
+    every run (content-hash tie-break), not shuffle-order-dependent."""
+    rows = [(1, f"v{i}", 100) for i in range(8)]
+    winners = set()
+    for partitions in (1, 4, 8):
+        df = spark.createDataFrame(rows, "id long, val string, ts long").repartition(partitions)
+        winners.add(latest_per_key(df, ["id"], "ts").collect()[0]["val"])
+    assert len(winners) == 1
