@@ -311,3 +311,114 @@ def x_doc_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("chunk_id", "chunk_text"),
     ).select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk_text")
+
+
+_BPE_MERGES = 12  # rounds of the trainer (bounded; each is one job)
+
+
+def _merge_pair(sym, a_col, b_col):
+    """Replace every adjacent (a, b) in the symbol array with a||b —
+    a single JVM fold, no Python in the loop. The accumulator carries
+    (out array, pending flag): pending=1 means the previous symbol was
+    `a` and is NOT yet emitted; seeing `b` now emits the merged token."""
+    from pyspark.sql import functions as F
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit(0).alias("pend")
+    )
+
+    def step(acc, s):
+        emit_merged = (acc["pend"] == 1) & (s == b_col)
+        start_pend = s == a_col
+        new_out = (
+            F.when(emit_merged, F.concat(acc["out"], F.array(F.concat(a_col, b_col))))
+            # flush the pending `a` that did not pair, then maybe re-pend
+            .when(
+                (acc["pend"] == 1) & start_pend, F.concat(acc["out"], F.array(a_col))
+            )
+            .when(
+                acc["pend"] == 1, F.concat(acc["out"], F.array(a_col, s))
+            )
+            .when(start_pend, acc["out"])
+            .otherwise(F.concat(acc["out"], F.array(s)))
+        )
+        new_pend = (
+            F.when(emit_merged, F.lit(0))
+            .when(start_pend, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        return F.struct(new_out.alias("out"), new_pend.alias("pend"))
+
+    folded = F.aggregate(sym, init, step)
+    return F.when(
+        folded["pend"] == 1, F.concat(folded["out"], F.array(a_col))
+    ).otherwise(folded["out"])
+
+
+@query(
+    "x_bpe_train",
+    oracle=None,  # iterative trainer — no single SQL equivalent; exact
+    # contract pinned against a pure-Python BPE in tests/test_round6_ops.py
+    doc="distributed BPE merge training (Sennrich 2016): N merge rounds over the word-frequency table; deterministic (max count, lexicographic pair) tie-break; rows-only",
+)
+def x_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Train the first 12 BPE merges on the corpus, Spark-first.
+
+    The trainer never touches the corpus after ONE groupBy(word) pass:
+    like the reference Sennrich implementation it operates on the
+    word-frequency table, whose size is the distinct vocabulary — at
+    100 TB still millions of rows, not trillions. Each round is one
+    weighted pair-count aggregation over that table (map-side combine),
+    an argmax collected as a 1-row scalar (bounded driver traffic), and
+    a JVM-side fold rewriting the symbol arrays — no Python, no corpus
+    re-scan. Lineage is truncated every few rounds (localCheckpoint)
+    exactly like the repo's connected-components loop.
+
+    Determinism: the winning pair is (max weighted count, then
+    lexicographically smallest (a, b)), so every engine and run picks
+    the same merge sequence.
+    """
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("sym", F.split("w", ""))
+    )
+    merges = []
+    for rank in range(_BPE_MERGES):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.when(
+                    F.size("sym") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("sym") - 1),
+                        lambda i: F.struct(
+                            F.element_at("sym", i).alias("a"),
+                            F.element_at("sym", i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        merges.append((rank, a, b, a + b, n))
+        words = words.withColumn("sym", _merge_pair(F.col("sym"), F.lit(a), F.lit(b)))
+        if rank % 4 == 3:
+            words = words.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, a string, b string, merged string, pair_count long"
+    )

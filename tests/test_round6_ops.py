@@ -234,3 +234,45 @@ def test_pmi_collocations_match_python(spark, sf_dir):
         for r in REGISTRY["x_pmi_collocations"].fn(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """The distributed trainer's full merge table (order, pairs, counts)
+    equals a sequential Sennrich-style BPE over the same word-frequency
+    dict, including the (max count, lexicographic pair) tie-break and
+    the greedy left-to-right merge application."""
+    from collections import Counter
+
+    freqs: Counter = Counter()
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        freqs.update(w for w in r["text"].split(" ") if w)
+
+    words = {w: list(w) for w in freqs}
+    expect = []
+    for rank in range(12):
+        counts: Counter = Counter()
+        for w, syms in words.items():
+            f = freqs[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        expect.append((rank, a, b, a + b, n))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    got = [
+        (r["rank"], r["a"], r["b"], r["merged"], r["pair_count"])
+        for r in REGISTRY["x_bpe_train"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expect
