@@ -422,3 +422,61 @@ def x_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, a string, b string, merged string, pair_count long"
     )
+
+
+@query(
+    "x_embedding_quantize",
+    # int8 scalar quantization (the SQ step of FAISS-style SQ8 / PQ
+    # pipelines): per-dimension affine codes
+    #   code = floor((v - min_d) * 255 / (max_d - min_d))
+    # Cross-engine exactness: min/max are order-independent aggregates,
+    # and -,*,/ on doubles are IEEE correctly-rounded single ops — the
+    # only nondeterminism classes (libm, reduction order) never appear,
+    # so the codes hash-match bit-for-bit.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+    rng AS (
+      SELECT dim, CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
+      FROM e GROUP BY dim)
+    SELECT e.vec_id, CAST(e.dim AS INT) AS dim,
+           CAST(CASE WHEN rng.hi = rng.lo THEN 0
+                     ELSE floor((CAST(e.v AS DOUBLE) - rng.lo) * 255.0
+                                / (rng.hi - rng.lo))
+                END AS INT) AS code
+    FROM e JOIN rng USING (dim)
+    """,
+    doc="int8 scalar quantization of embeddings: per-dim affine codes floor((v-min)*255/(max-min)) — the 4x storage/bandwidth compressor in front of ANN at corpus scale",
+)
+def x_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """The compression step a 100 TB embedding store runs before ANN:
+    4 bytes -> 1 byte per dimension cuts scan bandwidth and candidate
+    memory 4x, with the recall cost bounded (pinned in
+    tests/test_round6_ops.py: int8-reconstructed cosine top-10 keeps
+    >= 80% recall vs exact on this corpus).
+
+    Scale shape: one posexplode pass; the per-dimension min/max table
+    has #dims rows (a true broadcast dim); codes are a narrow
+    whole-stage-codegen projection. The explode is for the oracle's
+    benefit — a production writer would keep codes packed as
+    array<tinyint> in one row per vector (same arithmetic, no shuffle
+    at all).
+    """
+    emb = load_table(spark, sf, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v")
+    ).select("vec_id", (F.col("pos0") + 1).cast("int").alias("dim"), "v")
+    rng = e.groupBy("dim").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    return e.join(F.broadcast(rng), "dim").select(
+        "vec_id",
+        "dim",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.floor((F.col("v") - F.col("lo")) * 255.0 / (F.col("hi") - F.col("lo")))
+        )
+        .cast("int")
+        .alias("code"),
+    )

@@ -69,6 +69,7 @@ _FRONT_50 = [
     "x_segment_dedup_scrub", "x_mixture_temperature",
     "x_doc_chunk_windows", "x_zorder_layout", "x_lm_surprisal_score",
     "x_mixture_resample", "x_pmi_collocations", "x_bpe_train",
+    "x_embedding_quantize",
     # changed in round 6 — re-prove the rewritten arithmetic/plan
     "x_tpch_q14_promo_revenue", "x_tpch_q17_small_qty_parts",
     "x_embedding_centroids", "x_tpch_q11_important_stock",
@@ -88,11 +89,11 @@ _FRONT_50 = [
     "d47_python_udf", "d48_pandas_udf", "d49_apply_in_pandas",
     # backfill tail: oldest round-4 greens — these rotate out first as
     # new r6 ops claim slots at the head
-    "d01_parquet_scan",
-    # (d02_projection, d37_sessionization, x_array_agg_sorted,
-    # x_bloom_prefilter, x_bm25_score, x_bpe_pretokenize,
-    # x_corr_scalar_subquery, x_cosine_topk_np rotated out when the
-    # eight r6 ops claimed the head — all r4-green, return next round)
+    # (d01_parquet_scan, d02_projection, d37_sessionization,
+    # x_array_agg_sorted, x_bloom_prefilter, x_bm25_score,
+    # x_bpe_pretokenize, x_corr_scalar_subquery, x_cosine_topk_np
+    # rotated out when the nine r6 ops claimed the head — all r4-green,
+    # return next round)
 ]
 
 _D_NAME = re.compile(r"^d\d\d_")

@@ -58,6 +58,9 @@ EXPECTED = {
     # 4 exchanges = unigram + bigram count shuffles + two 1-row totals;
     # top-k must stay TakeOrderedAndProject
     "x_pmi_collocations": (4, 4, 0, True),
+    # narrow explode + dim-table broadcast; exactly one shuffle (the
+    # per-dimension min/max aggregate)
+    "x_embedding_quantize": (1, 1, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their

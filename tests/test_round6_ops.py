@@ -276,3 +276,47 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
         for r in REGISTRY["x_bpe_train"].fn(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_embedding_quantize_codes_and_recall(spark, sf_dir):
+    """Codes equal the pure-Python affine quantizer, live in [0,255],
+    and int8-reconstructed cosine top-10 keeps >= 80% recall vs exact
+    float top-10 — the accuracy contract that justifies the 4x
+    compression."""
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    vecs = np.stack([emb[k] for k in sorted(emb)])
+    ids = sorted(emb)
+    lo, hi = vecs.min(axis=0), vecs.max(axis=0)
+    span = np.where(hi == lo, 1.0, hi - lo)
+    expect_codes = np.floor((vecs - lo) * 255.0 / span).astype(int)
+    expect_codes[:, hi == lo] = 0
+
+    out = REGISTRY["x_embedding_quantize"].fn(spark, sf_dir).collect()
+    assert len(out) == vecs.size
+    got = {}
+    for r in out:
+        assert 0 <= r["code"] <= 255
+        got[(r["vec_id"], r["dim"])] = r["code"]
+    for i, vid in enumerate(ids):
+        for d in range(vecs.shape[1]):
+            assert got[(vid, d + 1)] == expect_codes[i, d], (vid, d)
+
+    # recall bracket: reconstruct midpoints and compare cosine top-10
+    recon = (expect_codes + 0.5) * span / 255.0 + lo
+
+    def topk(m, q, k=10):
+        sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q) + 1e-12)
+        return set(np.argsort(-sims)[:k])
+
+    hits = total = 0
+    for qi in range(0, len(ids), 50):
+        exact = topk(vecs, vecs[qi])
+        approx = topk(recon, recon[qi])
+        hits += len(exact & approx)
+        total += len(exact)
+    assert hits / total >= 0.8, hits / total

@@ -44,7 +44,7 @@ AUDIT = [
     # round-6 additions: corpus rewrite, mixture design, layout
     "x_segment_dedup_scrub", "x_mixture_temperature",
     "x_doc_chunk_windows", "x_zorder_layout", "x_lm_surprisal_score",
-    "x_mixture_resample", "x_pmi_collocations",
+    "x_mixture_resample", "x_pmi_collocations", "x_embedding_quantize",
     # x_neardup_survivors / x_dedup_clusters / x_bpe_train excluded:
     # their iterative loops accumulate per-round subtrees, so the
     # one-shot exchange/broadcast counts here mis-state per-round work
