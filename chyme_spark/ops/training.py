@@ -297,17 +297,23 @@ def x_doc_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
     reference's task templating (internal/tasker/template.go:7-35),
     applied inside a document instead of across blobs.
     """
-    docs = load_table(spark, sf, "documents")
+    return chunk_windows(load_table(spark, sf, "documents"))
+
+
+def chunk_windows(docs: DataFrame, window: int = 200, stride: int = 150) -> DataFrame:
+    """Core of x_doc_chunk_windows over any (doc_id, text) DataFrame —
+    factored out so property tests can drive it with adversarial
+    window/stride geometry (tests/test_properties.py)."""
     n = F.length("text")
-    n_chunks = F.when(n <= 200, F.lit(1)).otherwise(
-        (F.lit(1) + F.ceil((n - 200) / F.lit(150.0))).cast("int")
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        (F.lit(1) + F.ceil((n - window) / F.lit(float(stride)))).cast("int")
     )
     return docs.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.col("text").substr(i * 150 + 1, F.lit(200)),
+                lambda i: F.col("text").substr(i * stride + 1, F.lit(window)),
             )
         ).alias("chunk_id", "chunk_text"),
     ).select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk_text")

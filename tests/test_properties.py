@@ -101,3 +101,33 @@ def test_segment_scrub_matches_python_model(spark, corpus, k):
         for r in segment_scrub(docs, seg_words=k).collect()
     }
     assert got == _py_scrub(texts, k)
+
+
+_chunk_text = st.text(alphabet="abc ", min_size=0, max_size=40)
+
+
+@_PROPERTY_SETTINGS
+@given(
+    texts=st.lists(_chunk_text, min_size=1, max_size=5),
+    window=st.sampled_from([1, 3, 7, 10]),
+    stride=st.sampled_from([1, 2, 5, 10]),
+)
+def test_chunk_windows_matches_python_model(spark, texts, window, stride):
+    """chunk_windows == the obvious sequential chunker for arbitrary
+    window/stride geometry (stride > window gaps excluded — coverage
+    requires stride <= window), including empty docs and exact-fit
+    boundaries."""
+    from chyme_spark.ops.training import chunk_windows
+
+    if stride > window:
+        stride = window
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {}
+    for r in chunk_windows(docs, window=window, stride=stride).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+    import math
+
+    for doc_id, text in enumerate(texts):
+        n = 1 if len(text) <= window else 1 + math.ceil((len(text) - window) / stride)
+        expect = {i: text[i * stride : i * stride + window] for i in range(n)}
+        assert got[doc_id] == expect, (doc_id, window, stride)
