@@ -673,14 +673,20 @@ def x_tpch_q13_cust_distribution(spark: SparkSession, sf: str) -> DataFrame:
     # since 2000" (the synthetic generator gives every customer at
     # least one order, so the literal spec predicate is degenerate).
     oracle="""
-    WITH avg_bal AS (
-        SELECT AVG(CAST(c_acctbal AS DECIMAL(18,4))) AS a
+    WITH bal_stats AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS tot,
+               CAST(count(*) AS BIGINT) AS cnt
         FROM customer WHERE c_acctbal > 0)
     SELECT c_nationkey % 5 AS cntry_grp,
            count(*) AS n_cust,
            CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
     FROM customer
-    WHERE c_acctbal > (SELECT a FROM avg_bal)
+    -- bal > avg rewritten as bal * cnt > total: pure exact decimal/int
+    -- arithmetic on both engines (Spark AVG(decimal) is a scale-capped
+    -- DECIMAL quotient, DuckDB's is DOUBLE — an unpinnable boundary;
+    -- round-6 review, same class as the Q17 cross-multiplication)
+    WHERE CAST(c_acctbal AS DECIMAL(18,4)) * (SELECT cnt FROM bal_stats)
+          > (SELECT tot FROM bal_stats)
       AND NOT EXISTS (
         SELECT 1 FROM orders
         WHERE o_custkey = c_custkey
@@ -695,9 +701,11 @@ def x_tpch_q22_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
     evaluates first and folds into the filter (no join); the NOT EXISTS
     is a LEFT ANTI hash join on custkey — orders projects ONLY the join
     key into the exchange (column pruning keeps the anti-join build
-    narrow); the final rollup is a ~5-row aggregate. The decimal cast
-    on the average matters: a double average would hash-diverge at the
-    filter boundary for customers exactly at the mean."""
+    narrow); the final rollup is a ~5-row aggregate. The mean-balance
+    gate is cross-multiplied (bal * cnt > total) so the comparison is
+    exact decimal/integer arithmetic end-to-end — an AVG quotient is
+    unpinnable across engines (Spark: scale-capped DECIMAL; DuckDB:
+    DOUBLE)."""
     cust = load_table(spark, sf, "customer")
     orders = (
         load_table(spark, sf, "orders")
@@ -707,13 +715,16 @@ def x_tpch_q22_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("o_custkey")
     )
-    avg_bal = (
+    bal_stats = (
         cust.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg(dec("c_acctbal")).alias("a"))
+        .agg(
+            F.sum(dec("c_acctbal")).alias("tot"),
+            F.count("*").alias("cnt"),
+        )
     )
     return (
-        cust.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("a"))
+        cust.join(F.broadcast(bal_stats))
+        .filter(dec("c_acctbal") * F.col("cnt") > F.col("tot"))
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy((F.col("c_nationkey") % 5).alias("cntry_grp"))
         .agg(
@@ -1027,8 +1038,12 @@ def x_tpch_q19_disjunctive_join(spark: SparkSession, sf: str) -> DataFrame:
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01')
     SELECT o_year,
-           CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
-                      / SUM(volume), 4) AS DOUBLE) AS mkt_share,
+           -- both sums stay exact DECIMAL, are cast to DOUBLE, and the
+           -- quotient is ONE IEEE double division — pinned on both
+           -- engines (Spark's decimal/decimal would pre-round at its
+           -- result scale while DuckDB's yields DOUBLE; round-6 review)
+           CAST(ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END) AS DOUBLE)
+                      / CAST(SUM(volume) AS DOUBLE), 4) AS DOUBLE) AS mkt_share,
            count(*) AS n_lines
     FROM all_nations
     GROUP BY o_year
@@ -1069,8 +1084,8 @@ def x_tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(F.lit(0)))
-                / F.sum(volume),
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(F.lit(0))).cast("double")
+                / F.sum(volume).cast("double"),
                 4,
             ).cast("double").alias("mkt_share"),
             F.count("*").alias("n_lines"),

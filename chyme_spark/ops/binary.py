@@ -234,7 +234,10 @@ def media_table(spark: SparkSession, sf: str) -> DataFrame:
                 ELSE 'video' END AS media_type,
            strlen(text) AS payload_len,
            md5(text) AS payload_md5,
-           hex(encode(text[1:4]))::VARCHAR AS header_hex_upper,
+           -- BYTE-wise first-4: hex the whole blob, take 8 hex chars —
+           -- text[1:4] slices CHARACTERS and diverges on multi-byte
+           -- content (round-6 review; latent until non-ASCII docs)
+           substr(hex(encode(text)), 1, 8)::VARCHAR AS header_hex_upper,
            false AS decoded
     FROM documents
     """,

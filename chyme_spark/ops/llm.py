@@ -155,9 +155,13 @@ def x_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    # sizes is one row PER DOCUMENT — corpus-scaled, so the join is
+    # un-hinted: AQE broadcasts at fixture scale and shuffle-joins at
+    # 100 TB (a pinned hint cannot be demoted and would OOM the build;
+    # round-6 review, same policy as the r5 customer-side demotions)
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
     )
@@ -441,18 +445,30 @@ def x_ann_lsh_topk(
             out = out.bitwiseOR(b)
         return out
 
-    bucketed = emb.select("vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"))
+    # norms computed ONCE per vector and carried as columns — the inline
+    # _norm form would re-fold O(dim) per candidate pair (~2x scoring
+    # CPU at corpus x multiprobe; round-6 review — d44 documents the
+    # same precompute)
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        bucket(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
     q = bucketed.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+        F.col("nrm").alias("qnrm"),
     )
     if multiprobe:
         # the probe buckets are all distinct (qb, qb^1, qb^2, ...), and a
         # corpus vector lives in exactly one bucket, so the explode can
         # never produce a duplicate (qid, vec_id) candidate pair
         probes = F.array(F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
-        q = q.select("qid", "qe", F.explode(probes).alias("qb"))
+        q = q.select("qid", "qe", "qnrm", F.explode(probes).alias("qb"))
     cand = bucketed.join(F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("qid")))
-    cos = _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))
+    cos = _dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
     scored = cand.select("qid", "vec_id", F.round(cos, 4).cast("double").alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= topk).drop("rn")
@@ -485,7 +501,12 @@ def x_ann_ivf_topk(
     emb = load_table(spark, sf, "embeddings")
     vecs = emb.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
     model = KMeans(k=k, seed=42, maxIter=10).fit(vecs)
-    assigned = model.transform(vecs).select("vec_id", "embedding", F.col("prediction").alias("cell"))
+    # norm carried as a column: one O(dim) fold per vector, not per
+    # candidate pair (round-6 review; same precompute as d44/LSH)
+    assigned = model.transform(vecs).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
 
     # centroids are tiny (k x dim): a literal DataFrame, broadcast into the probe join
     centroids = spark.createDataFrame(
@@ -493,19 +514,24 @@ def x_ann_ivf_topk(
         "cell int, centroid array<double>",
     )
     q = assigned.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     qdist = q.join(F.broadcast(centroids), how="cross").select(
-        "qid", "qe", "cell",
+        "qid", "qe", "qnrm", "cell",
         _dot(F.col("qe"), F.col("centroid")).alias("cdot"),
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("cdot"), "cell")
-    probes = qdist.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= nprobe).select("qid", "qe", "cell")
+    probes = (
+        qdist.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "qe", "qnrm", "cell")
+    )
 
     # search only the probed cells: the join key is the cell id, so the
     # corpus is scanned once and each query touches ~nprobe/k of it
     cand = assigned.join(F.broadcast(probes), "cell").filter(F.col("vec_id") != F.col("qid"))
-    cos = _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))
+    cos = _dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
     scored = cand.select("qid", "vec_id", F.round(cos, 4).cast("double").alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= topk).drop("rn")
@@ -1717,7 +1743,7 @@ def x_bloom_prefilter_prod(spark: SparkSession, sf: str) -> DataFrame:
 def x_minhash_containment(spark: SparkSession, sf: str) -> DataFrame:
     """Directional pairs (doc_a contained-in doc_b). Same inverted-index
     plan as x_ngram_jaccard — one gram-keyed shuffle, AQE skew-split on
-    boilerplate grams, broadcast size table — but the measure divides by
+    boilerplate grams, AQE-promoted size join — but the measure divides by
     |A| only, so each ordered pair is scored. At 100 TB the candidate
     step swaps to containment-biased minhash (bottom-k of A's sketch
     probed against B's), same downstream verify."""
@@ -1733,8 +1759,9 @@ def x_minhash_containment(spark: SparkSession, sf: str) -> DataFrame:
     )
     sa = sizes.alias("sa")
     cont = F.col("i") * 1.0 / F.col("sa.n")
+    # un-hinted: sizes is corpus-scaled (see x_ngram_jaccard's note)
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .filter(cont >= 0.5)
         .select("doc_a", "doc_b", F.round(cont, 4).cast("double").alias("containment"))
     )
@@ -1782,21 +1809,17 @@ def x_semdedup(
     fit_df = vec if n <= max_fit_rows else vec.sample(fraction=max_fit_rows / n, seed=42)
     model = KMeans(k=k, seed=42, maxIter=5).fit(fit_df)
     assigned = model.transform(vec).select("vec_id", F.col("prediction").alias("cluster"))
-    feats = emb.join(assigned, "vec_id").select("vec_id", "cluster", "embedding")
+    # float64 embeddings BEFORE the pair math: float32 products would
+    # disagree at the tau boundary with the float64 cosine the contract
+    # test (and every other cosine op via _dot/_norm) computes —
+    # round-6 review
+    feats = emb.join(assigned, "vec_id").select(
+        "vec_id", "cluster", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     a = feats.alias("a")
     b = feats.alias("b")
-    dot = F.aggregate(
-        F.zip_with("a.embedding", "b.embedding", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda side: F.sqrt(
-        F.aggregate(
-            F.transform(f"{side}.embedding", lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
+    dot = _dot(F.col("a.embedding"), F.col("b.embedding"))
+    norm = lambda side: _norm(F.col(f"{side}.embedding"))
     dupped = (
         a.join(
             b,

@@ -85,11 +85,13 @@ def x_sequence_pack(
     no RNG) so re-runs and engine swaps produce the identical pack
     layout — the same determinism contract as x_deterministic_split.
     """
+    from chyme_spark.ops.llm import md5_bucket
+
     docs = load_table(spark, sf, "documents")
-    grp = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
-        % n_groups
-    )
+    # the ONE hash-coin definition (llm.md5_bucket) — round-6 review:
+    # an inlined copy here would silently diverge from split/mixture/
+    # resample if the coin ever changes
+    grp = md5_bucket(F.col("doc_id").cast("string"), n_groups)
     t = docs.select(
         "doc_id",
         grp.alias("grp"),
@@ -181,6 +183,13 @@ def x_cosine_topk_np(spark: SparkSession, sf: str, topk: int = 3) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     q_rows = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
+    if not q_rows:
+        # degrade like the JVM twin d44: empty query set -> empty result
+        # (np.linalg.norm on a 0-d array would raise at the driver —
+        # round-6 review)
+        return spark.createDataFrame(
+            [], "qid long, vec_id long, cosine double"
+        )
     qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
