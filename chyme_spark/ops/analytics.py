@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from chyme_spark.ops.common import dec, money
+from chyme_spark.ops.common import dec, money, sql_ts_str, ts_str
 from chyme_spark.registry import query
 from chyme_spark.session import load_table
 
@@ -1657,5 +1657,326 @@ def x_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
             F.max("o_custkey").alias("max_cust"),
             F.min("o_orderkey").alias("min_ord"),
             F.max("o_orderkey").alias("max_ord"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics: PageRank over the nation trade graph
+# ---------------------------------------------------------------------------
+
+# Fixed-iteration PageRank in EXACT integer arithmetic so a DuckDB
+# oracle can replay it bit-for-bit: ranks are parts-per-trillion
+# BIGINTs, every quotient is integer floor division (positive operands:
+# Spark `div` == DuckDB `//`, the repo's TWAP discipline), so no
+# engine's float rounding can drift a rank. The damping update is
+#   pr'(v) = tele + (85 * sum_{u->v} (pr(u) div outdeg(u))) div 100,
+#   tele   = ((SCALE div N) * 15) div 100
+# (no dangling-mass redistribution: every node of this graph has
+# out-edges; sink mass simply decays, identically in both engines).
+_PR_SCALE = 1_000_000_000_000
+_PR_ITERS = 4
+_PR_EDGE_SQL = """
+    ew AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_pairs FROM ew),
+    eg AS (
+        -- sparsify scale-invariantly: keep edges above 1.1x the mean
+        -- pair weight, compared by exact integer cross-multiplication
+        -- (w >= 1.1 * total / n_pairs  <=>  10 * w * n_pairs >= 11 * total)
+        SELECT src, dst, w FROM ew
+        WHERE 10 * w * (SELECT n_pairs FROM tot) >= 11 * (SELECT total FROM tot)),
+    nodes AS (SELECT src AS node FROM eg UNION SELECT dst FROM eg),
+    deg AS (SELECT src, count(*) AS outdeg FROM eg GROUP BY src),
+    tele AS (SELECT (1000000000000 // count(*)) AS rinit,
+                    ((1000000000000 // count(*)) * 15) // 100 AS t
+             FROM nodes),
+    r0 AS (SELECT node, CAST((SELECT rinit FROM tele) AS BIGINT) AS pr
+           FROM nodes)"""
+
+
+def _pr_iter_sql(k: int) -> str:
+    p = k - 1
+    return f"""
+    c{k} AS (SELECT e.dst AS node,
+                    CAST(SUM(r.pr // d.outdeg) AS BIGINT) AS contrib
+             FROM eg e JOIN r{p} r ON r.node = e.src
+                       JOIN deg d ON d.src = e.src
+             GROUP BY e.dst),
+    r{k} AS (SELECT n.node,
+                    CAST((SELECT t FROM tele)
+                         + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS pr
+             FROM nodes n LEFT JOIN c{k} c ON c.node = n.node)"""
+
+
+@query(
+    "x_pagerank",
+    oracle=(
+        "WITH "
+        + _PR_EDGE_SQL
+        + ","
+        + ",".join(_pr_iter_sql(k) for k in range(1, _PR_ITERS + 1))
+        + f"""
+    SELECT node AS nationkey, pr AS rank_ppt FROM r{_PR_ITERS}
+    """
+    ),
+    doc="fixed-iteration PageRank over the nation trade graph (cust-nation -> supp-nation edges with >=110 lineitems), exact ppt-integer damping update — oracle replays the same 4 unrolled iterations as chained CTEs",
+)
+def x_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PageRank, the iterative-join shape.
+
+    100 TB design: each iteration is ONE shuffle — edges join ranks on
+    the src key (at web scale: pre-partition both on src so the join is
+    co-located and only the per-iteration agg shuffles on dst), then a
+    dst-keyed partial+final sum; the rank vector never leaves the
+    cluster. The only driver scalar is the node count (one number, like
+    the BPE trainer's argmax). Lineage is truncated with a
+    localCheckpoint every few rounds — same discipline as the
+    connected-components loop (x_dedup_clusters). Ranks are exact
+    BIGINT ppt (see module comment) so the DuckDB oracle hash-matches
+    the full 4-iteration trajectory, not just row counts.
+    """
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    ew = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    # scale-invariant sparsifier: w >= 1.1x mean pair weight, as exact
+    # integer cross-multiplication over a 1-row broadcast scalar (the
+    # Q22/llm.py crossJoin pattern — never an empty window)
+    tot = ew.agg(
+        F.sum("w").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    edges = (
+        ew.crossJoin(F.broadcast(tot))
+        .filter(F.lit(10) * F.col("w") * F.col("n_pairs") >= F.lit(11) * F.col("total"))
+        .select("src", "dst")
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n = nodes.count()  # bounded driver scalar: one long
+    rinit = _PR_SCALE // n
+    tele = (rinit * 15) // 100
+    ranks = nodes.select("node", F.lit(rinit).cast("long").alias("pr"))
+    for it in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.expr("CAST(SUM(pr div outdeg) AS BIGINT)").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(tele).cast("long")
+                    + F.expr("(85 * COALESCE(contrib, 0L)) div 100")
+                ).cast("long").alias("pr"),
+            )
+        )
+        if it % 2 == 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    edges.unpersist()
+    return ranks.select(F.col("node").alias("nationkey"), F.col("pr").alias("rank_ppt"))
+
+
+@query(
+    "x_scd2_intervals",
+    # Gaps-and-islands run collapse -> SCD2 validity intervals: the
+    # type-2 dimension-history build every warehouse ledger needs
+    # (merge.py's SCD2 writer is the write-path twin; this is the
+    # query-surface derivation from a raw event log).
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, event_id, ts, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    f AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM s),
+    r AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        FROM f),
+    g AS (
+        SELECT user_id, run_id, min(event_type) AS event_type,
+               min(ts) AS from_ts, count(*) AS n_events
+        FROM r GROUP BY user_id, run_id)
+    SELECT user_id, run_id, event_type,
+           {sql_ts_str('from_ts')} AS valid_from,
+           COALESCE({sql_ts_str("LEAD(from_ts) OVER (PARTITION BY user_id ORDER BY run_id)")},
+                    'current') AS valid_to,
+           n_events
+    FROM g
+    """,
+    doc="SCD2 history from an event log: collapse consecutive same-type runs per user (gaps-and-islands) into validity intervals [valid_from, valid_to); open intervals marked 'current'",
+)
+def x_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """One shuffle on the user key serves every window here (lag ->
+    run-id cumsum -> run collapse -> lead): Spark keeps the
+    user_id-partitioned exchange for all four steps, so at 100 TB the
+    event log moves once. The run collapse shrinks output to
+    #type-changes per user, not #events."""
+    ev = load_table(spark, sf, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.when(
+            F.lag("event_type").over(wo).isNull()
+            | (F.lag("event_type").over(wo) != F.col("event_type")),
+            1,
+        ).otherwise(0)
+    )
+    runs = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(chg).over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("run_id"),
+    )
+    g = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("from_ts"),
+        F.count("*").alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    return g.select(
+        "user_id",
+        "run_id",
+        "event_type",
+        ts_str("from_ts").alias("valid_from"),
+        F.coalesce(ts_str(F.lead("from_ts").over(wr)), F.lit("current")).alias(
+            "valid_to"
+        ),
+        "n_events",
+    )
+
+
+@query(
+    "x_rolling_median",
+    # Moving median over a trailing 7-row frame: order statistics as a
+    # window aggregate (robust smoothing for quality/latency signals —
+    # the mean-based running agg d24 cannot resist outliers).
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(CAST(median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)), 2)
+             AS DOUBLE) AS med7
+    FROM events
+    """,
+    doc="rolling median of value over a trailing 7-row frame per user (exact order statistic in a window; interpolated midpoint on even frames)",
+)
+def x_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact rolling median: Spark evaluates `percentile(value, 0.5)`
+    over the ROWS frame — per-frame O(frame log frame) inside the
+    user_id partition, one shuffle total. Both engines define median of
+    an even frame as the midpoint of the two central values, an exact
+    IEEE op on doubles; the DECIMAL(18,6)-pinned ROUND keeps the hash
+    engine-stable (same discipline as x_percentiles)."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.expr("percentile(value, 0.5)").over(w).cast("decimal(18,6)"), 2
+        )
+        .cast("double")
+        .alias("med7"),
+    )
+
+
+@query(
+    "x_compaction_plan",
+    # Small-file compaction planner: greedy sequential bin-packing of
+    # files (here: documents as stand-in file listings, n_chars as
+    # bytes) into ~4000-byte target buckets via an exclusive running
+    # sum — bucket = floor(bytes-before-this-file / target). The oracle
+    # states it as one global running sum; the Spark side computes the
+    # SAME prefix sum scalably (see docstring).
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, n_chars AS bytes,
+               CAST(SUM(n_chars) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM documents)
+    SELECT CAST((cum - bytes) // 4000 AS BIGINT) AS bucket,
+           count(*) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY bucket
+    """,
+    doc="compaction planner: assign files to ~target-size output buckets by exclusive prefix sum of sizes (small-files problem); per-bucket file count, byte total, id range",
+)
+def x_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """The global ordered prefix sum WITHOUT a single-partition window
+    (the empty-window scalar is this repo's named scale-killer): the
+    classic two-level distributed scan. Files are range-grouped by
+    doc_id div 256 (order-preserving); each group computes its local
+    running sum under partitionBy(grp) — a parallel window — and the
+    per-group byte totals (one row per group, bounded by the key space
+    div 256, NOT by row count) get a tiny exclusive cumsum that is
+    broadcast back as each group's offset. cum = offset + local_cum
+    equals the oracle's one global window exactly."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").alias("bytes"), (F.col("doc_id") / 256).cast("long").alias("grp")
+    )
+    wl = Window.partitionBy("grp").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = docs.withColumn("lcum", F.sum("bytes").over(wl))
+    gtot = docs.groupBy("grp").agg(F.sum("bytes").alias("gbytes"))
+    wg = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = gtot.select(
+        "grp", F.coalesce(F.sum("gbytes").over(wg), F.lit(0)).alias("offset")
+    )
+    cum = local.join(F.broadcast(offsets), "grp").select(
+        "doc_id",
+        "bytes",
+        (F.col("offset") + F.col("lcum")).cast("long").alias("cum"),
+    )
+    return (
+        cum.groupBy(
+            F.expr("(cum - bytes) div 4000").cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
         )
     )

@@ -109,3 +109,56 @@ def x_global_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
     )
+
+
+@query(
+    "x_full_outer_join",
+    # Full outer join of two partial-coverage aggregates over the same
+    # fact: customers with very large orders vs customers with urgent
+    # orders — either side can be NULL, and the COALESCE'd key plus a
+    # side tag pin the null semantics.
+    oracle="""
+    WITH big AS (
+        SELECT o_custkey AS k, count(*) AS n_big
+        FROM orders WHERE o_totalprice > 250000 GROUP BY 1),
+    urgent AS (
+        SELECT o_custkey AS k, count(*) AS n_urgent
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+    SELECT COALESCE(b.k, u.k) AS custkey,
+           COALESCE(n_big, 0) AS n_big,
+           COALESCE(n_urgent, 0) AS n_urgent,
+           CASE WHEN b.k IS NULL THEN 'urgent_only'
+                WHEN u.k IS NULL THEN 'big_only'
+                ELSE 'both' END AS side
+    FROM big b FULL OUTER JOIN urgent u ON b.k = u.k
+    """,
+    doc="full outer join: union of two keyed aggregates with null-filled non-matches and a side tag (big-spender vs urgent-order customer sets)",
+)
+def x_full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Both build sides are post-aggregate (one row per custkey) so the
+    full-outer SMJ shuffles two already-reduced inputs on the same key
+    — at 100 TB the aggregation, not the outer join, carries the fact
+    volume. Spark cannot broadcast a full-outer side (both sides
+    preserve non-matches), so shuffle join is the only — and right —
+    physical choice."""
+    orders = load_table(spark, sf, "orders")
+    big = (
+        orders.filter(F.col("o_totalprice") > 250000)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_big"))
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    b, u = big.alias("b"), urgent.alias("u")
+    return b.join(u, F.col("b.k") == F.col("u.k"), "full_outer").select(
+        F.coalesce(F.col("b.k"), F.col("u.k")).alias("custkey"),
+        F.coalesce(F.col("n_big"), F.lit(0)).alias("n_big"),
+        F.coalesce(F.col("n_urgent"), F.lit(0)).alias("n_urgent"),
+        F.when(F.col("b.k").isNull(), "urgent_only")
+        .when(F.col("u.k").isNull(), "big_only")
+        .otherwise("both")
+        .alias("side"),
+    )

@@ -378,6 +378,8 @@ def _merge_pair(sym, a_col, b_col):
 )
 def x_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     """Train the first 12 BPE merges on the corpus, Spark-first.
+    (Thin wrapper over :func:`_train_merges`; x_bpe_apply reuses the
+    same merge table to encode.)
 
     The trainer never touches the corpus after ONE groupBy(word) pass:
     like the reference Sennrich implementation it operates on the
@@ -393,6 +395,17 @@ def x_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     lexicographically smallest (a, b)), so every engine and run picks
     the same merge sequence.
     """
+    merges, _ = _train_merges(spark, sf)
+    return spark.createDataFrame(
+        merges, "rank int, a string, b string, merged string, pair_count long"
+    )
+
+
+def _train_merges(spark: SparkSession, sf: str):
+    """Run the distributed trainer; return (merge table, final
+    symbolized word-frequency DataFrame). The words table after the
+    last round IS the BPE-encoded vocabulary — x_bpe_apply reads token
+    statistics straight off it with no re-encoding pass."""
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf, "documents")
@@ -434,9 +447,7 @@ def x_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
         words = words.withColumn("sym", _merge_pair(F.col("sym"), F.lit(a), F.lit(b)))
         if rank % 4 == 3:
             words = words.localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "rank int, a string, b string, merged string, pair_count long"
-    )
+    return merges, words
 
 
 @query(
@@ -495,3 +506,169 @@ def x_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("code"),
     )
+
+
+@query(
+    "x_bpe_apply",
+    oracle=None,  # depends on the trained merge table — no single SQL
+    # equivalent; exact contract pinned against a sequential
+    # Python encode in tests/test_round6_ops.py
+    doc="apply the trained BPE merge table to encode the corpus: per-token frequency of the resulting subword vocabulary, top 30 (freq desc, token) — rows-only, exact encode contract in pytest",
+)
+def x_bpe_apply(spark: SparkSession, sf: str, topn: int = 30) -> DataFrame:
+    """Tokenizer APPLICATION — the companion of x_bpe_train closing the
+    train->encode loop a data pipeline actually ships.
+
+    Spark-first: encoding costs nothing beyond training here, because
+    the trainer's final word-frequency table already carries each
+    word's merged symbol array (greedy left-to-right application of
+    every merge in rank order, all JVM `aggregate` folds — no Python
+    per word). Token statistics are then one explode + one
+    groupBy(token) with map-side combine. At 100 TB the same shape
+    holds: encode rides the word-frequency table (vocabulary-sized,
+    not corpus-sized); only the final per-DOC token id materialization
+    — not needed for corpus statistics — would rescan the corpus with
+    the merge table broadcast.
+    """
+    from pyspark.sql import functions as F
+
+    _, words = _train_merges(spark, sf)
+    return (
+        words.select(F.explode("sym").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(topn)
+    )
+
+
+@query(
+    "x_embedding_pq",
+    oracle=None,  # codebooks are trainer-specific geometry; recall
+    # bracket + shortlist contract pinned in tests/test_round6_ops.py
+    doc="product quantization ANN: M=16 subspace KMeans codebooks (seed-pinned), 16-byte codes, ADC shortlist via a broadcast lookup-table join, exact re-rank of the shortlist to top-10 — rows-only, recall contract in pytest",
+)
+def x_embedding_pq(
+    spark: SparkSession,
+    sf: str,
+    m_sub: int = 16,
+    k: int = 16,
+    shortlist: int = 50,
+    topk: int = 10,
+) -> DataFrame:
+    """Product quantization — the third ANN scale path next to LSH and
+    IVF (llm.py): 64 float dims -> M=16 codebook indices (16 bytes, a
+    16x compression) with asymmetric-distance (ADC) scoring, then the
+    production two-stage shape: ADC shortlists ``shortlist``
+    candidates per query from codes alone, and only those candidates'
+    full vectors are touched for the exact re-rank to ``topk``.
+
+    100 TB shape: codebooks are fit per subspace on a sample (k x
+    sub_dim floats — driver-tiny, like IVF's centroids) and broadcast;
+    encoding is one corpus pass of M vectorized assignments. A query
+    builds a (M x k) lookup table of partial squared distances — the
+    ADC trick: approx dist is a SUM of M table lookups, never a
+    float-vector scan of the corpus. Here the LUT join is pure JVM:
+    corpus codes explode to (vec_id, m, code) and equi-join the
+    broadcast (qid, m, code)->pdist table, then one (qid, vec_id)
+    aggregation; at scale the explode stays narrow and the only
+    shuffle carries code-derived candidates. The re-rank join touches
+    |queries| x shortlist full vectors — the 4-byte-per-dim corpus
+    scan PQ exists to avoid never happens.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    sub = dim // m_sub
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    for m in range(m_sub):
+        vecs = vecs.withColumn(f"s{m}", F.slice("e", m * sub + 1, sub))
+    vecs = vecs.persist()
+
+    centroids = []  # m -> (k, sub) ndarray
+    coded = vecs
+    for m in range(m_sub):
+        feats = coded.withColumn("__f", array_to_vector(f"s{m}"))
+        model = KMeans(k=k, seed=42, maxIter=10, featuresCol="__f").fit(feats)
+        centroids.append(np.array([np.asarray(c) for c in model.clusterCenters()]))
+        coded = (
+            model.transform(feats)
+            .withColumnRenamed("prediction", f"c{m}")
+            .drop("__f")
+        )
+    coded = coded.select(
+        "vec_id", *[f"c{m}" for m in range(m_sub)]
+    ).persist()
+
+    # bounded query set (same convention as every ANN op: vec_id < 10)
+    queries = vecs.filter(F.col("vec_id") < 10).select("vec_id", "e").collect()
+    lut_rows = []
+    for q in queries:
+        qv = np.array(q["e"])
+        for m in range(m_sub):
+            qs = qv[m * sub : (m + 1) * sub]
+            d = ((centroids[m] - qs) ** 2).sum(axis=1)  # (k,)
+            lut_rows.extend(
+                (q["vec_id"], m, int(c), float(d[c])) for c in range(k)
+            )
+    lut = spark.createDataFrame(
+        lut_rows, "qid long, m int, code int, pdist double"
+    )
+
+    codes_long = coded.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(m).alias("m"), F.col(f"c{m}").alias("code"))
+                for m in range(m_sub)
+            ])
+        ).alias("mc"),
+    ).select("vec_id", "mc.m", "mc.code")
+    scored = (
+        codes_long.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("pdist"), 4).alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("qid", "vec_id", "adc_dist")
+    )
+    # exact re-rank: only the shortlisted candidates' full vectors are
+    # read — |queries| x shortlist rows, never the corpus
+    qdf = spark.createDataFrame(
+        [(q["vec_id"], [float(x) for x in q["e"]]) for q in queries],
+        "qid long, qe array<double>",
+    )
+    exact = (
+        cand.join(vecs.select("vec_id", "e"), "vec_id")
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "adc_dist",
+            F.round(
+                F.aggregate(
+                    F.zip_with("qe", "e", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                4,
+            ).alias("dist"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy("dist", "vec_id")
+    out = (
+        exact.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= topk)
+        .select("qid", "vec_id", "dist", "adc_dist", "rn")
+    )
+    vecs.unpersist()
+    return out

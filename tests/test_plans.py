@@ -61,6 +61,19 @@ EXPECTED = {
     # narrow explode + dim-table broadcast; exactly one shuffle (the
     # per-dimension min/max aggregate)
     "x_embedding_quantize": (1, 1, 0, False),
+    # round-6 continuation. scd2/median: ONE user_id shuffle serves
+    # every window + the run-collapse agg. full-outer: two post-agg
+    # shuffles into the (never-broadcastable) full-outer SMJ.
+    "x_scd2_intervals": (1, 0, 0, False),
+    "x_rolling_median": (1, 0, 0, False),
+    "x_full_outer_join": (2, 0, 1, False),
+    # compaction: grp-window shuffle + group-totals agg + the offsets
+    # cumsum + final bucket agg. The SinglePartition exchange here is
+    # legitimate: it carries the per-GROUP totals table (rows bounded
+    # by keyspace div 256, not by file count), which is exactly the
+    # two-level scan's tiny middle step — not a fact-sized empty
+    # window, so it is pinned here and NOT in NO_SINGLE_PARTITION.
+    "x_compaction_plan": (4, 1, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their

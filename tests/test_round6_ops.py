@@ -320,3 +320,88 @@ def test_embedding_quantize_codes_and_recall(spark, sf_dir):
         hits += len(exact & approx)
         total += len(exact)
     assert hits / total >= 0.8, hits / total
+
+
+def test_bpe_apply_matches_python_encode(spark, sf_dir):
+    """x_bpe_apply's token-frequency table equals a sequential
+    train-then-encode in pure Python: train 12 merges (same tie-break
+    as the trainer test), greedily apply them in rank order to every
+    word, weight token counts by word frequency, take the same
+    (n desc, token) top-30."""
+    from collections import Counter
+
+    freqs: Counter = Counter()
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        freqs.update(w for w in r["text"].split(" ") if w)
+
+    words = {w: list(w) for w in freqs}
+    for rank in range(12):
+        counts: Counter = Counter()
+        for w, syms in words.items():
+            f = freqs[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    tok: Counter = Counter()
+    for w, syms in words.items():
+        for s in syms:
+            tok[s] += freqs[w]
+    expect = sorted(tok.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+
+    got = [
+        (r["token"], r["n"])
+        for r in REGISTRY["x_bpe_apply"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+def test_embedding_pq_shortlist_rerank_recall(spark, sf_dir):
+    """The PQ two-stage contract: (a) output shape — exactly topk rows
+    per query, ranked by EXACT distance with vec_id tie-break, and the
+    exact distance matches numpy on the same pair; (b) accuracy — ADC
+    shortlist + exact re-rank keeps >= 70% of the true float top-10."""
+    import numpy as np
+
+    out = REGISTRY["x_embedding_pq"].fn(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    ids = sorted(emb)
+    vecs = np.stack([emb[k] for k in ids])
+    idx = {v: i for i, v in enumerate(ids)}
+
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r)
+    hits = total = 0
+    for qid, rows in by_q.items():
+        assert len(rows) == 10
+        rows.sort(key=lambda r: r["rn"])
+        # ranked by exact dist then vec_id; dist matches numpy
+        for a, b in zip(rows, rows[1:]):
+            assert (a["dist"], a["vec_id"]) <= (b["dist"], b["vec_id"])
+        for r in rows:
+            want = round(float(((emb[qid] - emb[r["vec_id"]]) ** 2).sum()), 4)
+            assert abs(r["dist"] - want) < 1e-6, (qid, r["vec_id"])
+        d = ((vecs - vecs[idx[qid]]) ** 2).sum(axis=1)
+        d[idx[qid]] = np.inf
+        exact = set(np.array(ids)[np.argsort(d)[:10]].tolist())
+        approx = {r["vec_id"] for r in rows}
+        hits += len(exact & approx)
+        total += len(exact)
+    assert total and hits / total >= 0.7, hits / total

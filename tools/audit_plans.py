@@ -45,7 +45,12 @@ AUDIT = [
     "x_segment_dedup_scrub", "x_mixture_temperature",
     "x_doc_chunk_windows", "x_zorder_layout", "x_lm_surprisal_score",
     "x_mixture_resample", "x_pmi_collocations", "x_embedding_quantize",
-    # x_neardup_survivors / x_dedup_clusters / x_bpe_train excluded:
+    # round-6 continuation: SCD2/run-collapse, order statistics,
+    # compaction planning, full-outer, graph analytics
+    "x_scd2_intervals", "x_rolling_median", "x_compaction_plan",
+    "x_full_outer_join",
+    # x_neardup_survivors / x_dedup_clusters / x_bpe_train /
+    # x_pagerank excluded:
     # their iterative loops accumulate per-round subtrees, so the
     # one-shot exchange/broadcast counts here mis-state per-round work
     # (which is one keyed shuffle; see the op docstrings)
