@@ -74,6 +74,13 @@ HEADLINE = [
     # scalar broadcast) — the heaviest new LLM-pipeline surface
     "x_segment_dedup_scrub",
     "x_lm_surprisal_score",
+    # round-6 continuation: run-collapse windows, exact windowed order
+    # statistic, the two-level prefix-sum planner, and the full-outer
+    # SMJ — four distinct physical shapes not yet on the scoreboard
+    "x_scd2_intervals",
+    "x_rolling_median",
+    "x_compaction_plan",
+    "x_full_outer_join",
 ]
 
 
@@ -139,6 +146,8 @@ def main() -> None:
         "d06_keyed_dedup", "d12_star_join", "x_duplicate_ngram_fraction",
         "x_tpch_q18_big_orders", "d50_pipeline_flagship",
         "x_segment_dedup_scrub", "d43_minhash_lsh",
+        # round-6 continuation: the second corpus-rewrite op
+        "x_boilerplate_scrub",
     ]
     _CLIFF = 3.0  # flag when time ratio > _CLIFF * data ratio
     sf1_block = None

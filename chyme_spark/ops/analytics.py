@@ -1716,6 +1716,39 @@ def _pr_iter_sql(k: int) -> str:
              FROM nodes n LEFT JOIN c{k} c ON c.node = n.node)"""
 
 
+def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The sparsified nation trade graph shared by x_pagerank and
+    x_triangle_count (mirrors the oracle's ``_PR_EDGE_SQL``): directed
+    cust-nation -> supp-nation edges kept when the pair's lineitem
+    count clears 1.1x the mean pair weight — an exact integer
+    cross-multiplication over a 1-row broadcast scalar (the Q22/llm.py
+    crossJoin pattern — never an empty window), so the sparsifier is
+    scale-invariant across SFs and engine-exact."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    ew = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    tot = ew.agg(
+        F.sum("w").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    return (
+        ew.crossJoin(F.broadcast(tot))
+        .filter(F.lit(10) * F.col("w") * F.col("n_pairs") >= F.lit(11) * F.col("total"))
+        .select("src", "dst")
+    )
+
+
 @query(
     "x_pagerank",
     oracle=(
@@ -1743,33 +1776,7 @@ def x_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     BIGINT ppt (see module comment) so the DuckDB oracle hash-matches
     the full 4-iteration trajectory, not just row counts.
     """
-    orders = load_table(spark, sf, "orders")
-    cust = load_table(spark, sf, "customer")
-    li = load_table(spark, sf, "lineitem")
-    supp = load_table(spark, sf, "supplier")
-    ew = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.count("*").alias("w"))
-    )
-    # scale-invariant sparsifier: w >= 1.1x mean pair weight, as exact
-    # integer cross-multiplication over a 1-row broadcast scalar (the
-    # Q22/llm.py crossJoin pattern — never an empty window)
-    tot = ew.agg(
-        F.sum("w").cast("long").alias("total"),
-        F.count("*").cast("long").alias("n_pairs"),
-    )
-    edges = (
-        ew.crossJoin(F.broadcast(tot))
-        .filter(F.lit(10) * F.col("w") * F.col("n_pairs") >= F.lit(11) * F.col("total"))
-        .select("src", "dst")
-        .persist()
-    )
+    edges = _trade_edges(spark, sf).persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -1980,3 +1987,73 @@ def x_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "x_triangle_count",
+    # Triangle counting over the undirected-ized trade graph: the
+    # canonical "enumerate ordered wedges, close them" distributed
+    # algorithm — every triangle is materialized exactly once as
+    # (a < b < c), then credited back to each of its three corners.
+    oracle=(
+        "WITH "
+        + _PR_EDGE_SQL
+        + """,
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM eg),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+    SELECT node AS nationkey, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+    """
+    ),
+    doc="per-node triangle counts over the undirected nation trade graph: ordered wedge enumeration (a<b<c) closed by a third join — each triangle counted once, credited to all three corners",
+)
+def x_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting, the join-topology benchmark for graph-shaped
+    data: two self-joins of the ordered edge list. Ordering every edge
+    as (min, max) makes each triangle appear exactly once — the
+    standard trick that cuts candidate wedges ~6x and bounds the
+    worst-case join fan-out by the max degree.
+
+    100 TB shape: both joins are equi-joins on a node key (shuffle or,
+    here, AQE-broadcast since the sparsified graph is dim-sized); the
+    wedge intermediate is the only super-linear term (sum of deg^2) and
+    at real scale is tamed by the degree-ordering variant (orient edges
+    low-degree -> high-degree) plus AQE skew splitting — the ordered
+    enumeration here IS that algorithm for this graph's scale."""
+    und = (
+        _trade_edges(spark, sf)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy(F.col("node").alias("nationkey")).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    ).select(F.col("nationkey"), "n_triangles")

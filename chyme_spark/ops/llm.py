@@ -1889,14 +1889,15 @@ def x_segment_dedup_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return segment_scrub(load_table(spark, sf, "documents"))
 
 
-def segment_scrub(docs: DataFrame, seg_words: int = 8) -> DataFrame:
-    """Core of x_segment_dedup_scrub over any (doc_id, text) DataFrame —
-    factored out so property tests can drive it with adversarial
-    synthetic corpora (tests/test_properties.py)."""
+def doc_segments(docs: DataFrame, seg_words: int = 8) -> DataFrame:
+    """Explode (doc_id, text) into fixed-width word segments
+    ``(doc_id, seg, seg_text)`` — the shared unit of x_segment_dedup_scrub
+    (keep-first dedup) and x_boilerplate_scrub (document-frequency
+    scrub)."""
     docs = docs.withColumn("__ws", F.split("text", " "))
     ws = F.col("__ws")  # materialized once; see x_lm_surprisal_score note
     nseg = F.ceil(F.size(ws) / F.lit(float(seg_words))).cast("int")
-    segs = docs.select(
+    return docs.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -1905,6 +1906,13 @@ def segment_scrub(docs: DataFrame, seg_words: int = 8) -> DataFrame:
             )
         ).alias("seg", "seg_text"),
     ).select("doc_id", F.col("seg").cast("long").alias("seg"), "seg_text")
+
+
+def segment_scrub(docs: DataFrame, seg_words: int = 8) -> DataFrame:
+    """Core of x_segment_dedup_scrub over any (doc_id, text) DataFrame —
+    factored out so property tests can drive it with adversarial
+    synthetic corpora (tests/test_properties.py)."""
+    segs = doc_segments(docs, seg_words)
     # lexicographic struct min, not doc_id*K+seg: an integer encoding
     # caps the per-doc segment count at K and silently mis-attributes
     # the survivor beyond it (round-6 review finding) — struct
@@ -2243,4 +2251,177 @@ def x_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.desc("pmi_bits"), F.desc("cxy"), "wa", "wb")
         .limit(100)
+    )
+
+
+@query(
+    "x_boilerplate_scrub",
+    # C4/CCNet-style boilerplate removal: a span that recurs across MANY
+    # DISTINCT documents (headers, footers, cookie banners, license
+    # blurbs) is boilerplate — remove EVERY occurrence (unlike
+    # x_segment_dedup_scrub, which keeps the first) and rebuild the doc.
+    # Unit of removal: the same 8-word segment as the scrub; threshold:
+    # document frequency >= 3.
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS seg,
+             array_to_string(ws[(t.i*8+1):(t.i*8+8)], ' ') AS seg_text
+      FROM docs, LATERAL unnest(range(0, CAST(ceil(len(ws)/8.0) AS BIGINT))) AS t(i)),
+    dfreq AS (SELECT seg_text, count(DISTINCT doc_id) AS df
+              FROM segs GROUP BY seg_text)
+    SELECT s.doc_id,
+           coalesce(string_agg(CASE WHEN d.df < 3 THEN s.seg_text END,
+                               ' ' ORDER BY s.seg), '') AS clean_text,
+           CAST(count(*) FILTER (WHERE d.df >= 3) AS BIGINT) AS n_boiler,
+           CAST(count(*) AS BIGINT) AS n_segs
+    FROM segs s JOIN dfreq d USING (seg_text)
+    GROUP BY s.doc_id
+    """,
+    doc="boilerplate removal (C4-style): drop every 8-word segment whose document frequency >= 3 (headers/footers/banners), rebuild doc text; reports boilerplate segment counts per doc",
+)
+def x_boilerplate_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """The document-frequency twin of x_segment_dedup_scrub: dedup asks
+    "has this exact span appeared anywhere before?" (keep first);
+    boilerplate asks "does this span appear across enough distinct
+    documents to be template text?" (keep none). Production corpus prep
+    runs BOTH — dedup against copies, this against templates.
+
+    100 TB shape: identical to the scrub — one shuffle on seg_text for
+    the document-frequency table (count-distinct with map-side partial
+    aggregation) and one on doc_id to reassemble; the df table joins
+    back un-hinted so AQE picks broadcast vs co-partitioned by size. At
+    production scale the seg_text join key becomes xxhash64 (same note
+    as the scrub)."""
+    return boilerplate_scrub(load_table(spark, sf, "documents"))
+
+
+def boilerplate_scrub(
+    docs: DataFrame, seg_words: int = 8, min_df: int = 3
+) -> DataFrame:
+    """Core of x_boilerplate_scrub over any (doc_id, text) DataFrame —
+    factored out (like segment_scrub) so property tests can drive it
+    with adversarial synthetic corpora."""
+    segs = doc_segments(docs, seg_words)
+    dfreq = segs.groupBy("seg_text").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    joined = segs.join(dfreq, "seg_text")
+    keep = (F.col("df") < min_df).cast("int")
+    return joined.groupBy("doc_id").agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep == 1, F.struct("seg", "seg_text"))
+                        )
+                    ),
+                    lambda s: s["seg_text"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.sum(1 - keep).cast("long").alias("n_boiler"),
+        F.count("*").cast("long").alias("n_segs"),
+    )
+
+
+# Count-min sketch geometry: 4 independent md5-keyed hash rows x 256
+# buckets. Depth drives the error PROBABILITY (P[est > true + eps*N] <=
+# (1/2)^depth-ish), width drives the error MAGNITUDE (eps = e/width);
+# at corpus scale widen width with the token-stream mass, not the
+# vocabulary.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+@query(
+    "x_countmin_sketch",
+    # Build the sketch AND audit it in one query: cells are exact
+    # integer sums, the estimate for a probe token is min over rows of
+    # its cell — the CMS one-sided guarantee (est >= true) makes the
+    # overcount column provably non-negative, which the pytest contract
+    # pins. Hash rows use the md5-prefix integer (the repo's ONE
+    # deterministic hash coin) so DuckDB replays the exact geometry.
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+    tc AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+           FROM tok WHERE t <> '' GROUP BY t),
+    cells AS (
+        SELECT dd.d,
+               ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || t), 1, 8))::BIGINT
+                 % {_CMS_WIDTH} AS b,
+               CAST(SUM(n) AS BIGINT) AS cell
+        FROM tc, LATERAL unnest(range(0, {_CMS_DEPTH})) AS dd(d)
+        GROUP BY 1, 2),
+    probes AS (SELECT t, n FROM tc ORDER BY n DESC, t LIMIT 10),
+    pb AS (
+        SELECT p.t, p.n, dd.d,
+               ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || p.t), 1, 8))::BIGINT
+                 % {_CMS_WIDTH} AS b
+        FROM probes p, LATERAL unnest(range(0, {_CMS_DEPTH})) AS dd(d))
+    SELECT pb.t AS token, pb.n AS true_n,
+           CAST(min(c.cell) AS BIGINT) AS est_n,
+           CAST(min(c.cell) - pb.n AS BIGINT) AS overcount
+    FROM pb JOIN cells c ON c.d = pb.d AND c.b = pb.b
+    GROUP BY pb.t, pb.n
+    """,
+    doc="count-min sketch: 4x256 md5-row token-count sketch built as exact integer cell sums, audited by probing the 10 heaviest tokens (est = min over rows; overcount >= 0 by construction)",
+)
+def x_countmin_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """The mergeable heavy-hitter sketch for streams the exact groupBy
+    cannot hold: cells are (depth x width) integers regardless of
+    vocabulary size, and two sketches merge by cell-wise addition —
+    i.e. the partial-aggregate property Spark's map-side combine
+    needs, demonstrated here by building the cells AS a groupBy.
+
+    100 TB shape: one shuffle of (d, bucket) keyed partial sums —
+    cardinality depth*width (1024), bounded regardless of corpus; the
+    probe lookup joins a 40-row broadcast against the 1024-row cell
+    table. The estimate bias (overcount) on the fixture's heavy
+    tokens is exactly what the pinned pytest contract brackets."""
+    docs = load_table(spark, sf, "documents")
+    tc = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+    def bucket(d: int, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{d}:"), col)), 1, 8), 16, 10
+            ).cast("bigint")
+            % _CMS_WIDTH
+        )
+
+    rows = F.explode(
+        F.array(*[
+            F.struct(F.lit(d).cast("long").alias("d"), bucket(d, F.col("t")).alias("b"))
+            for d in range(_CMS_DEPTH)
+        ])
+    )
+    cells = (
+        tc.select("n", rows.alias("db"))
+        .groupBy(F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+        .agg(F.sum("n").cast("long").alias("cell"))
+    )
+    probes = tc.orderBy(F.desc("n"), "t").limit(10)
+    pb = probes.select(
+        F.col("t"), F.col("n"), rows.alias("db")
+    ).select("t", "n", F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+    return (
+        pb.join(cells, ["d", "b"])
+        .groupBy(F.col("t").alias("token"), F.col("n").alias("true_n"))
+        .agg(F.min("cell").cast("long").alias("est_n"))
+        .select(
+            "token",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).cast("long").alias("overcount"),
+        )
     )

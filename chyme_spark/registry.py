@@ -68,7 +68,8 @@ _FRONT_50 = [
     # new in round 6 — straight into the window (inserted as added)
     "x_pagerank", "x_scd2_intervals", "x_rolling_median",
     "x_compaction_plan", "x_full_outer_join", "x_bpe_apply",
-    "x_embedding_pq",
+    "x_embedding_pq", "x_triangle_count", "x_boilerplate_scrub",
+    "x_countmin_sketch",
     "x_segment_dedup_scrub", "x_mixture_temperature",
     "x_doc_chunk_windows", "x_zorder_layout", "x_lm_surprisal_score",
     "x_mixture_resample", "x_pmi_collocations", "x_bpe_train",
@@ -87,17 +88,17 @@ _FRONT_50 = [
     "d22_ranking_windows", "d23_lag_lead", "d25_union",
     "d26_intersect_except", "d28_url_parse", "d29_hash_fns",
     "d30_datetime_fns", "d31_math_fns", "d32_conditional_fns",
-    "d33_array_fns", "d34_map_fns", "d35_json_extract",
     # backfill tail: oldest greens rotate out first as new r6 ops claim
     # slots at the head
     # (d01_parquet_scan, d02_projection, d37_sessionization,
     # x_array_agg_sorted, x_bloom_prefilter, x_bm25_score,
     # x_bpe_pretokenize, x_corr_scalar_subquery, x_cosine_topk_np
     # rotated out when the nine r6 ops claimed the head;
-    # d36_pivot, d38_tumbling_window, d39_sliding_window,
-    # d46_binary_files, d47_python_udf, d48_pandas_udf,
-    # d49_apply_in_pandas rotated out for the seven continuation ops
-    # (x_pagerank..x_embedding_pq) — all r2-green, return next round)
+    # d33_array_fns, d34_map_fns, d35_json_extract, d36_pivot,
+    # d38_tumbling_window, d39_sliding_window, d46_binary_files,
+    # d47_python_udf, d48_pandas_udf, d49_apply_in_pandas rotated out
+    # for the ten continuation ops (x_pagerank..x_countmin_sketch) —
+    # all r2-green, return next round)
 ]
 
 _D_NAME = re.compile(r"^d\d\d_")

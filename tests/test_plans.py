@@ -74,6 +74,17 @@ EXPECTED = {
     # two-level scan's tiny middle step — not a fact-sized empty
     # window, so it is pinned here and NOT in NO_SINGLE_PARTITION.
     "x_compaction_plan": (4, 1, 0, False),
+    # triangle: edge-builder agg + sparsifier scalar + two wedge joins
+    # (AQE-broadcast at this SF; its SinglePartition exchange is the
+    # 1-row sparsifier aggregate's final merge — partial-combine then
+    # one row, the recommended global-scalar shape, not a window)
+    "x_triangle_count": (4, 6, 0, False),
+    # boilerplate: seg_text df-count shuffle + doc_id rebuild shuffle
+    # + count-distinct expand; df table joins back un-hinted (AQE)
+    "x_boilerplate_scrub": (3, 1, 0, False),
+    # cms: token-count shuffle + (d,b) cell shuffle + probe top-k
+    # (TakeOrdered) + broadcast probe join
+    "x_countmin_sketch": (3, 1, 0, True),
 }
 
 # queries that must never contain a SinglePartition exchange: their

@@ -131,3 +131,39 @@ def test_chunk_windows_matches_python_model(spark, texts, window, stride):
         n = 1 if len(text) <= window else 1 + math.ceil((len(text) - window) / stride)
         expect = {i: text[i * stride : i * stride + window] for i in range(n)}
         assert got[doc_id] == expect, (doc_id, window, stride)
+
+
+def _py_boilerplate(texts: list[str], k: int, min_df: int) -> dict[int, tuple[str, int, int]]:
+    from collections import Counter
+
+    per_doc_segs = []
+    df: Counter = Counter()
+    for text in texts:
+        ws = text.split(" ")
+        segs = [" ".join(ws[i * k : (i + 1) * k]) for i in range((len(ws) + k - 1) // k)]
+        per_doc_segs.append(segs)
+        for s in set(segs):
+            df[s] += 1
+    out = {}
+    for doc_id, segs in enumerate(per_doc_segs):
+        kept = [s for s in segs if df[s] < min_df]
+        out[doc_id] = (" ".join(kept), len(segs) - len(kept), len(segs))
+    return out
+
+
+@_PROPERTY_SETTINGS
+@given(corpus=_corpus, k=st.sampled_from([1, 3, 8]), min_df=st.sampled_from([2, 3]))
+def test_boilerplate_scrub_matches_python_model(spark, corpus, k, min_df):
+    """boilerplate_scrub == the sequential document-frequency model:
+    a segment's df counts each doc ONCE (intra-doc repeats don't make
+    boilerplate), and removal hits every occurrence in every doc —
+    including the first — unlike segment_scrub's keep-first."""
+    from chyme_spark.ops.llm import boilerplate_scrub
+
+    texts = [" ".join(ws) for ws in corpus]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_boiler"], r["n_segs"])
+        for r in boilerplate_scrub(docs, seg_words=k, min_df=min_df).collect()
+    }
+    assert got == _py_boilerplate(texts, k, min_df)

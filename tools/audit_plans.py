@@ -48,7 +48,8 @@ AUDIT = [
     # round-6 continuation: SCD2/run-collapse, order statistics,
     # compaction planning, full-outer, graph analytics
     "x_scd2_intervals", "x_rolling_median", "x_compaction_plan",
-    "x_full_outer_join",
+    "x_full_outer_join", "x_triangle_count", "x_boilerplate_scrub",
+    "x_countmin_sketch",
     # x_neardup_survivors / x_dedup_clusters / x_bpe_train /
     # x_pagerank excluded:
     # their iterative loops accumulate per-round subtrees, so the
