@@ -2057,3 +2057,350 @@ def x_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     return corners.groupBy(F.col("node").alias("nationkey")).agg(
         F.count("*").cast("long").alias("n_triangles")
     ).select(F.col("nationkey"), "n_triangles")
+
+
+@query(
+    "x_hll_sketch_union",
+    # Mergeable-sketch rollup: build one HLL sketch of distinct users
+    # per (event_type, day), then UNION the daily sketches into a
+    # per-type estimate — the sketch-table pattern every warehouse uses
+    # so "distinct users over any date range" never re-scans the fact
+    # (Apache DataSketches HLL; partial aggregation is what d16's
+    # one-shot approx_count_distinct cannot give you). HLL estimates
+    # are set-determined (register = max over hashes, insertion-order
+    # free), so the accuracy bracket below is a stable hash-checkable
+    # bool, not a flaky tolerance: lgK=14 keeps relative standard error
+    # ~0.8%, asserted here at 5% with pure integer compare (|est-n|*20
+    # <= n). The oracle computes the exact side; a sketch regression
+    # flips the bool and fails the hash.
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    doc="mergeable HLL sketch rollup: per-day user sketches unioned to per-event-type distinct estimates, 5-percent accuracy bracket hash-pinned vs exact",
+)
+def x_hll_sketch_union(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB point is the MERGE: daily partial sketches are
+    aggregate-sized (one 16 KB sketch per (type, day)), computed once
+    per partition-day with map-side partials, and any rollup window is
+    then a union over sketches — no second scan of the fact, no exact
+    count-distinct shuffle of user ids. The exact branch here exists
+    only to pin the accuracy contract at test scale; production reads
+    the sketch table alone."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return rolled.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_exact",
+        (F.abs(F.col("est") - F.col("n_exact")) * 20 <= F.col("n_exact")).alias(
+            "est_within_5pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-6 continuation II: skyline / markov / sketch-intersect / anomaly
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_skyline",
+    # Pareto frontier (skyline) over part: minimize p_retailprice,
+    # maximize p_size. A part survives iff nothing is at-most-as-
+    # expensive AND at-least-as-large with one strict. The oracle is
+    # the textbook NOT EXISTS self-theta-join — O(n^2) and fine only at
+    # test scale; the Spark side is the O(n log n) sorted-sweep
+    # identity: survivor <=> its price-group's max size strictly
+    # exceeds the running max size over all strictly-cheaper prices.
+    oracle="""
+    SELECT p.p_partkey, p.p_name, p.p_retailprice,
+           CAST(p.p_size AS BIGINT) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+    doc="Pareto skyline (min price, max size) via two-level prefix max over price buckets — no quadratic pair join, no single-partition window",
+)
+def x_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D skyline without the O(n^2) dominance join AND without a
+    global single-partition sort window.
+
+    Sweep identity (strict dominance): with pmax(p) = max size at
+    price p and M(<p) = max size over all strictly cheaper prices, a
+    part survives iff  size == pmax(p)  and  pmax(p) > M(<p).
+    Same-price ties all survive together (no strict dominator among
+    equals), which matches the NOT EXISTS oracle exactly.
+
+    Scale shape: the sweep runs on the DISTINCT-PRICE table (domain-
+    sized, not fact-sized), and even that never sees a SinglePartition
+    exchange — M(<p) is assembled with the same two-level prefix trick
+    as x_stratified_split / x_compaction_plan: running max within a
+    price range-bucket (floor(price/100), ordering-aligned prefix of
+    the sort key) plus an exclusive running max over the bucket maxima
+    (bucket-count-sized). The final survivor test is a broadcast-sized
+    join back to the fact: one fact shuffle (price groupBy) total."""
+    part = load_table(spark, sf, "part")
+    byprice = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("pmax")
+    ).withColumn("bkt", F.floor(F.col("p_retailprice") / 100).cast("long"))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = byprice.withColumn("run_in", F.max("pmax").over(w_in))
+    bmax = byprice.groupBy("bkt").agg(F.max("pmax").alias("bmax"))
+    # exclusive running max over bucket maxima WITHOUT a global-ordered
+    # window (no SinglePartition exchange anywhere, even aggregate-
+    # sized): the bucket table is bounded by the price domain / 100
+    # (~hundreds of rows at any SF — the domain, unlike the row count,
+    # does not grow 100x), so the strictly-less theta self-join is a
+    # trivially small broadcast-nested-loop
+    b2 = bmax.select(F.col("bkt").alias("bkt2"), F.col("bmax").alias("bmax2"))
+    boff = (
+        bmax.join(F.broadcast(b2), F.col("bkt2") < F.col("bkt"), "left")
+        .groupBy("bkt")
+        .agg(F.max("bmax2").alias("run_b"))
+    )
+    sky_prices = (
+        within.join(F.broadcast(boff), "bkt")
+        .withColumn("run", F.greatest(F.coalesce("run_in", F.lit(-1)),
+                                      F.coalesce("run_b", F.lit(-1))))
+        .filter(F.col("pmax") > F.col("run"))
+        .select("p_retailprice", "pmax")
+    )
+    return (
+        part.join(F.broadcast(sky_prices), "p_retailprice")
+        .filter(F.col("p_size") == F.col("pmax"))
+        .select(
+            "p_partkey", "p_name", "p_retailprice",
+            F.col("p_size").cast("long").alias("p_size"),
+        )
+    )
+
+
+@query(
+    "x_markov_transitions",
+    # First-order Markov transition matrix over per-user event
+    # sequences: P(next=to | cur=from) as exact integer ppm. The lag
+    # window shuffles on user_id (scale-safe, millions of small
+    # partitions); the probability normalizer is a window over the
+    # 25-row (type x type) aggregate, hash-partitioned on from_type —
+    # never SinglePartition, never fact-sized.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev
+      FROM events),
+    pairs AS (
+      SELECT prev AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type)
+    SELECT from_type, to_type, n,
+           CAST((n * 1000000) // (sum(n) OVER (PARTITION BY from_type))
+                AS BIGINT) AS p_ppm
+    FROM pairs
+    """,
+    doc="per-user event-sequence Markov transition counts + exact integer-ppm row-normalized probabilities",
+)
+def x_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """One fact shuffle (user_id window) + one (from,to) groupBy; the
+    row-normalization runs on the type-domain aggregate (|types|^2
+    rows). Probability is pinned cross-engine as (n * 1e6) div total —
+    integer floor division of non-negative ints, the TWAP trick."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("from_type"),
+                 F.col("event_type").alias("to_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return pairs.select(
+        "from_type", "to_type", "n",
+        F.expr("(n * 1000000L) div sum(n) over (partition by from_type)")
+        .cast("long")
+        .alias("p_ppm"),
+    )
+
+
+@query(
+    "x_hll_intersect",
+    # Sketch-based audience overlap: |users(A) AND users(purchase)|
+    # estimated by inclusion-exclusion over mergeable HLL sketches —
+    # est(A) + est(B) - est(union sketch). The standard warehouse
+    # answer to "overlap of any two segments" without re-scanning the
+    # fact per pair: per-segment sketches are built ONCE, every pairwise
+    # overlap is then sketch algebra. I-E error scales with the UNION
+    # size (not the intersection), so the pinned bracket is
+    # |est - exact| <= 5% of |A UNION B| — at lgK=14 (RSE 0.8%) the
+    # three-sketch error sum stays well inside it; set-determined
+    # registers make the bool deterministic, a sketch regression flips
+    # it and fails the hash.
+    oracle="""
+    WITH ab AS (
+      SELECT a.event_type,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_overlap
+      FROM (SELECT DISTINCT event_type, user_id FROM events) a
+      JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') b
+        ON a.user_id = b.user_id
+      WHERE a.event_type <> 'purchase'
+      GROUP BY a.event_type),
+    un AS (
+      SELECT a.event_type,
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_union
+      FROM (SELECT DISTINCT event_type FROM events
+            WHERE event_type <> 'purchase') a
+      JOIN events e
+        ON e.event_type = a.event_type OR e.event_type = 'purchase'
+      GROUP BY a.event_type)
+    SELECT ab.event_type, ab.n_overlap, un.n_union,
+           TRUE AS est_within_5pct_of_union
+    FROM ab JOIN un USING (event_type)
+    """,
+    doc="HLL inclusion-exclusion segment-overlap estimate vs exact intersection, union-relative 5-percent bracket hash-pinned",
+)
+def x_hll_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """The fact is scanned once to build per-type sketches (5 x 16 KB)
+    and once for the exact check branch (test-scale only; production
+    keeps the sketch table alone). Every pairwise overlap after that is
+    driver-trivial sketch algebra — the point of mergeable sketches.
+    The union sketch of (A, purchase) is hll_union of the two
+    per-type sketches, NOT a re-aggregation of the fact."""
+    ev = load_table(spark, sf, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    psk = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("psk")
+    )
+    est = (
+        sk.filter(F.col("event_type") != "purchase")
+        .crossJoin(F.broadcast(psk))
+        .select(
+            "event_type",
+            (
+                F.hll_sketch_estimate("sk")
+                + F.hll_sketch_estimate("psk")
+                - F.hll_sketch_estimate(F.hll_union("sk", "psk"))
+            ).alias("est_overlap"),
+        )
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    pu = du.filter(F.col("event_type") == "purchase").select("user_id")
+    ab = (
+        du.filter(F.col("event_type") != "purchase")
+        .join(pu, "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    un = (
+        du.filter(F.col("event_type") != "purchase")
+        .select("event_type")
+        .distinct()
+        .join(
+            du.select(F.col("event_type").alias("et2"), "user_id"),
+            F.expr("et2 = event_type or et2 = 'purchase'"),
+        )
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_union"))
+    )
+    return (
+        ab.join(un, "event_type")
+        .join(est, "event_type")
+        .select(
+            "event_type", "n_overlap", "n_union",
+            (F.abs(F.col("est_overlap") - F.col("n_overlap")) * 20
+             <= F.col("n_union")).alias("est_within_5pct_of_union"),
+        )
+    )
+
+
+@query(
+    "x_anomaly_zscore",
+    # Population 2-sigma outlier detection per event_type with EXACT
+    # cross-engine arithmetic: |x - mean| > 2*stddev rewritten as the
+    # integer inequality (n*x - S)^2 > 4*(n*SS - S^2) over cent-
+    # quantized values (multiply both sides by n^2; S = sum, SS = sum
+    # of squares). No float mean/variance ever computed, so no half-ulp
+    # hash hazard — the products run in DECIMAL(38,0) on the Spark side
+    # and HUGEINT in DuckDB, both exact at any plausible SF (bound ~
+    # n^2 * max_cents^2 ~ 1e30 at sf100). The cent quantization itself
+    # (floor(value*100)) is the same IEEE double multiply+floor in both
+    # engines — bit-identical on identical parquet doubles.
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    st AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS s,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+      FROM c GROUP BY event_type)
+    SELECT c.event_type,
+           CAST(st.n AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (
+             WHERE (st.n * c.cents - st.s) * (st.n * c.cents - st.s)
+                   > 4 * (st.n * st.ss - st.s * st.s)) AS BIGINT)
+               AS n_outliers,
+           CAST((count(*) FILTER (
+             WHERE (st.n * c.cents - st.s) * (st.n * c.cents - st.s)
+                   > 4 * (st.n * st.ss - st.s * st.s)) * 1000000)
+               // count(*) AS BIGINT) AS share_ppm
+    FROM c JOIN st USING (event_type)
+    GROUP BY c.event_type, st.n
+    """,
+    doc="2-sigma outlier counts per event_type via the exact integer inequality (n*x-S)^2 > 4(n*SS-S^2) on cent-quantized values",
+)
+def x_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Two fact passes, both embarrassing: one groupBy builds the
+    5-row (n, S, SS) stats table (map-side partials), the flag pass
+    probes it by broadcast — no window, no sort, no per-row Python.
+    At 100 TB the stats table stays |event_type| rows regardless of
+    SF; the decimal products are exact (see oracle comment for the
+    overflow bound)."""
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    st = ev.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    flagged = ev.join(F.broadcast(st), "event_type").withColumn(
+        "is_out",
+        (
+            (F.col("n") * F.col("cents") - F.col("s"))
+            * (F.col("n") * F.col("cents") - F.col("s"))
+            > F.lit(4) * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        ).cast("long"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("is_out").cast("long").alias("n_outliers"),
+        F.expr("(sum(is_out) * 1000000L) div count(*)")
+        .cast("long")
+        .alias("share_ppm"),
+    )

@@ -85,6 +85,40 @@ EXPECTED = {
     # cms: token-count shuffle + (d,b) cell shuffle + probe top-k
     # (TakeOrdered) + broadcast probe join
     "x_countmin_sketch": (3, 1, 0, True),
+    # stratified split: two fact shuffles (salted rank window + the
+    # (source,bkt) counts) + the aggregate-sized offsets window/total
+    # aggs; 2 broadcasts are the offset/total tables (bounded by
+    # sources x 256, never fact-scale)
+    "x_stratified_split": (5, 2, 0, False),
+    # DSIR: ONE bucket-count shuffle + one doc-score shuffle; the
+    # 4096-row weight table is the only broadcast; top-100 must stay
+    # TakeOrderedAndProject
+    "x_dsir_resample": (2, 1, 0, True),
+    # HLL rollup: daily-sketch agg + union agg + the exact branch's
+    # count-distinct pair; the 5-row estimate/exact join AQE-broadcasts
+    "x_hll_sketch_union": (4, 1, 0, False),
+    # skyline: ONE fact shuffle (price groupBy) + the domain-sized
+    # bucket aggs; 3 broadcasts are all domain-sized (bucket maxima,
+    # offsets, skyline prices) — and NO SinglePartition anywhere (the
+    # bucket prefix-max is a theta self-join, not a global window)
+    "x_skyline": (4, 3, 0, False),
+    # markov: user-window shuffle + (from,to) groupBy + the from_type-
+    # partitioned normalizer window over the 25-row aggregate
+    "x_markov_transitions": (3, 0, 0, False),
+    # anomaly: stats groupBy + flag groupBy; the 5-row stats table is
+    # the only broadcast
+    "x_anomaly_zscore": (2, 1, 0, False),
+    # linkage: equi-join on the blocking key; at sf0.001 the planner
+    # size-estimates customer under the broadcast threshold (no hint —
+    # AQE keeps the right to shuffle it at scale)
+    "x_record_linkage": (0, 1, 0, False),
+    # sketch-intersect: sketch agg + the exact-check branch's
+    # distinct/semi/theta joins (test-scale only; production is the
+    # sketch branch alone). AQE's runtime broadcast promotion of the
+    # semi join lands differently depending on stage-stat timing
+    # (7 or 9 exchanges, both with the same 5 broadcasts) — both are
+    # accepted; the load-bearing pins are bcast/smj/topk
+    "x_hll_intersect": [(7, 5, 0, False), (9, 5, 0, False)],
 }
 
 # queries that must never contain a SinglePartition exchange: their
@@ -92,6 +126,7 @@ EXPECTED = {
 NO_SINGLE_PARTITION = (
     "x_tpch_q11_important_stock",
     "x_tpch_q15_top_supplier",
+    "x_skyline",
 )
 
 
@@ -110,7 +145,9 @@ def audits(spark, sf_dir):
 def test_plan_shape_pinned(audits, name):
     r = audits[name]
     got = (r["exchanges"], r["broadcasts"], r["smj"], r["top_k"])
-    assert got == EXPECTED[name], (
+    want = EXPECTED[name]
+    accepted = want if isinstance(want, list) else [want]
+    assert got in accepted, (
         f"{name}: plan shape (xchg, bcast, smj, topk) changed "
         f"{EXPECTED[name]} -> {got}. If intentional, update "
         f"tests/test_plans.py EXPECTED in the same commit.\n{r['plan']}"

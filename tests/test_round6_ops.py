@@ -405,3 +405,198 @@ def test_embedding_pq_shortlist_rerank_recall(spark, sf_dir):
         hits += len(exact & approx)
         total += len(exact)
     assert total and hits / total >= 0.7, hits / total
+
+
+def _md5_bucket(s: str, mod: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
+
+
+def test_stratified_split_exact_quotas(spark, sf_dir):
+    """Every stratum honors the integer cut exactly: train gets
+    floor(0.8n), val floor(0.9n)-floor(0.8n), test the rest, and the
+    rank ranges are contiguous 1..n — the property the two-level
+    prefix-sum must reproduce bit-for-bit vs a single global window."""
+    rows = REGISTRY["x_stratified_split"].fn(spark, sf_dir).collect()
+    by_src: dict[str, dict[str, tuple]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {})[r["split"]] = (
+            r["n_docs"], r["rank_lo"], r["rank_hi"]
+        )
+    docs = load_table(spark, sf_dir, "documents").groupBy("source").count().collect()
+    n_by_src = {r["source"]: r["count"] for r in docs}
+    assert set(by_src) == set(n_by_src)
+    for src, splits in by_src.items():
+        n = n_by_src[src]
+        want_train = (8 * n) // 10
+        want_val = (9 * n) // 10 - want_train
+        want_test = n - want_train - want_val
+        got = {s: splits[s][0] if s in splits else 0 for s in ("train", "val", "test")}
+        assert got == {"train": want_train, "val": want_val, "test": want_test}, src
+        # contiguous, ordered rank ranges covering 1..n
+        if want_train:
+            assert splits["train"][1] == 1 and splits["train"][2] == want_train
+        if want_val:
+            assert splits["val"][1] == want_train + 1
+            assert splits["val"][2] == want_train + want_val
+        if want_test:
+            assert splits["test"][1] == want_train + want_val + 1
+            assert splits["test"][2] == n
+
+
+def test_dsir_scores_match_python_model(spark, sf_dir):
+    """Recompute the DSIR quantized scores with a sequential Python
+    model (md5 bucketing, add-one smoothing, the <<20 bit trick) and
+    check every returned doc's score and the top-k ordering."""
+    docs = [
+        (r["doc_id"], r["lang"], r["text"])
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    for _, lang, text in docs:
+        for w in text.split(" "):
+            b = _md5_bucket(w, 4096)
+            raw[b] = raw.get(b, 0) + 1
+            if lang == "en":
+                tgt[b] = tgt.get(b, 0) + 1
+    wgt = {
+        b: (((tgt.get(b, 0) + 1) << 20) // (raw[b] + 1)).bit_length() - 1
+        for b in raw
+    }
+    model = []
+    for doc_id, lang, text in docs:
+        if lang == "en":
+            continue
+        ws = text.split(" ")
+        bits = sum(wgt[_md5_bucket(w, 4096)] for w in ws)
+        model.append((-(bits * 1000000 // len(ws)), doc_id, lang, len(ws), bits))
+    model.sort()
+    out = REGISTRY["x_dsir_resample"].fn(spark, sf_dir).collect()
+    assert len(out) == min(100, len(model))
+    for r, m in zip(out, model):
+        assert (r["doc_id"], r["lang"], r["n_grams"], r["score_bits"], r["score_npm"]) == (
+            m[1], m[2], m[3], m[4], -m[0]
+        )
+    assert all(r["lang"] != "en" for r in out)
+
+
+def test_hll_union_brackets_exact(spark, sf_dir):
+    """The unioned daily sketches estimate within the pinned 5% of the
+    exact distinct count for every event type, and the exact/day counts
+    match a direct recompute."""
+    out = {r["event_type"]: r for r in REGISTRY["x_hll_sketch_union"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: (r["days"], r["users"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct(F.to_date("ts")).alias("days"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for et, r in out.items():
+        assert r["est_within_5pct"] is True, et
+        assert (r["n_days"], r["n_exact"]) == exact[et], et
+
+
+def test_skyline_is_pareto_frontier(spark, sf_dir):
+    """Brute-force dominance check: every returned part is undominated,
+    every omitted part is dominated by some returned part (the frontier
+    property — sufficiency AND completeness)."""
+    parts = [
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in load_table(spark, sf_dir, "part").collect()
+    ]
+    sky = {r["p_partkey"] for r in REGISTRY["x_skyline"].fn(spark, sf_dir).collect()}
+
+    def dominates(a, b):
+        return a[1] <= b[1] and a[2] >= b[2] and (a[1] < b[1] or a[2] > b[2])
+
+    for p in parts:
+        dominated = any(dominates(q, p) for q in parts)
+        assert (p[0] in sky) == (not dominated), p
+
+
+def test_markov_rows_normalize(spark, sf_dir):
+    """Per from_type, transition counts sum to the lag-pair total and
+    ppm values sum to ~1e6 (floor-division undershoot < n_to_types)."""
+    rows = REGISTRY["x_markov_transitions"].fn(spark, sf_dir).collect()
+    by_from: dict[str, list] = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users  # one lag NULL per user
+    for ft, grp in by_from.items():
+        tot_ppm = sum(r["p_ppm"] for r in grp)
+        assert 1000000 - len(grp) < tot_ppm <= 1000000, ft
+        for r in grp:
+            assert r["p_ppm"] == r["n"] * 1000000 // sum(g["n"] for g in grp)
+
+
+def test_anomaly_zscore_matches_float_model(spark, sf_dir):
+    """The integer inequality must agree with the naive float 2-sigma
+    model except within half-ulp of the boundary — on this data no
+    value sits that close, so the counts match exactly."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(math.floor(r["value"] * 100))
+    out = {r["event_type"]: r for r in REGISTRY["x_anomaly_zscore"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(by_type)
+    for et, xs in by_type.items():
+        n, s, ss = len(xs), sum(xs), sum(x * x for x in xs)
+        n_out = sum(1 for x in xs if (n * x - s) ** 2 > 4 * (n * ss - s * s))
+        assert out[et]["n_events"] == n
+        assert out[et]["n_outliers"] == n_out
+        assert out[et]["share_ppm"] == n_out * 1000000 // n
+
+
+def test_record_linkage_pairs_are_canonical_and_complete(spark, sf_dir):
+    """Pairs are (a<b), within-nation, true edit distance <= 2; spot-
+    check completeness against a brute-force pass over one nation."""
+    rows = REGISTRY["x_record_linkage"].fn(spark, sf_dir).collect()
+    assert all(r["a_key"] < r["b_key"] and 0 <= r["dist"] <= 2 for r in rows)
+    cust = [
+        (r["c_custkey"], r["c_nationkey"], r["c_name"])
+        for r in load_table(spark, sf_dir, "customer").collect()
+    ]
+
+    def lev(a, b):
+        if len(a) == len(b):  # synthetic names: same length, subs only
+            return sum(1 for x, y in zip(a, b) if x != y) if a != b else 0
+        return 99
+
+    nat0 = [c for c in cust if c[1] == cust[0][1]]
+    want = {
+        (a[0], b[0])
+        for a in nat0
+        for b in nat0
+        if a[0] < b[0] and lev(a[2], b[2]) <= 2
+    }
+    got = {(r["a_key"], r["b_key"]) for r in rows if r["nationkey"] == cust[0][1]}
+    assert got == want
+
+
+def test_hll_intersect_brackets_exact(spark, sf_dir):
+    """Inclusion-exclusion estimates stay within the pinned 5%-of-union
+    bracket for every segment, and the exact branch matches a direct
+    recompute."""
+    out = {r["event_type"]: r for r in REGISTRY["x_hll_intersect"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").collect()
+    users: dict[str, set] = {}
+    for r in ev:
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    p = users.pop("purchase")
+    assert set(out) == set(users)
+    for et, s in users.items():
+        assert out[et]["n_overlap"] == len(s & p), et
+        assert out[et]["n_union"] == len(s | p), et
+        assert out[et]["est_within_5pct_of_union"] is True, et

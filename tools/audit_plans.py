@@ -49,7 +49,9 @@ AUDIT = [
     # compaction planning, full-outer, graph analytics
     "x_scd2_intervals", "x_rolling_median", "x_compaction_plan",
     "x_full_outer_join", "x_triangle_count", "x_boilerplate_scrub",
-    "x_countmin_sketch",
+    "x_countmin_sketch", "x_stratified_split", "x_dsir_resample",
+    "x_hll_sketch_union", "x_skyline", "x_markov_transitions",
+    "x_anomaly_zscore", "x_record_linkage", "x_hll_intersect",
     # x_neardup_survivors / x_dedup_clusters / x_bpe_train /
     # x_pagerank excluded:
     # their iterative loops accumulate per-round subtrees, so the
