@@ -81,6 +81,11 @@ HEADLINE = [
     "x_rolling_median",
     "x_compaction_plan",
     "x_full_outer_join",
+    # round-6 continuation II: the explode-heavy DSIR token pipeline
+    # (fixed-size weight broadcast) and the salted two-level prefix-sum
+    # exact stratified split — the two heaviest new corpus shapes
+    "x_dsir_resample",
+    "x_stratified_split",
 ]
 
 

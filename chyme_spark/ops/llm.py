@@ -2665,3 +2665,52 @@ def x_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
             F.col("dist").cast("long").alias("dist"),
         )
     )
+
+
+@query(
+    "x_inverted_index",
+    # Positional inverted index — the core retrieval structure (and the
+    # precursor of x_tfidf / x_bm25_score, which consume term stats
+    # without materializing postings): term -> (doc_id, tf, sorted
+    # position list). Positions are 1-based token ordinals so phrase
+    # queries can check adjacency. Output stays scalar/array-typed
+    # (no structs) because the cross-engine hash canonicalizes lists
+    # identically but renders Spark Rows and DuckDB structs differently.
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents)
+    SELECT w AS term, doc_id,
+           CAST(count(*) AS BIGINT) AS tf,
+           array_to_string(list_sort(list(CAST(pos AS BIGINT))), '|')
+               AS positions
+    FROM tk GROUP BY w, doc_id
+    """,
+    doc="positional inverted index: term -> (doc, tf, sorted 1-based position list) via posexplode + sorted collect",
+)
+def x_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """One shuffle on (term, doc_id) builds every posting in parallel —
+    postings for a term are SHARDED across reducers by doc, which is
+    how a 100 TB index build avoids the single-reducer-per-hot-term
+    wall (the downstream consumer merges doc-sharded postings, or
+    re-shuffles by term range for the final segment write; a stopword
+    like 'the' never has to fit one task here). collect_list within a
+    (term, doc) group is bounded by document length, not corpus size.
+    posexplode gives 0-based ordinals; +1 matches the oracle's
+    generate_subscripts."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    )
+    return (
+        toks.groupBy(F.col("w").alias("term"), F.col("doc_id"))
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.array_join(
+                F.sort_array(F.collect_list((F.col("pos0") + 1).cast("long"))),
+                "|",
+            ).alias("positions"),
+        )
+    )

@@ -68,7 +68,7 @@ _FRONT_50 = [
     # new in round 6 — straight into the window (inserted as added)
     "x_stratified_split", "x_dsir_resample", "x_hll_sketch_union",
     "x_skyline", "x_markov_transitions", "x_anomaly_zscore",
-    "x_record_linkage", "x_hll_intersect",
+    "x_record_linkage", "x_hll_intersect", "x_inverted_index",
     "x_pagerank", "x_scd2_intervals", "x_rolling_median",
     "x_compaction_plan", "x_full_outer_join", "x_bpe_apply",
     "x_embedding_pq", "x_triangle_count", "x_boilerplate_scrub",
@@ -87,13 +87,12 @@ _FRONT_50 = [
     "x_fingerprint", "x_funnel", "x_histogram", "x_langid",
     "x_multimodal_features", "x_ngram_jaccard", "x_quality_score",
     "x_string_agg", "x_tfidf", "x_try_fns", "x_window_distribution",
-    # backfill: hash-proven greens last checked in ROUND 2
-    "d22_ranking_windows",
     # backfill tail: oldest greens rotate out first as new r6 ops claim
     # slots at the head
-    # (d23_lag_lead, d25_union, d26_intersect_except, d28_url_parse,
+    # (d22_ranking_windows, d23_lag_lead, d25_union,
+    # d26_intersect_except, d28_url_parse,
     # d29_hash_fns rotated out for the continuation-II batch
-    # (x_skyline..x_hll_intersect); d30_datetime_fns, d31_math_fns,
+    # (x_skyline..x_inverted_index); d30_datetime_fns, d31_math_fns,
     # d32_conditional_fns rotated out
     # when x_stratified_split/x_dsir_resample/x_hll_sketch_union
     # claimed the head — all r2-green, return next round;

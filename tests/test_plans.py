@@ -119,6 +119,8 @@ EXPECTED = {
     # (7 or 9 exchanges, both with the same 5 broadcasts) — both are
     # accepted; the load-bearing pins are bcast/smj/topk
     "x_hll_intersect": [(7, 5, 0, False), (9, 5, 0, False)],
+    # inverted index: exactly ONE (term, doc) shuffle — the whole build
+    "x_inverted_index": (1, 0, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their

@@ -600,3 +600,24 @@ def test_hll_intersect_brackets_exact(spark, sf_dir):
         assert out[et]["n_overlap"] == len(s & p), et
         assert out[et]["n_union"] == len(s | p), et
         assert out[et]["est_within_5pct_of_union"] is True, et
+
+
+def test_inverted_index_reconstructs_documents(spark, sf_dir):
+    """The index is lossless: placing every term at its 1-based
+    positions rebuilds each document's token sequence exactly, and tf
+    equals the posting length."""
+    rows = REGISTRY["x_inverted_index"].fn(spark, sf_dir).collect()
+    rebuilt: dict[int, dict[int, str]] = {}
+    for r in rows:
+        poss = [int(p) for p in r["positions"].split("|")]
+        assert r["tf"] == len(poss)
+        assert poss == sorted(poss)
+        for p in poss:
+            assert p not in rebuilt.setdefault(r["doc_id"], {}), "position collision"
+            rebuilt[r["doc_id"]][p] = r["term"]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert set(rebuilt) == {d["doc_id"] for d in docs}
+    for d in docs:
+        toks = d["text"].split(" ")
+        got = rebuilt[d["doc_id"]]
+        assert [got[i + 1] for i in range(len(toks))] == toks, d["doc_id"]
