@@ -2404,3 +2404,123 @@ def x_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("share_ppm"),
     )
+
+
+@query(
+    "x_event_pattern_match",
+    # Complex-event-processing (CEP) pattern matching — the
+    # MATCH_RECOGNIZE / FlinkCEP class of operator: detect
+    # "a view, then a purchase, with only clicks/errors in between"
+    # per user by compiling each user's time-ordered event-type
+    # sequence to an initial-letter string and counting
+    # non-overlapping regex matches of `v[ce]*p`. Leftmost
+    # non-overlapping match semantics are identical in Java regex and
+    # DuckDB's RE2 for this backreference-free pattern. The sequence
+    # string is bounded by per-user activity (thousands of chars),
+    # never corpus size.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                 AS s
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS seq_len,
+           CAST(length(regexp_extract_all(s, 'v[ce]*p')) AS BIGINT)
+               AS n_matches
+    FROM seq
+    WHERE length(regexp_extract_all(s, 'v[ce]*p')) > 0
+    """,
+    doc="CEP pattern matching: per-user ordered event sequence compiled to a string, non-overlapping regex match count of view->purchase funnels",
+)
+def x_event_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
+    """One shuffle on user_id; the ordered sequence is built WITHOUT a
+    sort exchange — sort_array over structs whose leading fields are
+    the sort key (ts, event_id) gives the exact ORDER BY inside a
+    hash-aggregate, the same trick x_funnel uses. Regex runs JVM-side
+    (whole-stage codegen), one evaluation per user row. At 100 TB the
+    per-user string is the only memory term; a pathological single
+    user is AQE skew territory, not an algorithm wall."""
+    ev = load_table(spark, sf, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                "ts", "event_id",
+                                F.substring("event_type", 1, 1).alias("c"),
+                            )
+                        )
+                    ),
+                    lambda x: x["c"],
+                ),
+            ).alias("s")
+        )
+    )
+    return (
+        seq.select(
+            "user_id",
+            F.length("s").cast("long").alias("seq_len"),
+            F.regexp_count("s", F.lit("v[ce]*p")).cast("long").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+@query(
+    "x_last_click_attribution",
+    # Marketing attribution: each purchase is credited to the user's
+    # most recent PRIOR click (last-touch model), with the click->
+    # purchase latency in exact microseconds and a 7-day attribution-
+    # window flag. The running "last click so far" is a conditional max
+    # over an exclusive frame — the mirror image of x_funnel's
+    # conditional minima over the following frame. epoch_us / unix_micros
+    # is the repo's pinned cross-engine time arithmetic (d37 pattern).
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts, event_type,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_click
+      FROM events)
+    SELECT user_id, event_id AS purchase_id,
+           CAST(epoch_us(ts) - epoch_us(last_click) AS BIGINT) AS lag_us,
+           COALESCE(epoch_us(ts) - epoch_us(last_click)
+                    <= CAST(604800000000 AS BIGINT), FALSE) AS attributed_7d
+    FROM w WHERE event_type = 'purchase'
+    """,
+    doc="last-touch attribution: purchase credited to most recent prior click per user, exact microsecond latency + 7-day window flag",
+)
+def x_last_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """One shuffle on user_id carries the whole model; the conditional
+    running max stays inside a single window spec (no self-join of
+    purchases back to clicks, which would be a second fact shuffle and
+    a skew hazard on heavy users)."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    lag_us = F.unix_micros(F.col("ts")) - F.unix_micros(last_click)
+    return (
+        ev.withColumn("lag_us", lag_us.cast("long"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "lag_us",
+            F.coalesce(
+                F.col("lag_us") <= F.lit(7 * 86400 * 1000000).cast("long"),
+                F.lit(False),
+            ).alias("attributed_7d"),
+        )
+    )

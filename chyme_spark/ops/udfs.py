@@ -153,3 +153,46 @@ def x_python_udtf(spark: SparkSession, sf: str) -> DataFrame:
     return docs.lateralJoin(
         Tokenize(F.col("text").outer())
     ).select("doc_id", "pos", "token", "token_len")
+
+
+@F.pandas_udf(T.LongType())
+def _lower_median(v: pd.Series) -> int:
+    # exact discrete lower median: sorted[(n-1)//2] — matches DuckDB
+    # quantile_disc(x, 0.5) (probed: n=2 -> first, n=4 -> second,
+    # n=5 -> third). Integer in, integer out: no interpolation, no
+    # float hash hazard.
+    s = v.sort_values().to_numpy()
+    return int(s[(len(s) - 1) // 2])
+
+
+@query(
+    "x_pandas_grouped_agg",
+    # The third Pandas-UDF shape (after D-48 SCALAR and D-49
+    # GROUPED_MAP): a GROUPED_AGG pandas_udf — a custom aggregate the
+    # built-in functions cannot express (exact discrete order statistic
+    # chosen here), evaluated per group over Arrow batches. Spark feeds
+    # the WHOLE group to the UDF (no partial aggregation), so group
+    # cardinality must be bounded — |event_type| groups of fact-share
+    # size each; for high-cardinality keys prefer approx_percentile or
+    # the x_rolling_median two-pass exact pattern.
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(quantile_disc(CAST(floor(value * 100) AS BIGINT), 0.5)
+                AS BIGINT) AS median_cents
+    FROM events GROUP BY event_type
+    """,
+    doc="GROUPED_AGG pandas_udf: exact discrete lower-median per group over Arrow batches — the custom-aggregate Python surface",
+)
+def x_pandas_grouped_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from chyme_spark.session import load_table
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    # Spark forbids mixing GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count comes
+    # from a separate JVM aggregate joined back on the 5-row key
+    med = ev.groupBy("event_type").agg(_lower_median("cents").alias("median_cents"))
+    cnt = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    return cnt.join(med, "event_type").select("event_type", "n", "median_cents")

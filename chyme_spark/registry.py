@@ -69,6 +69,8 @@ _FRONT_50 = [
     "x_stratified_split", "x_dsir_resample", "x_hll_sketch_union",
     "x_skyline", "x_markov_transitions", "x_anomaly_zscore",
     "x_record_linkage", "x_hll_intersect", "x_inverted_index",
+    "x_event_pattern_match", "x_last_click_attribution",
+    "x_pandas_grouped_agg",
     "x_pagerank", "x_scd2_intervals", "x_rolling_median",
     "x_compaction_plan", "x_full_outer_join", "x_bpe_apply",
     "x_embedding_pq", "x_triangle_count", "x_boilerplate_scrub",
@@ -86,10 +88,13 @@ _FRONT_50 = [
     "x_deterministic_split", "x_doc_token_stats", "x_embedding_neardup",
     "x_fingerprint", "x_funnel", "x_histogram", "x_langid",
     "x_multimodal_features", "x_ngram_jaccard", "x_quality_score",
-    "x_string_agg", "x_tfidf", "x_try_fns", "x_window_distribution",
+    "x_string_agg",
     # backfill tail: oldest greens rotate out first as new r6 ops claim
     # slots at the head
-    # (d22_ranking_windows, d23_lag_lead, d25_union,
+    # (x_tfidf rotated out for x_pandas_grouped_agg;
+    # x_try_fns, x_window_distribution rotated out for the CEP /
+    # attribution pair — r1-green, return next round;
+    # d22_ranking_windows, d23_lag_lead, d25_union,
     # d26_intersect_except, d28_url_parse,
     # d29_hash_fns rotated out for the continuation-II batch
     # (x_skyline..x_inverted_index); d30_datetime_fns, d31_math_fns,

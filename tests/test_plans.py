@@ -121,6 +121,12 @@ EXPECTED = {
     "x_hll_intersect": [(7, 5, 0, False), (9, 5, 0, False)],
     # inverted index: exactly ONE (term, doc) shuffle — the whole build
     "x_inverted_index": (1, 0, 0, False),
+    # CEP + attribution: one user-key shuffle each, no joins
+    "x_event_pattern_match": (1, 0, 0, False),
+    "x_last_click_attribution": (1, 0, 0, False),
+    # grouped-agg pandas UDF: median agg + count agg, 5-row join
+    # AQE-broadcasts
+    "x_pandas_grouped_agg": (2, 1, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their

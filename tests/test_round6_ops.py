@@ -621,3 +621,76 @@ def test_inverted_index_reconstructs_documents(spark, sf_dir):
         toks = d["text"].split(" ")
         got = rebuilt[d["doc_id"]]
         assert [got[i + 1] for i in range(len(toks))] == toks, d["doc_id"]
+
+
+def test_event_pattern_match_vs_python_re(spark, sf_dir):
+    """Recompute every user's sequence string and match count with
+    Python re (same leftmost non-overlapping semantics) and compare
+    the full result set."""
+    import re as _re
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    seqs: dict[int, list] = {}
+    for r in ev:
+        seqs.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["event_type"][0]))
+    model = {}
+    for uid, items in seqs.items():
+        s = "".join(c for _, _, c in sorted(items, key=lambda t: (t[0], t[1])))
+        n = len(_re.findall("v[ce]*p", s))
+        if n:
+            model[uid] = (len(s), n)
+    out = {
+        r["user_id"]: (r["seq_len"], r["n_matches"])
+        for r in REGISTRY["x_event_pattern_match"].fn(spark, sf_dir).collect()
+    }
+    assert out == model
+
+
+def test_last_click_attribution_vs_python(spark, sf_dir):
+    """Sequential per-user replay: every purchase's lag to the most
+    recent prior click matches, including NULL (no prior click) and
+    the 7-day flag."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    byu: dict[int, list] = {}
+    for r in ev:
+        byu.setdefault(r["user_id"], []).append(r)
+    model = {}
+    for uid, items in byu.items():
+        last_click = None
+        for r in sorted(items, key=lambda t: (t["ts"], t["event_id"])):
+            if r["event_type"] == "purchase":
+                if last_click is None:
+                    lag = None
+                else:
+                    td = r["ts"] - last_click
+                    lag = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+                model[r["event_id"]] = (
+                    uid, lag, lag is not None and lag <= 604800000000
+                )
+            if r["event_type"] == "click":
+                last_click = r["ts"]
+    out = {
+        r["purchase_id"]: (r["user_id"], r["lag_us"], r["attributed_7d"])
+        for r in REGISTRY["x_last_click_attribution"].fn(spark, sf_dir).collect()
+    }
+    assert out == model
+
+
+def test_pandas_grouped_agg_median_vs_python(spark, sf_dir):
+    """Exact lower median per group vs a sequential model."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by: dict[str, list] = {}
+    for r in ev:
+        by.setdefault(r["event_type"], []).append(math.floor(r["value"] * 100))
+    out = {r["event_type"]: r for r in REGISTRY["x_pandas_grouped_agg"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(by)
+    for et, xs in by.items():
+        xs.sort()
+        assert out[et]["n"] == len(xs)
+        assert out[et]["median_cents"] == xs[(len(xs) - 1) // 2]

@@ -52,7 +52,8 @@ AUDIT = [
     "x_countmin_sketch", "x_stratified_split", "x_dsir_resample",
     "x_hll_sketch_union", "x_skyline", "x_markov_transitions",
     "x_anomaly_zscore", "x_record_linkage", "x_hll_intersect",
-    "x_inverted_index",
+    "x_inverted_index", "x_event_pattern_match",
+    "x_last_click_attribution", "x_pandas_grouped_agg",
     # x_neardup_survivors / x_dedup_clusters / x_bpe_train /
     # x_pagerank excluded:
     # their iterative loops accumulate per-round subtrees, so the
