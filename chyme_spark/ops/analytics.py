@@ -2305,30 +2305,32 @@ def x_hll_intersect(spark: SparkSession, sf: str) -> DataFrame:
     )
     du = ev.select("event_type", "user_id").distinct()
     pu = du.filter(F.col("event_type") == "purchase").select("user_id")
+    # exact side: per-type distinct count + overlap; n_union follows by
+    # the same inclusion-exclusion arithmetic the sketch branch uses
+    # (|A u P| = |A| + |P| - |A n P|) — no OR-theta join re-scanning
+    # the distinct pairs (review finding: that join duplicated
+    # already-computed counts and its AQE promotion timing made the
+    # plan shape nondeterministic)
     ab = (
         du.filter(F.col("event_type") != "purchase")
-        .join(pu, "user_id", "left_semi")
+        .join(pu.withColumn("in_p", F.lit(1)), "user_id", "left")
         .groupBy("event_type")
-        .agg(F.count("*").cast("long").alias("n_overlap"))
-    )
-    un = (
-        du.filter(F.col("event_type") != "purchase")
-        .select("event_type")
-        .distinct()
-        .join(
-            du.select(F.col("event_type").alias("et2"), "user_id"),
-            F.expr("et2 = event_type or et2 = 'purchase'"),
+        .agg(
+            F.count("*").cast("long").alias("n_a"),
+            F.sum(F.coalesce("in_p", F.lit(0))).cast("long").alias("n_overlap"),
         )
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").cast("long").alias("n_union"))
     )
+    n_p = pu.agg(F.count("*").cast("long").alias("n_p"))
     return (
-        ab.join(un, "event_type")
+        ab.crossJoin(F.broadcast(n_p))
         .join(est, "event_type")
         .select(
-            "event_type", "n_overlap", "n_union",
+            "event_type",
+            "n_overlap",
+            (F.col("n_a") + F.col("n_p") - F.col("n_overlap")).alias("n_union"),
             (F.abs(F.col("est_overlap") - F.col("n_overlap")) * 20
-             <= F.col("n_union")).alias("est_within_5pct_of_union"),
+             <= F.col("n_a") + F.col("n_p") - F.col("n_overlap"))
+            .alias("est_within_5pct_of_union"),
         )
     )
 

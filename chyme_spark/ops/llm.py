@@ -2572,8 +2572,10 @@ def x_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
     lookup is therefore a map-side broadcast-hash probe, and the doc
     score is one more groupBy(doc_id). Top-100 is
     TakeOrderedAndProject. Overflow: (t+1) << 20 stays in int64 below
-    ~8.8e12 target tokens; past that both engines promote to
-    DECIMAL(38,0) (the x_pmi_collocations note)."""
+    ~8.8e12 target tokens per bucket; past that Spark's int64 multiply
+    does NOT auto-promote (ANSI mode throws ARITHMETIC_OVERFLOW) — at
+    that corpus size cast t/r to decimal(38,0) explicitly on both
+    engines before the shift, as x_anomaly_zscore does."""
     docs = load_table(spark, sf, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")

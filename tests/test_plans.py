@@ -113,12 +113,10 @@ EXPECTED = {
     # AQE keeps the right to shuffle it at scale)
     "x_record_linkage": (0, 1, 0, False),
     # sketch-intersect: sketch agg + the exact-check branch's
-    # distinct/semi/theta joins (test-scale only; production is the
-    # sketch branch alone). AQE's runtime broadcast promotion of the
-    # semi join lands differently depending on stage-stat timing
-    # (7 or 9 exchanges, both with the same 5 broadcasts) — both are
-    # accepted; the load-bearing pins are bcast/smj/topk
-    "x_hll_intersect": [(7, 5, 0, False), (9, 5, 0, False)],
+    # distinct + left-join overlap counts; n_union is inclusion-
+    # exclusion arithmetic (review finding: the old OR-theta join
+    # re-scanned the distinct pairs and made the shape nondeterministic)
+    "x_hll_intersect": (7, 4, 0, False),
     # inverted index: exactly ONE (term, doc) shuffle — the whole build
     "x_inverted_index": (1, 0, 0, False),
     # CEP + attribution: one user-key shuffle each, no joins

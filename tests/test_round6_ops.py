@@ -539,11 +539,15 @@ def test_markov_rows_normalize(spark, sf_dir):
             assert r["p_ppm"] == r["n"] * 1000000 // sum(g["n"] for g in grp)
 
 
-def test_anomaly_zscore_matches_float_model(spark, sf_dir):
-    """The integer inequality must agree with the naive float 2-sigma
-    model except within half-ulp of the boundary — on this data no
-    value sits that close, so the counts match exactly."""
+def test_anomaly_zscore_matches_exact_rational_model(spark, sf_dir):
+    """Independent derivation (review finding: the first version of
+    this test re-implemented the production integer rewrite, so a shared
+    mis-derivation could not be caught): flag |x - mean| > 2*stddev
+    straight from the definition in exact rational arithmetic —
+    mean = S/n, var = SS/n - mean^2, outlier iff (x-mean)^2 > 4*var —
+    with no multiply-through-by-n^2 anywhere."""
     import math
+    from fractions import Fraction
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
     by_type: dict[str, list] = {}
@@ -552,8 +556,10 @@ def test_anomaly_zscore_matches_float_model(spark, sf_dir):
     out = {r["event_type"]: r for r in REGISTRY["x_anomaly_zscore"].fn(spark, sf_dir).collect()}
     assert set(out) == set(by_type)
     for et, xs in by_type.items():
-        n, s, ss = len(xs), sum(xs), sum(x * x for x in xs)
-        n_out = sum(1 for x in xs if (n * x - s) ** 2 > 4 * (n * ss - s * s))
+        n = len(xs)
+        mean = Fraction(sum(xs), n)
+        var = Fraction(sum(x * x for x in xs), n) - mean * mean
+        n_out = sum(1 for x in xs if (Fraction(x) - mean) ** 2 > 4 * var)
         assert out[et]["n_events"] == n
         assert out[et]["n_outliers"] == n_out
         assert out[et]["share_ppm"] == n_out * 1000000 // n
