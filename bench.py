@@ -153,6 +153,10 @@ def main() -> None:
         "x_segment_dedup_scrub", "d43_minhash_lsh",
         # round-6 continuation: the second corpus-rewrite op
         "x_boilerplate_scrub",
+        # continuation II: the explode-heavy DSIR pipeline and the
+        # salted exact-rank split — both must scale sublinearly in the
+        # token count like the scrubs do
+        "x_dsir_resample", "x_stratified_split",
     ]
     _CLIFF = 3.0  # flag when time ratio > _CLIFF * data ratio
     sf1_block = None

@@ -1095,6 +1095,64 @@ def x_tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_tpch_q9_product_profit",
+    # TPC-H Q9 shape (public spec): product-type profit measure — profit
+    # per supplier-nation per order-year over a part-name pattern, the
+    # widest fact-centred snowflake in the suite (part + supplier +
+    # nation dims meeting lineitem x orders). The synthetic schema has
+    # no partsupp/ps_supplycost: cost is adapted to
+    # p_retailprice * l_quantity (deterministic, part-derived), keeping
+    # the profit = revenue - cost arithmetic and the full topology.
+    oracle="""
+    WITH profit AS (
+        SELECT n_name AS nation,
+               year(o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                 - CAST(p_retailprice AS DECIMAL(18,4))
+                 * CAST(l_quantity AS DECIMAL(18,4)) AS amount
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%red%')
+    SELECT nation, o_year,
+           CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit,
+           count(*) AS n_lines
+    FROM profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape: profit per supplier-nation per order-year over a part-name pattern — the widest snowflake (3 broadcast dims + fact-fact orderkey join), decimal-exact profit arithmetic",
+)
+def x_tpch_q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: part (pre-filtered on the name pattern — ~13%
+    selectivity applied before the join), supplier, and nation are all
+    dimension-sized and broadcast; lineitem x orders is the one real
+    shuffle (orderkey co-hash), then one hash to the (nation, year)
+    grouping. Profit stays exact DECIMAL end-to-end — both products are
+    (18,4)x(18,4) -> (37,8), within both engines' 38-digit exactness —
+    so the cross-engine hash cannot drift on summation order
+    (ref test parity: internal/core TPC-H-style aggregation coverage)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    orders = load_table(spark, sf, "orders")
+    amount = dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) - dec("p_retailprice") * dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(money(F.sum(amount)).alias("sum_profit"), F.count("*").alias("n_lines"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@query(
     "x_tpch_q21_waiting_supplier",
     # TPC-H Q21 shape (public spec): suppliers who were the ONLY late
     # supplier on a multi-supplier order — the double correlated
@@ -2525,4 +2583,104 @@ def x_last_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit(False),
             ).alias("attributed_7d"),
         )
+    )
+
+
+@query(
+    "x_column_profile",
+    # Data-profiling sweep: per-column row/null/distinct counts plus
+    # typed min/max, the standard table-health report a catalog ingest
+    # runs before accepting a drop (ref behavior parity: the catalog
+    # validates listings before ingest, internal/catalog; the profile
+    # is the columnar analog).
+    oracle="""
+    SELECT * FROM (
+      SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+             count(*) - count(l_quantity) AS n_null,
+             count(DISTINCT l_quantity) AS n_distinct,
+             ROUND(min(CAST(l_quantity AS DOUBLE)), 4) AS min_num,
+             ROUND(max(CAST(l_quantity AS DOUBLE)), 4) AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str,
+             CAST(NULL AS VARCHAR) AS max_str
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+             count(DISTINCT l_extendedprice),
+             ROUND(min(CAST(l_extendedprice AS DOUBLE)), 4),
+             ROUND(max(CAST(l_extendedprice AS DOUBLE)), 4),
+             NULL, NULL
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+             count(DISTINCT l_returnflag),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             min(l_returnflag), max(l_returnflag)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+             count(DISTINCT l_linestatus),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             min(l_linestatus), max(l_linestatus)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+             count(DISTINCT l_shipdate),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             min(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')),
+             max(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'))
+      FROM lineitem)
+    ORDER BY col_name
+    """,
+    doc="per-column table profile (rows/nulls/exact distinct/typed min-max) in one unpivoted pass — two-level aggregation so no column's raw values funnel through a single reducer",
+)
+def x_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the naive shape — groupBy(col_name) straight off the
+    unpivot — sends EVERY raw value of a column to one reducer (k
+    reducers total): a guaranteed straggler. Instead level 1 groups by
+    (col_name, value) with map-side partial aggregation (low-cardinality
+    columns collapse ~completely on the map side), and level 2 reduces
+    the per-value groups to the profile row, so per-column fan-in is
+    bounded by distinct values, not raw rows. Exact distinct counts come
+    free as level-2 row counts — no Expand-operator multi-distinct
+    blowup. For columns where even the distinct set is fact-scale, swap
+    level 2's exact count for the mergeable HLL sketch
+    (x_hll_sketch_union pattern); the profile shape is unchanged.
+    Min/max stay typed (numeric vs string) because a stringified double
+    neither orders nor formats consistently across engines."""
+    li = load_table(spark, sf, "lineitem")
+
+    def entry(name: str, num=None, s=None):
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            (num if num is not None else F.lit(None).cast("double")).alias("num_val"),
+            (s if s is not None else F.lit(None).cast("string")).alias("str_val"),
+        )
+
+    unpivoted = li.select(
+        F.explode(
+            F.array(
+                entry("l_quantity", num=F.col("l_quantity").cast("double")),
+                entry("l_extendedprice", num=F.col("l_extendedprice").cast("double")),
+                entry("l_returnflag", s=F.col("l_returnflag")),
+                entry("l_linestatus", s=F.col("l_linestatus")),
+                entry("l_shipdate", s=ts_str("l_shipdate")),
+            )
+        ).alias("x")
+    ).select("x.*")
+    per_value = unpivoted.groupBy("col_name", "num_val", "str_val").agg(
+        F.count("*").alias("c")
+    )
+    has_val = F.col("num_val").isNotNull() | F.col("str_val").isNotNull()
+    return (
+        per_value.groupBy("col_name")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.sum(F.when(~has_val, F.col("c")).otherwise(F.lit(0))).alias("n_null"),
+            F.count(F.when(has_val, F.lit(1))).alias("n_distinct"),
+            F.round(F.min("num_val"), 4).alias("min_num"),
+            F.round(F.max("num_val"), 4).alias("max_num"),
+            F.min("str_val").alias("min_str"),
+            F.max("str_val").alias("max_str"),
+        )
+        .orderBy("col_name")
     )

@@ -125,6 +125,14 @@ EXPECTED = {
     # grouped-agg pandas UDF: median agg + count agg, 5-row join
     # AQE-broadcasts
     "x_pandas_grouped_agg": (2, 1, 0, False),
+    # Q9 snowflake: part/supplier/nation hint-broadcast + the orders
+    # join AQE-promoted at this SF (shuffled at 100 TB — no hint);
+    # 2 exchanges = the surviving orderkey-side partial + (nation,year)
+    # group shuffle
+    "x_tpch_q9_product_profit": (2, 4, 0, False),
+    # profile: per-value partial shuffle + col_name reduce + the 5-row
+    # output sort's range exchange; no joins anywhere
+    "x_column_profile": (3, 0, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their
