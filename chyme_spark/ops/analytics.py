@@ -2684,3 +2684,64 @@ def x_column_profile(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@query(
+    "x_partial_agg_merge",
+    # Mergeable-state rollup: monthly figures derived ONLY from daily
+    # partial-aggregate state (sum-of-sums, sum-of-counts, min-of-mins,
+    # and avg reconstructed from (sum, count) at the end) — the
+    # materialized-view-maintenance algebra. The oracle aggregates the
+    # raw facts straight to month, proving merge(partials) == agg(raw).
+    oracle="""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+           l_returnflag,
+           count(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(MIN(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS min_price,
+           CAST(ROUND(MAX(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS max_price,
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                      / count(*), 4) AS DOUBLE) AS avg_price
+    FROM lineitem
+    GROUP BY month, l_returnflag
+    ORDER BY month, l_returnflag
+    """,
+    doc="partial-aggregate merge: monthly rollup computed purely from daily partial state (sum/count/min/max algebra, avg reconstructed last) — the incremental materialized-view pattern, oracle-proven equal to aggregating raw facts",
+)
+def x_partial_agg_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the daily partial table is what a production system
+    persists (one bounded row per (day, flag)); the monthly merge then
+    touches ONLY that state — appending a day re-aggregates one day,
+    never the fact history. Every aggregate here is chosen to be
+    mergeable: sums/counts add, min/min and max/max compose, and avg is
+    NOT averaged-of-averages (wrong under unequal day sizes) but
+    reconstructed from merged (decimal sum, count) with one IEEE
+    division at the end, so the result is bit-identical to a raw-fact
+    aggregate. Two shuffles total, the second over day-cardinality
+    partials. Non-mergeable aggregates (exact median, exact distinct)
+    need sketch state instead — x_hll_sketch_union is that pattern."""
+    li = load_table(spark, sf, "lineitem")
+    daily = li.groupBy(
+        F.date_trunc("day", "l_shipdate").alias("day"), "l_returnflag"
+    ).agg(
+        F.count("*").alias("p_n"),
+        F.sum(dec("l_quantity")).alias("p_sum_qty"),
+        F.sum(dec("l_extendedprice")).alias("p_sum_price"),
+        F.min(dec("l_extendedprice")).alias("p_min_price"),
+        F.max(dec("l_extendedprice")).alias("p_max_price"),
+    )
+    return (
+        daily.groupBy(
+            F.date_format("day", "yyyy-MM").alias("month"), "l_returnflag"
+        )
+        .agg(
+            F.sum("p_n").alias("n"),
+            money(F.sum("p_sum_qty")).alias("sum_qty"),
+            money(F.min("p_min_price")).alias("min_price"),
+            money(F.max("p_max_price")).alias("max_price"),
+            F.round(
+                F.sum("p_sum_price").cast("double") / F.sum("p_n"), 4
+            ).cast("double").alias("avg_price"),
+        )
+        .orderBy("month", "l_returnflag")
+    )

@@ -2716,3 +2716,110 @@ def x_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("positions"),
         )
     )
+
+
+@query(
+    "x_dup_span_scrub",
+    # ExactSubstr-style duplicated-span accounting (Lee et al. 2021,
+    # "Deduplicating Training Data Makes Language Models Better",
+    # arXiv:2107.06499, public): a token position is "covered" when any
+    # 5-gram starting at-or-before it occurs >= 2 times in the corpus
+    # (cross-doc or self-repetition alike); the op reports per doc how
+    # many tokens survive span removal. The oracle rebuilds positional
+    # 5-grams with the _NG_SQL positional self-join (duckdb 1.0 cannot
+    # lateral generate_series over a column) and the same interval
+    # union.
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS tok,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        FROM documents),
+    pg AS (
+        SELECT a.doc_id, a.pos - 1 AS pos,
+               a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok
+                 || ' ' || e.tok AS g
+        FROM tok a
+        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        JOIN tok d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+        JOIN tok e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+    dup AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= 2),
+    dpos AS (SELECT doc_id, pos FROM pg WHERE g IN (SELECT g FROM dup)),
+    cov AS (
+        SELECT doc_id, pos,
+               lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM dpos),
+    agg AS (
+        SELECT doc_id, count(*) AS n_dup_grams,
+               SUM(LEAST(5, COALESCE(nxt - pos, 5))) AS covered
+        FROM cov GROUP BY doc_id),
+    base AS (
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS n_tokens
+        FROM documents)
+    SELECT base.doc_id,
+           n_tokens,
+           CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(covered, 0) AS BIGINT) AS covered_tokens,
+           CAST(ROUND((n_tokens - COALESCE(covered, 0))
+                      / CAST(n_tokens AS DOUBLE), 4) AS DOUBLE) AS keep_ratio
+    FROM base LEFT JOIN agg USING (doc_id)
+    ORDER BY base.doc_id
+    """,
+    doc="duplicated-substring span scrub (ExactSubstr approximation at 5-gram granularity): per-doc surviving-token accounting after removing every maximal run of corpus-duplicated 5-grams — interval union as a lead() window, no arrays, no all-pairs",
+)
+def x_dup_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: three bounded stages. (1) positional 5-grams are
+    hashed to 8-byte xxhash64 keys in the explode itself (the gram
+    string never materializes; same collision trade as
+    x_duplicate_ngram_fraction, pinned by this op's exact-string
+    oracle); the ONE fact-sized shuffle is the gram-hash groupBy, which
+    map-side-combines hard because duplicated grams are exactly the
+    common ones. (2) The >=2 gram set — bounded by duplicated grams,
+    not corpus size — semi-joins back un-hinted, so AQE broadcasts it
+    at fixture scale and shuffle-joins at 100 TB. (3) Covered tokens
+    are the union length of [pos, pos+4] intervals, computed exactly by
+    one lead() window over ONLY the duplicated positions (sum of
+    min(5, gap)) — O(dup positions) state, never a per-token array.
+    Docs shorter than 5 tokens produce zero grams and survive whole."""
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select("doc_id", _tokens().alias("toks")).withColumn(
+        "n_tokens", F.size("toks").cast("long")
+    )
+    ats = ", ".join(f"element_at(toks, cast(i + {j + 1} as int))" for j in range(5))
+    grams = F.expr(
+        "CASE WHEN size(toks) >= 5 THEN "
+        f"transform(sequence(0, size(toks) - 5), i -> xxhash64({ats})) "
+        "ELSE cast(array() as array<bigint>) END"
+    )
+    pg = staged.select("doc_id", F.posexplode(grams).alias("pos", "gh"))
+    dup = pg.groupBy("gh").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    dpos = pg.join(dup.select("gh"), "gh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        dpos.withColumn("nxt", F.lead("pos").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_grams"),
+            F.sum(
+                F.least(F.lit(5), F.coalesce(F.col("nxt") - F.col("pos"), F.lit(5)))
+            ).alias("covered"),
+        )
+    )
+    return (
+        staged.select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("covered", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.round(
+                (F.col("n_tokens") - F.coalesce("covered", F.lit(0)))
+                / F.col("n_tokens"),
+                4,
+            ).cast("double").alias("keep_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -133,6 +133,13 @@ EXPECTED = {
     # profile: per-value partial shuffle + col_name reduce + the 5-row
     # output sort's range exchange; no joins anywhere
     "x_column_profile": (3, 0, 0, False),
+    # MV merge: daily partial shuffle + monthly merge shuffle + output
+    # sort — and NO join (the merge reads partial state only)
+    "x_partial_agg_merge": (3, 0, 0, False),
+    # span scrub: gram-hash groupBy + doc_id window shuffle + output
+    # sort; the dup-set semi and per-doc cov joins AQE-broadcast at
+    # this SF (shuffle at 100 TB — both un-hinted)
+    "x_dup_span_scrub": (3, 2, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their
