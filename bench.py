@@ -86,6 +86,14 @@ HEADLINE = [
     # exact stratified split — the two heaviest new corpus shapes
     "x_dsir_resample",
     "x_stratified_split",
+    # round-6 continuation III: the boilerplate scrub joins the main
+    # scoreboard (it was sf1-probed without an sf0.1 baseline — null
+    # ratio in BENCH r6 preflight), plus the two newest fact-heavy
+    # shapes: the ExactSubstr span scrub (gram shuffle + dup semi +
+    # positional window) and the Q9 snowflake (widest dim fan-in)
+    "x_boilerplate_scrub",
+    "x_dup_span_scrub",
+    "x_tpch_q9_product_profit",
 ]
 
 
@@ -157,6 +165,9 @@ def main() -> None:
         # salted exact-rank split — both must scale sublinearly in the
         # token count like the scrubs do
         "x_dsir_resample", "x_stratified_split",
+        # continuation III: the positional-gram span scrub — the
+        # newest explode-heavy pipeline
+        "x_dup_span_scrub",
     ]
     _CLIFF = 3.0  # flag when time ratio > _CLIFF * data ratio
     sf1_block = None

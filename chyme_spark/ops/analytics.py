@@ -2745,3 +2745,81 @@ def x_partial_agg_merge(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("month", "l_returnflag")
     )
+
+
+@query(
+    "x_cdc_apply",
+    # CDC changelog apply: the event stream is a per-user changelog
+    # where 'error' is a DELETE (tombstone) and every other event is a
+    # partial upsert; the final table is the fold of each user's ops in
+    # (ts, event_id) order — state accumulated strictly AFTER the last
+    # tombstone, absent users with no post-tombstone activity. The
+    # library twin (merge.upsert / scd2_apply, chyme_spark/merge.py)
+    # covers keyed full-row merges; this op proves the
+    # delete-then-reinsert fold (ref parity: the task ledger's
+    # insert-if-absent + re-queue semantics, internal/core/task.go).
+    oracle="""
+    WITH resets AS (
+        SELECT user_id, ts AS rts, event_id AS rid
+        FROM events WHERE event_type = 'error'
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+    live AS (
+        SELECT e.*
+        FROM events e LEFT JOIN resets r USING (user_id)
+        WHERE e.event_type <> 'error'
+          AND (r.rts IS NULL OR e.ts > r.rts
+               OR (e.ts = r.rts AND e.event_id > r.rid)))
+    SELECT user_id,
+           count(*) AS n_events_live,
+           count(*) FILTER (event_type = 'purchase') AS n_purchases,
+           CAST(ROUND(COALESCE(SUM(CAST(value AS DECIMAL(18,4)))
+                      FILTER (event_type = 'purchase'), 0), 2) AS DOUBLE)
+             AS total_spend,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM live
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="CDC changelog apply with tombstones: per-key fold of upsert/delete ops in event order — last-tombstone cutoff then conditional aggregation, two bounded shuffles",
+)
+def x_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the tombstone cutoff per key is a groupBy over the
+    DELETE subset only (filter pushed to the scan — at typical
+    tombstone rates this aggregate is tiny), joined back un-hinted so
+    AQE broadcasts it at fixture scale and shuffle-joins if deletes are
+    fact-scale. The fold itself is ONE conditional aggregation over the
+    surviving ops — never a per-key iterative replay, and never a
+    window over the full changelog (the cutoff comparison is a plain
+    boolean on (ts, event_id), so the fact pass stays in whole-stage
+    codegen). Spend stays exact DECIMAL to the final round."""
+    ev = load_table(spark, sf, "events")
+    resets = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id")).alias("r"))
+        .select("user_id", F.col("r.ts").alias("rts"), F.col("r.event_id").alias("rid"))
+    )
+    after_reset = (
+        F.col("rts").isNull()
+        | (F.col("ts") > F.col("rts"))
+        | ((F.col("ts") == F.col("rts")) & (F.col("event_id") > F.col("rid")))
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    return (
+        ev.filter(F.col("event_type") != "error")
+        .join(resets, "user_id", "left")
+        .filter(after_reset)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events_live"),
+            F.count(F.when(is_purchase, F.lit(1))).alias("n_purchases"),
+            money(
+                F.coalesce(
+                    F.sum(F.when(is_purchase, dec("value"))), F.lit(0).cast("decimal(18,4)")
+                )
+            ).alias("total_spend"),
+            ts_str(F.max("ts")).alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )

@@ -446,10 +446,35 @@ def d18_having(spark: SparkSession, sf: str) -> DataFrame:
     doc="D-19 global sort; rank column pins the total order into the value hash",
 )
 def d19_sort(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: a bare ``Window.orderBy`` global row_number moves
+    every filtered row into ONE task (the empty-window scale-killer the
+    r5 verdict named on Q11/Q15 — this was the last fact-sized one).
+    Two-level rank instead (the x_compaction_plan / x_stratified_split
+    pattern): rows range-group by an order-preserving price bucket
+    (totalprice div 100 — cardinality bounded by the PRICE DOMAIN, not
+    the row count), rank locally per bucket in parallel, and add each
+    bucket's exclusive prefix count computed on the bucket-count table
+    (<= ~1000 rows at any scale, where the tiny global window is the
+    accepted bounded-aggregate shape). offset + local rank reproduces
+    the oracle's single global window exactly; ties share a bucket by
+    construction, so cross-bucket order is total."""
     orders = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
-    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
-    return orders.select("o_orderkey", "o_totalprice").withColumn(
-        "rank_pos", F.row_number().over(w)
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / 100).cast("long").alias("grp"),
+    )
+    wl = Window.partitionBy("grp").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    local = base.withColumn("lrank", F.row_number().over(wl))
+    counts = base.groupBy("grp").agg(F.count("*").alias("n"))
+    wg = Window.orderBy(F.desc("grp")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "grp", F.coalesce(F.sum("n").over(wg), F.lit(0)).alias("off")
+    )
+    return local.join(F.broadcast(offsets), "grp").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("off") + F.col("lrank")).cast("int").alias("rank_pos"),
     )
 
 

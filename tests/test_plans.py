@@ -140,6 +140,14 @@ EXPECTED = {
     # sort; the dup-set semi and per-doc cov joins AQE-broadcast at
     # this SF (shuffle at 100 TB — both un-hinted)
     "x_dup_span_scrub": (3, 2, 0, False),
+    # CDC apply: tombstone-cutoff agg + fold agg + output sort; the
+    # cutoff table joins back un-hinted (AQE-broadcast here)
+    "x_cdc_apply": (3, 1, 0, False),
+    # d19 rewritten round 6: two-level global rank — grp window shuffle
+    # + grp-count agg + output order; the only SinglePartition left is
+    # the ~1000-row (price-domain-bounded) offsets window, the accepted
+    # bounded-aggregate shape, and the offsets table broadcasts back
+    "d19_sort": (3, 1, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their
