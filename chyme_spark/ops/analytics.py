@@ -2823,3 +2823,119 @@ def x_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "x_interpolate",
+    # Linear interpolation to a regular grid — x_gap_fill's sibling for
+    # VALUE series: missing hourly buckets take the line between the
+    # nearest observed samples either side (forward/backward fill at
+    # the edges). A double-arithmetic interpolation rounds differently
+    # per engine at half-ulp boundaries (the first cut of this op
+    # failed the hash at 42.87875 exactly); instead the whole path is
+    # the x_time_weighted_avg integer discipline: samples become exact
+    # ten-thousandth units (sum has decimal scale 4, so *10^4 is an
+    # exact BIGINT), and the interpolant is the BARYCENTRIC form
+    # (pv*(nt-t) + nv*(t-pt)) // (nt-pt) — every term non-negative
+    # (values >= 0, pt <= t <= nt), so Spark's truncating `div` and
+    # duckdb's flooring `//` agree, and the final /10000.0 is one
+    # identical IEEE op.
+    oracle="""
+    WITH b AS (
+        SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+               CAST(value AS DECIMAL(18,4)) AS dv
+        FROM events WHERE user_id < 20),
+    r AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY user_id),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+        FROM r),
+    c AS (SELECT user_id, h,
+                 CAST(SUM(dv) * 10000 AS BIGINT) // count(*) AS vi_obs
+          FROM b GROUP BY user_id, h),
+    j AS (
+        SELECT g.user_id, g.h, c.vi_obs,
+               CAST(epoch(g.h) AS BIGINT) AS t
+        FROM grid g LEFT JOIN c ON g.user_id = c.user_id AND g.h = c.h),
+    w AS (
+        SELECT user_id, h, vi_obs, t,
+               last_value(vi_obs IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN vi_obs IS NOT NULL THEN t END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+               first_value(vi_obs IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN vi_obs IS NOT NULL THEN t END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM j)
+    SELECT user_id,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           vi_obs IS NOT NULL AS is_observed,
+           CAST(CASE
+             WHEN vi_obs IS NOT NULL THEN vi_obs
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             WHEN nt = pt THEN pv
+             ELSE (pv * (nt - t) + nv * (t - pt)) // (nt - pt)
+           END AS BIGINT) / 10000.0 AS v
+    FROM w
+    ORDER BY user_id, hour
+    """,
+    doc="linear interpolation onto the hourly grid: nearest observed samples either side via IGNORE-NULLS window fills, edge buckets forward/backward-filled, interpolant pinned by exact integer barycentric arithmetic — x_gap_fill for value series",
+)
+def x_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: same skeleton as x_gap_fill (per-key range agg ->
+    narrow sequence explode -> key-aligned fill join), plus ONE window
+    shuffle on the entity key: all four IGNORE-NULLS fills share a
+    single (partition, order) spec, so they evaluate in one WindowExec
+    pass, and per-entity grid length bounds the frame — never a global
+    window. The interpolant itself is a row-local integer expression in
+    whole-stage codegen (see the oracle comment for why integers, not
+    doubles). user_id < 20 only bounds the oracle diff."""
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 20)
+    b = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h"), dec("value").alias("dv")
+    )
+    rng = b.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = rng.select(
+        "user_id", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    obs = (
+        b.groupBy("user_id", "h")
+        .agg(F.sum("dv").alias("sdv"), F.count("*").alias("cnt"))
+        .select(
+            "user_id", "h", F.expr("CAST(sdv * 10000 AS BIGINT) div cnt").alias("vi_obs")
+        )
+    )
+    j = grid.join(obs, ["user_id", "h"], "left").withColumn(
+        "t", F.unix_timestamp("h").cast("long")
+    )
+    wp = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    t_obs = F.when(F.col("vi_obs").isNotNull(), F.col("t"))
+    w = (
+        j.withColumn("pv", F.last("vi_obs", ignorenulls=True).over(wp))
+        .withColumn("pt", F.last(t_obs, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("vi_obs", ignorenulls=True).over(wn))
+        .withColumn("nt", F.first(t_obs, ignorenulls=True).over(wn))
+    )
+    interp_i = (
+        F.when(F.col("vi_obs").isNotNull(), F.col("vi_obs"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(F.expr("(pv * (nt - t) + nv * (t - pt)) div (nt - pt)"))
+    )
+    return w.select(
+        "user_id",
+        ts_str("h").alias("hour"),
+        F.col("vi_obs").isNotNull().alias("is_observed"),
+        (interp_i.cast("bigint") / F.lit(10000.0)).alias("v"),
+    ).orderBy("user_id", "hour")

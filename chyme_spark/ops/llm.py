@@ -2823,3 +2823,80 @@ def x_dup_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_PHRASES = ["table hash", "slow hash batch"]
+
+
+@query(
+    "x_phrase_search",
+    # Multi-term phrase query over the positional index: a phrase of L
+    # terms matches at anchor a when term i sits at position a+i for
+    # every i — the anchor-alignment join, which generalizes the
+    # classic adjacent-postings merge to any phrase length with ONE
+    # aggregation (ref parity: the positional postings x_inverted_index
+    # builds are exactly what this consumes).
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS tok,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        FROM documents),
+    ph AS (
+        SELECT phrase, idx - 1 AS idx, term
+        FROM (VALUES ('table hash'), ('slow hash batch')) p(phrase),
+             LATERAL (SELECT unnest(string_split(p.phrase, ' ')) AS term,
+                             generate_subscripts(string_split(p.phrase, ' '), 1) AS idx) t),
+    plen AS (SELECT phrase, count(*) AS L FROM ph GROUP BY phrase),
+    hits AS (
+        SELECT ph.phrase, tok.doc_id, tok.pos - ph.idx AS anchor,
+               count(DISTINCT ph.idx) AS n_aligned
+        FROM tok JOIN ph ON ph.term = tok.tok
+        GROUP BY ph.phrase, tok.doc_id, anchor),
+    m AS (
+        SELECT h.phrase, h.doc_id, count(*) AS n_matches
+        FROM hits h JOIN plen USING (phrase)
+        WHERE h.n_aligned = plen.L
+        GROUP BY h.phrase, h.doc_id)
+    SELECT phrase, doc_id, n_matches FROM m
+    ORDER BY phrase, doc_id
+    """,
+    doc="positional phrase search (anchor-alignment join): L-term phrases match where term i appears at anchor+i for all i — one (phrase, doc, anchor) aggregation, any phrase length, consumes x_inverted_index postings",
+)
+def x_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the phrase-term table (a handful of rows) broadcasts
+    into the postings stream, and — the load-bearing part — the join
+    FILTERS the postings to the phrases' terms before anything
+    shuffles, so the one real shuffle (groupBy (phrase, doc, anchor))
+    carries only matching-term postings, a vanishing fraction of the
+    corpus. Alignment needs no per-position self-join chain (L-1 joins
+    for length L, the naive plan): count(distinct idx) == L per anchor
+    is a single aggregation whatever L is. Duplicate terms inside a
+    phrase are handled by the distinct-idx count, not position
+    arithmetic."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos0", "term")
+    )
+    spark_phrases = spark.createDataFrame(
+        [
+            (p, i, t)
+            for p in _PHRASES
+            for i, t in enumerate(p.split(" "))
+        ],
+        "phrase string, idx int, term string",
+    )
+    plen = {p: len(p.split(" ")) for p in _PHRASES}
+    lens = spark.createDataFrame(list(plen.items()), "phrase string, L long")
+    hits = (
+        toks.join(F.broadcast(spark_phrases), "term")
+        .groupBy("phrase", "doc_id", (F.col("pos0") - F.col("idx")).alias("anchor"))
+        .agg(F.count_distinct("idx").alias("n_aligned"))
+    )
+    return (
+        hits.join(F.broadcast(lens), "phrase")
+        .filter(F.col("n_aligned") == F.col("L"))
+        .groupBy("phrase", "doc_id")
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy("phrase", "doc_id")
+    )

@@ -148,6 +148,12 @@ EXPECTED = {
     # the ~1000-row (price-domain-bounded) offsets window, the accepted
     # bounded-aggregate shape, and the offsets table broadcasts back
     "d19_sort": (3, 1, 0, False),
+    # interpolate: range agg + obs agg + ONE user window shuffle (all
+    # four IGNORE-NULLS fills share a spec); the grid join AQE-bcasts
+    "x_interpolate": (3, 1, 0, False),
+    # phrase search: anchor agg (+ its distinct-idx expand pair) +
+    # per-doc match agg + output sort; both phrase tables broadcast
+    "x_phrase_search": (4, 2, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their
