@@ -2939,3 +2939,113 @@ def x_interpolate(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vi_obs").isNotNull().alias("is_observed"),
         (interp_i.cast("bigint") / F.lit(10000.0)).alias("v"),
     ).orderBy("user_id", "hour")
+
+
+@query(
+    "x_mad_outliers",
+    # Robust outlier detection: per group, the EXACT lower median and
+    # median-absolute-deviation, then the count of values beyond
+    # 3 * MAD — the robust sibling of x_anomaly_zscore (mean/stddev
+    # break under the very outliers they hunt; median/MAD do not).
+    # Values are 2-decimal doubles, so cents (decimal*100 -> BIGINT)
+    # are exact integers and every comparison below is integer-exact.
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+        FROM events),
+    h1 AS (SELECT event_type, cents, count(*) AS c FROM v
+           GROUP BY event_type, cents),
+    m1 AS (
+        SELECT event_type, min(cents) AS med_cents
+        FROM (SELECT event_type, cents,
+                     SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+                     SUM(c) OVER (PARTITION BY event_type) AS n
+              FROM h1)
+        WHERE cum >= (n + 1) // 2
+        GROUP BY event_type),
+    d AS (
+        SELECT v.event_type, abs(v.cents - m1.med_cents) AS dev
+        FROM v JOIN m1 USING (event_type)),
+    h2 AS (SELECT event_type, dev, count(*) AS c FROM d
+           GROUP BY event_type, dev),
+    m2 AS (
+        SELECT event_type, min(dev) AS mad_cents
+        FROM (SELECT event_type, dev,
+                     SUM(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+                     SUM(c) OVER (PARTITION BY event_type) AS n
+              FROM h2)
+        WHERE cum >= (n + 1) // 2
+        GROUP BY event_type)
+    SELECT h2.event_type,
+           CAST(SUM(h2.c) AS BIGINT) AS n,
+           CAST(m1.med_cents AS BIGINT) / 100.0 AS median_value,
+           CAST(m2.mad_cents AS BIGINT) / 100.0 AS mad,
+           CAST(SUM(CASE WHEN h2.dev > 3 * m2.mad_cents THEN h2.c ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM h2 JOIN m1 USING (event_type) JOIN m2 USING (event_type)
+    GROUP BY h2.event_type, m1.med_cents, m2.mad_cents
+    ORDER BY h2.event_type
+    """,
+    doc="exact median + MAD outlier counts per group via domain-bounded cent histograms — two fact shuffles total, order statistics and outlier counts both read from the histogram, never a per-group sort",
+)
+def x_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: a naive exact grouped median sorts each group's raw
+    values through one reducer. Here each fact pass reduces straight to
+    a (group, cents) HISTOGRAM — bounded by the value DOMAIN (~56k
+    cents), not the row count — and the median is read off the
+    histogram's cumulative window, which runs over histogram rows only.
+    Pass 2 re-keys the fact by deviation cents (the only second fact
+    touch; the median table is a 5-row broadcast) and the outlier count
+    comes from the DEVIATION histogram, so no third pass exists. All
+    arithmetic is integer cents end-to-end; the output /100.0 is the
+    single shared IEEE op. Same two-level shape as d19_sort's rank —
+    order statistics at scale are histogram reads, not sorts."""
+    ev = load_table(spark, sf, "events")
+    v = ev.select(
+        "event_type", (dec("value") * 100).cast("bigint").alias("cents")
+    )
+
+    def lower_median(hist: DataFrame, key: str) -> DataFrame:
+        wc = Window.partitionBy("event_type").orderBy(key)
+        wn = Window.partitionBy("event_type")
+        ranked = hist.select(
+            "event_type",
+            F.col(key),
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(wn).alias("n"),
+        )
+        return (
+            ranked.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+            .groupBy("event_type")
+            .agg(F.min(key).alias(f"med_{key}"))
+        )
+
+    h1 = v.groupBy("event_type", "cents").agg(F.count("*").alias("c"))
+    m1 = lower_median(h1, "cents")
+    d = v.join(F.broadcast(m1), "event_type").select(
+        "event_type", F.abs(F.col("cents") - F.col("med_cents")).alias("dev")
+    )
+    h2 = d.groupBy("event_type", "dev").agg(F.count("*").alias("c"))
+    m2 = lower_median(h2, "dev").withColumnRenamed("med_dev", "mad_cents")
+    return (
+        h2.join(F.broadcast(m1), "event_type")
+        .join(F.broadcast(m2), "event_type")
+        .groupBy("event_type", "med_cents", "mad_cents")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad_cents"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("med_cents").cast("bigint") / F.lit(100.0)).alias("median_value"),
+            (F.col("mad_cents").cast("bigint") / F.lit(100.0)).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

@@ -154,6 +154,10 @@ EXPECTED = {
     # phrase search: anchor agg (+ its distinct-idx expand pair) +
     # per-doc match agg + output sort; both phrase tables broadcast
     "x_phrase_search": (4, 2, 0, False),
+    # MAD: two fact histogram shuffles + the histogram-sized median
+    # windows/aggs + output sort; 3 broadcasts are the 5-row median
+    # tables joining back (two hinted into the fact, one AQE)
+    "x_mad_outliers": (6, 3, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their
