@@ -1,0 +1,221 @@
+"""Property tests for the round-6 continuation-III operators.
+
+Each test rebuilds the op's contract with an INDEPENDENT sequential
+Python model (plain dicts/lists/Fractions — no Spark, no SQL) and
+compares, so a shared-mistake between the Spark query and its DuckDB
+oracle cannot hide (the test-strategy rule SURVEY §5 carries over from
+the reference's oracle-vs-model double-check style).
+"""
+
+from __future__ import annotations
+
+import decimal
+from collections import Counter, defaultdict
+
+from chyme_spark.registry import load_all
+from chyme_spark.session import load_table
+
+REGISTRY = load_all()
+
+D = decimal.Decimal
+
+
+def _cents(x: float) -> int:
+    return int(D(str(x)).quantize(D("0.0001")) * 100)
+
+
+def test_cdc_apply_matches_sequential_fold(spark, sf_dir):
+    """Replaying each user's ops one-by-one in (ts, event_id) order
+    through a literal state machine reproduces the set-based result."""
+    out = {r["user_id"]: r for r in REGISTRY["x_cdc_apply"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").collect()
+    state: dict[int, dict] = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        if r["event_type"] == "error":
+            state.pop(r["user_id"], None)  # tombstone: drop accumulated state
+            continue
+        s = state.setdefault(
+            r["user_id"], {"n": 0, "np": 0, "spend": D(0), "last": None}
+        )
+        s["n"] += 1
+        if r["event_type"] == "purchase":
+            s["np"] += 1
+            s["spend"] += D(str(r["value"])).quantize(D("0.0001"))
+        s["last"] = max(s["last"], r["ts"]) if s["last"] else r["ts"]
+    assert set(out) == set(state)
+    for uid, s in state.items():
+        r = out[uid]
+        assert r["n_events_live"] == s["n"], uid
+        assert r["n_purchases"] == s["np"], uid
+        assert abs(D(str(r["total_spend"])) - s["spend"].quantize(D("0.01"))) == 0, uid
+        assert r["last_ts"] == s["last"].strftime("%Y-%m-%d %H:%M:%S"), uid
+
+
+def test_dup_span_scrub_matches_interval_model(spark, sf_dir):
+    """String 5-grams + literal per-position coverage marking (a boolean
+    array per doc, no interval arithmetic) reproduce covered counts."""
+    out = {r["doc_id"]: r for r in REGISTRY["x_dup_span_scrub"].fn(spark, sf_dir).collect()}
+    docs = {r["doc_id"]: r["text"].lower().split(" ") for r in load_table(spark, sf_dir, "documents").collect()}
+    k = 5
+    gram_counts: Counter = Counter()
+    for toks in docs.values():
+        for i in range(len(toks) - k + 1):
+            gram_counts[tuple(toks[i : i + k])] += 1
+    assert set(out) == set(docs)
+    any_covered = False
+    for doc_id, toks in docs.items():
+        covered = [False] * len(toks)
+        n_dup = 0
+        for i in range(len(toks) - k + 1):
+            if gram_counts[tuple(toks[i : i + k])] >= 2:
+                n_dup += 1
+                for j in range(i, i + k):
+                    covered[j] = True
+        r = out[doc_id]
+        assert r["n_tokens"] == len(toks), doc_id
+        assert r["n_dup_grams"] == n_dup, doc_id
+        assert r["covered_tokens"] == sum(covered), doc_id
+        assert 0 <= r["covered_tokens"] <= r["n_tokens"], doc_id
+        any_covered = any_covered or sum(covered) > 0
+    assert any_covered  # the fixture corpus does contain duplicated spans
+
+
+def test_interpolate_grid_and_endpoint_properties(spark, sf_dir):
+    """Dense hourly grid per user; observed buckets carry the truncated
+    integer bucket mean; interpolated values sit within [min(pv, nv),
+    max(pv, nv)] of their bracketing observations."""
+    rows = REGISTRY["x_interpolate"].fn(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    ev = [
+        r
+        for r in load_table(spark, sf_dir, "events").collect()
+        if r["user_id"] < 20
+    ]
+    obs: dict[tuple, list] = defaultdict(list)
+    for r in ev:
+        obs[(r["user_id"], r["ts"].strftime("%Y-%m-%d %H:00:00"))].append(
+            D(str(r["value"])).quantize(D("0.0001"))
+        )
+    assert set(by_user) == {r["user_id"] for r in ev}
+    for uid, urows in by_user.items():
+        urows.sort(key=lambda r: r["hour"])
+        hours = [r["hour"] for r in urows]
+        assert len(hours) == len(set(hours))
+        # dense grid: one row per hour between the user's first and last
+        import datetime
+
+        t0 = datetime.datetime.strptime(hours[0], "%Y-%m-%d %H:%M:%S")
+        t1 = datetime.datetime.strptime(hours[-1], "%Y-%m-%d %H:%M:%S")
+        assert len(hours) == int((t1 - t0).total_seconds() // 3600) + 1
+        # observed buckets: truncated integer mean in ten-thousandths
+        anchors = []
+        for r in urows:
+            key = (uid, r["hour"])
+            if r["is_observed"]:
+                vals = obs[key]
+                want = int(sum(v * 10000 for v in vals) // len(vals))
+                assert r["v"] == want / 10000.0, key
+                anchors.append((r["hour"], r["v"]))
+            else:
+                assert key not in obs
+        # interpolated rows bounded by their bracketing observations
+        ai = 0
+        for r in urows:
+            if r["is_observed"]:
+                continue
+            while ai + 1 < len(anchors) and anchors[ai + 1][0] < r["hour"]:
+                ai += 1
+            lo, hi = anchors[ai], anchors[ai + 1]
+            assert lo[0] < r["hour"] < hi[0]
+            assert min(lo[1], hi[1]) - 1e-4 <= r["v"] <= max(lo[1], hi[1]) + 1e-4
+
+
+def test_mad_outliers_matches_python_model(spark, sf_dir):
+    out = {r["event_type"]: r for r in REGISTRY["x_mad_outliers"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").collect()
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r["event_type"]].append(_cents(r["value"]))
+    assert set(out) == set(groups)
+    for et, cents in groups.items():
+        cents.sort()
+        med = cents[(len(cents) + 1) // 2 - 1]  # lower median, 1-based rank
+        devs = sorted(abs(c - med) for c in cents)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        n_out = sum(1 for c in cents if abs(c - med) > 3 * mad)
+        r = out[et]
+        assert r["n"] == len(cents), et
+        assert r["median_value"] == med / 100.0, et
+        assert r["mad"] == mad / 100.0, et
+        assert r["n_outliers"] == n_out, et
+
+
+def test_phrase_search_matches_token_scan(spark, sf_dir):
+    from chyme_spark.ops.llm import _PHRASES
+
+    out = {
+        (r["phrase"], r["doc_id"]): r["n_matches"]
+        for r in REGISTRY["x_phrase_search"].fn(spark, sf_dir).collect()
+    }
+    docs = {r["doc_id"]: r["text"].lower().split(" ") for r in load_table(spark, sf_dir, "documents").collect()}
+    want: dict[tuple, int] = {}
+    for phrase in _PHRASES:
+        p = phrase.split(" ")
+        for doc_id, toks in docs.items():
+            n = sum(
+                1
+                for i in range(len(toks) - len(p) + 1)
+                if toks[i : i + len(p)] == p
+            )
+            if n:
+                want[(phrase, doc_id)] = n
+    assert out == want
+    assert want  # fixture corpus contains the probe phrases
+
+
+def test_column_profile_matches_pandas(spark, sf_dir):
+    import pandas as pd
+
+    out = {r["col_name"]: r for r in REGISTRY["x_column_profile"].fn(spark, sf_dir).collect()}
+    pdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    num_cols = {"l_quantity", "l_extendedprice"}
+    checks = {
+        "l_quantity": pdf["l_quantity"],
+        "l_extendedprice": pdf["l_extendedprice"],
+        "l_returnflag": pdf["l_returnflag"],
+        "l_linestatus": pdf["l_linestatus"],
+        "l_shipdate": pdf["l_shipdate"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    assert set(out) == set(checks)
+    for name, s in checks.items():
+        r = out[name]
+        assert r["n_rows"] == len(s), name
+        assert r["n_null"] == int(s.isna().sum()), name
+        assert r["n_distinct"] == s.nunique(dropna=True), name
+        if name in num_cols:
+            assert r["min_num"] == round(float(s.min()), 4), name
+            assert r["max_num"] == round(float(s.max()), 4), name
+            assert r["min_str"] is None and r["max_str"] is None, name
+        else:
+            assert r["min_str"] == s.min() and r["max_str"] == s.max(), name
+            assert r["min_num"] is None and r["max_num"] is None, name
+
+
+def test_partial_agg_merge_consistent_totals(spark, sf_dir):
+    """Merged monthly rows must re-total to the whole fact table, and a
+    spot month must equal a direct single-level aggregate."""
+    rows = REGISTRY["x_partial_agg_merge"].fn(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    assert sum(r["n"] for r in rows) == len(li)
+    direct = defaultdict(lambda: [0, D(0)])
+    for r in li:
+        key = (r["l_shipdate"].strftime("%Y-%m"), r["l_returnflag"])
+        direct[key][0] += 1
+        direct[key][1] += D(str(r["l_quantity"])).quantize(D("0.0001"))
+    assert len(rows) == len(direct)
+    for r in rows:
+        n, qty = direct[(r["month"], r["l_returnflag"])]
+        assert r["n"] == n
+        assert D(str(r["sum_qty"])) == qty.quantize(D("0.01"))
