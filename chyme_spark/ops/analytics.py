@@ -3049,3 +3049,71 @@ def x_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "x_longest_streak",
+    # Gaps-and-islands: longest run of CONSECUTIVE active days per user
+    # (the canonical engagement-streak query). Island identity is the
+    # date-minus-rank trick: within a user's distinct ordered days,
+    # consecutive days share (day - row_number), so islands fall out of
+    # one window plus one aggregate — no self-join, no recursion.
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events),
+    isl AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+        FROM days),
+    runs AS (
+        SELECT user_id, grp, count(*) AS len,
+               min(d) AS d0, max(d) AS d1
+        FROM isl GROUP BY user_id, grp),
+    tot AS (SELECT user_id, count(*) AS n_active_days FROM days GROUP BY user_id)
+    SELECT r.user_id, t.n_active_days,
+           r.len AS longest_streak,
+           strftime(r.d0, '%Y-%m-%d') AS streak_start,
+           strftime(r.d1, '%Y-%m-%d') AS streak_end
+    FROM runs r JOIN tot t USING (user_id)
+    QUALIFY row_number() OVER (
+        PARTITION BY r.user_id ORDER BY r.len DESC, r.d0) = 1
+    ORDER BY r.user_id
+    """,
+    doc="gaps-and-islands longest consecutive-day streak per user: date-minus-rank island ids, one window + one aggregate, earliest streak wins ties",
+)
+def x_longest_streak(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the fact collapses to DISTINCT (user, day) first —
+    the only fact-sized shuffle, bounded thereafter by users x days.
+    The island window and run aggregate both key on user (AQE coalesces
+    the tiny exchanges), and the per-user winner is a rank-1 filter,
+    not a join back. The date-minus-rank island id is pure row-local
+    arithmetic inside the window projection — no lag-compare chains, no
+    per-user iteration."""
+    ev = load_table(spark, sf, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.expr("date_sub(d, CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT))")
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    tot = days.groupBy("user_id").agg(F.count("*").alias("n_active_days"))
+    wbest = Window.partitionBy("user_id").orderBy(F.desc("len"), "d0")
+    return (
+        runs.join(tot, "user_id")
+        .withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "n_active_days",
+            F.col("len").alias("longest_streak"),
+            F.date_format("d0", "yyyy-MM-dd").alias("streak_start"),
+            F.date_format("d1", "yyyy-MM-dd").alias("streak_end"),
+        )
+        .orderBy("user_id")
+    )

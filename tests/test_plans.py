@@ -158,6 +158,9 @@ EXPECTED = {
     # windows/aggs + output sort; 3 broadcasts are the 5-row median
     # tables joining back (two hinted into the fact, one AQE)
     "x_mad_outliers": (6, 3, 0, False),
+    # streak: distinct (user, day) fact shuffle + user window + run agg
+    # + output sort; the totals join AQE-broadcasts
+    "x_longest_streak": (4, 1, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their
