@@ -3117,3 +3117,66 @@ def x_longest_streak(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "x_session_paths",
+    # Clickstream path analysis: sessionize (30-minute inactivity gap),
+    # render each session's ordered event-type sequence as a path
+    # string, and rank the most common paths — the product-analytics
+    # query behind "what do users actually do in a visit".
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_sess) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS sess
+        FROM g),
+    p AS (
+        SELECT user_id, sess,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM s GROUP BY user_id, sess)
+    SELECT path, count(*) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+    doc="sessionized path analysis: 30-min-gap sessions, ordered event-type path strings, top-20 most common journeys — one user-key window, order pinned by (ts, event_id), collect_list made deterministic via array_sort",
+)
+def x_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: ONE window shuffle on the user key computes both the
+    lag gap and the running session counter; the path build is a hash
+    aggregate whose collect_list is wrapped in array_sort(struct(ts,
+    event_id, type)) — aggregation buffers assemble in partition-
+    arrival order, so the sort inside the agg (not a sorted window with
+    a dedup pass) is what makes the path deterministic. Path strings
+    stay bounded by session length. Top-20 compiles to
+    TakeOrderedAndProject — no global sort of the path table."""
+    ev = load_table(spark, sf, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wu)
+    s = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("sess", F.sum("new_sess").over(wu))
+    paths = s.groupBy("user_id", "sess").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

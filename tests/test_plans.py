@@ -161,6 +161,9 @@ EXPECTED = {
     # streak: distinct (user, day) fact shuffle + user window + run agg
     # + output sort; the totals join AQE-broadcasts
     "x_longest_streak": (4, 1, 0, False),
+    # paths: ONE user window shuffle (the (user, sess) path agg reuses
+    # its partitioning) + the path-count agg; top-20 is TakeOrdered
+    "x_session_paths": (2, 0, 0, True),
 }
 
 # queries that must never contain a SinglePartition exchange: their
