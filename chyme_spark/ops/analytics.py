@@ -3180,3 +3180,107 @@ def x_session_paths(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+@query(
+    "x_market_basket",
+    # Market-basket co-occurrence: brand pairs appearing in the same
+    # order, with support (order count) — the classic association-rule
+    # precursor. Pairs are canonical (a < b) so each basket pair counts
+    # once regardless of line order.
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b2.p_brand AS brand_b
+        FROM b a JOIN b b2
+          ON a.l_orderkey = b2.l_orderkey AND a.p_brand < b2.p_brand)
+    SELECT brand_a, brand_b, count(*) AS support
+    FROM pairs GROUP BY brand_a, brand_b
+    ORDER BY support DESC, brand_a, brand_b
+    LIMIT 25
+    """,
+    doc="market-basket brand co-occurrence: distinct (order, brand) baskets self-paired canonically within the order key, support counts, top-25 — the association-rule support scan",
+)
+def x_market_basket(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the fact first collapses to DISTINCT (order, brand)
+    — the only fact-sized shuffle, and the step that bounds the
+    self-join: pairing happens per order key with per-basket
+    cardinality capped by the brand catalog (~25), so the join emits
+    O(orders x basket^2) canonical pairs, never a cross-order product.
+    The part dim broadcasts into the scan side. Pair support is one
+    hash aggregate; top-25 is TakeOrderedAndProject. AQE's skew split
+    covers a pathological mega-order."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("c.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("c.p_brand").alias("brand_b")
+        )
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "brand_a", "brand_b")
+        .limit(25)
+    )
+
+
+@query(
+    "x_rolling_dau",
+    # Rolling 7-day distinct active users per day (the WAU curve) —
+    # distinct counts do NOT merge across days, so the rolling window
+    # cannot reuse daily distinct counts; the scalable identity is
+    # CONTRIBUTION EXPLODE: each distinct (user, day) contributes to
+    # exactly the 7 window-end days [day, day+6], turning the sliding
+    # distinct into a plain groupBy.
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events),
+    cal AS (SELECT DISTINCT d FROM ud),
+    win AS (
+        SELECT c.d AS win_end, ud.user_id
+        FROM cal c JOIN ud
+          ON ud.d <= c.d AND ud.d >= c.d - 6)
+    SELECT strftime(win_end, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS dau7
+    FROM win GROUP BY win_end
+    ORDER BY day
+    """,
+    doc="rolling 7-day distinct active users per day: each distinct (user, day) explodes into its 7 contributing window ends, turning the un-mergeable sliding distinct into one groupBy — never a per-day rescan",
+)
+def x_rolling_dau(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the fact collapses to DISTINCT (user, day) once
+    (bounded by users x days), then a 7-element sequence explode maps
+    each row to its window ends — constant amplification, no range
+    self-join over the calendar and no 7x fact rescan. The final
+    count(DISTINCT user) per window end runs over user-day rows, with
+    Spark's two-phase distinct aggregate handling hot days. Window ends
+    are restricted to OBSERVED days (semi join with the day set) to
+    match the oracle's calendar exactly."""
+    ev = load_table(spark, sf, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    cal = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id", F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("win_end")
+    )
+    return (
+        contrib.join(cal, contrib.win_end == cal.d, "left_semi")
+        .groupBy("win_end")
+        .agg(F.count_distinct("user_id").alias("dau7"))
+        .select(F.date_format("win_end", "yyyy-MM-dd").alias("day"), "dau7")
+        .orderBy("day")
+    )

@@ -164,6 +164,13 @@ EXPECTED = {
     # paths: ONE user window shuffle (the (user, sess) path agg reuses
     # its partitioning) + the path-count agg; top-20 is TakeOrdered
     "x_session_paths": (2, 0, 0, True),
+    # basket: distinct (order, brand) shuffle + pair-support agg; the
+    # part dim broadcast + the AQE-promoted basket self-join build
+    "x_market_basket": (2, 2, 0, True),
+    # DAU: distinct (user, day) + calendar distinct + contribution
+    # groupBy with its two-phase count-distinct expand + output sort;
+    # the observed-day semi join AQE-broadcasts
+    "x_rolling_dau": (5, 1, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their
