@@ -3284,3 +3284,71 @@ def x_rolling_dau(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.date_format("win_end", "yyyy-MM-dd").alias("day"), "dau7")
         .orderBy("day")
     )
+
+
+@query(
+    "x_table_diff",
+    # Snapshot diff: classify every key across two table versions as
+    # added / removed / changed / unchanged — the data-reconciliation
+    # op behind CDC validation and backfill audits. The two "versions"
+    # derive deterministically from the same orders table (key mod
+    # filters + a price bump) so both engines diff identical inputs.
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+        WHERE o_orderkey % 10 <> 0),
+    nxt AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS v
+        FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT CASE
+             WHEN base.k IS NULL THEN 'added'
+             WHEN nxt.k IS NULL THEN 'removed'
+             WHEN base.v <> nxt.v THEN 'changed'
+             ELSE 'unchanged' END AS status,
+           count(*) AS n,
+           CAST(min(COALESCE(base.k, nxt.k)) AS BIGINT) AS min_key,
+           CAST(max(COALESCE(base.k, nxt.k)) AS BIGINT) AS max_key
+    FROM base FULL OUTER JOIN nxt ON base.k = nxt.k
+    GROUP BY status
+    ORDER BY status
+    """,
+    doc="snapshot diff / reconciliation: keyed full-outer join of two table versions classified added/removed/changed/unchanged with per-class counts and key ranges",
+)
+def x_table_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: one co-hashed full-outer join on the key (both
+    sides shuffle once; a full outer can never broadcast) feeding a
+    row-local CASE classifier and a 4-row aggregate — reconciliation
+    without collecting either side, and without the three separate
+    anti/semi/inner passes the naive formulation runs (one scan per
+    class = 3x the fact I/O). Price comparison is on the raw stored
+    doubles — bit-equality of unchanged values is exactly what a diff
+    wants, no epsilon."""
+    orders = load_table(spark, sf, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("bk"), F.col("o_totalprice").alias("bv")
+    )
+    nxt = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("nk"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")).alias("nv"),
+    )
+    status = (
+        F.when(F.col("bk").isNull(), F.lit("added"))
+        .when(F.col("nk").isNull(), F.lit("removed"))
+        .when(F.col("bv") != F.col("nv"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        base.join(nxt, F.col("bk") == F.col("nk"), "full_outer")
+        .select(status.alias("status"), F.coalesce("bk", "nk").alias("k"))
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").cast("bigint").alias("min_key"),
+            F.max("k").cast("bigint").alias("max_key"),
+        )
+        .orderBy("status")
+    )

@@ -82,13 +82,12 @@ _FRONT_50 = [
     "x_column_profile", "x_partial_agg_merge", "x_dup_span_scrub",
     "x_cdc_apply", "x_interpolate", "x_phrase_search",
     "x_mad_outliers", "x_longest_streak", "x_session_paths",
-    "x_market_basket", "x_rolling_dau",
+    "x_market_basket", "x_rolling_dau", "x_table_diff",
     # changed in round 6 — re-prove the rewritten arithmetic/plan
     "x_tpch_q14_promo_revenue", "x_tpch_q17_small_qty_parts",
     "x_embedding_centroids", "x_tpch_q11_important_stock",
     "x_tpch_q15_top_supplier", "d19_sort",
     # backfill: hash-proven greens last checked in ROUND 1 (stalest)
-    "x_bitwise_fns",
     # (x_string_agg rotated out for x_tpch_q9_product_profit,
     # x_quality_score for x_column_profile, x_multimodal_features for
     # x_partial_agg_merge, x_ngram_jaccard for x_dup_span_scrub,
@@ -96,8 +95,10 @@ _FRONT_50 = [
     # x_funnel for x_interpolate, x_fingerprint for x_phrase_search,
     # x_embedding_neardup for x_mad_outliers, x_doc_token_stats for
     # x_longest_streak, x_deterministic_split for x_session_paths,
-    # x_cube for x_market_basket, x_dedup_clusters for x_rolling_dau —
-    # all r1-green, return next round)
+    # x_cube for x_market_basket, x_dedup_clusters for x_rolling_dau,
+    # x_bitwise_fns for x_table_diff — all r1-green, return next round.
+    # The backfill section is now empty: every slot this round is a
+    # never-driver-checked r6 op or an implementation changed in r6)
     # backfill tail: oldest greens rotate out first as new r6 ops claim
     # slots at the head
     # (x_tfidf rotated out for x_pandas_grouped_agg;

@@ -171,6 +171,9 @@ EXPECTED = {
     # groupBy with its two-phase count-distinct expand + output sort;
     # the observed-day semi join AQE-broadcasts
     "x_rolling_dau": (5, 1, 0, False),
+    # diff: both snapshot scans shuffle into the (never-broadcastable)
+    # full-outer SMJ + the 4-row class agg + output sort
+    "x_table_diff": (4, 0, 1, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their
