@@ -219,3 +219,108 @@ def test_partial_agg_merge_consistent_totals(spark, sf_dir):
         n, qty = direct[(r["month"], r["l_returnflag"])]
         assert r["n"] == n
         assert D(str(r["sum_qty"])) == qty.quantize(D("0.01"))
+
+
+def test_longest_streak_matches_python_scan(spark, sf_dir):
+    rows = {r["user_id"]: r for r in REGISTRY["x_longest_streak"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").collect()
+    days = defaultdict(set)
+    for r in ev:
+        days[r["user_id"]].add(r["ts"].date())
+    assert set(rows) == set(days)
+    for uid, ds in days.items():
+        ordered = sorted(ds)
+        best_len, best_start = 1, ordered[0]
+        cur_len, cur_start = 1, ordered[0]
+        for prev, cur in zip(ordered, ordered[1:]):
+            if (cur - prev).days == 1:
+                cur_len += 1
+            else:
+                cur_len, cur_start = 1, cur
+            if cur_len > best_len:  # strict: earliest streak wins ties
+                best_len, best_start = cur_len, cur_start
+        r = rows[uid]
+        assert r["n_active_days"] == len(ds), uid
+        assert r["longest_streak"] == best_len, uid
+        assert r["streak_start"] == best_start.strftime("%Y-%m-%d"), uid
+
+
+def test_session_paths_match_python_sessionizer(spark, sf_dir):
+    out = {(r["path"]): r["n_sessions"] for r in REGISTRY["x_session_paths"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    paths: Counter = Counter()
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        cur: list[str] = []
+        last = None
+        for r in rs:
+            if last is not None and (r["ts"] - last).total_seconds() > 30 * 60:
+                paths[">".join(cur)] += 1
+                cur = []
+            cur.append(r["event_type"])
+            last = r["ts"]
+        if cur:
+            paths[">".join(cur)] += 1
+    want = dict(
+        sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    )
+    assert out == want
+
+
+def test_market_basket_matches_python_pairs(spark, sf_dir):
+    from itertools import combinations
+
+    out = {(r["brand_a"], r["brand_b"]): r["support"] for r in REGISTRY["x_market_basket"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    part = {r["p_partkey"]: r["p_brand"] for r in load_table(spark, sf_dir, "part").collect()}
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(part[r["l_partkey"]])
+    support: Counter = Counter()
+    for brands in baskets.values():
+        for a, b in combinations(sorted(brands), 2):
+            support[(a, b)] += 1
+    want = dict(sorted(support.items(), key=lambda kv: (-kv[1], kv[0]))[:25])
+    assert out == want
+
+
+def test_rolling_dau_matches_python_windows(spark, sf_dir):
+    import datetime
+
+    out = {r["day"]: r["dau7"] for r in REGISTRY["x_rolling_dau"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").collect()
+    ud = {(r["user_id"], r["ts"].date()) for r in ev}
+    observed = sorted({d for _, d in ud})
+    want = {}
+    for end in observed:
+        lo = end - datetime.timedelta(days=6)
+        want[end.strftime("%Y-%m-%d")] = len(
+            {u for u, d in ud if lo <= d <= end}
+        )
+    assert out == want
+
+
+def test_table_diff_partitions_every_key_once(spark, sf_dir):
+    rows = {r["status"]: r for r in REGISTRY["x_table_diff"].fn(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").collect()
+    base = {r["o_orderkey"]: r["o_totalprice"] for r in orders if r["o_orderkey"] % 10 != 0}
+    nxt = {
+        r["o_orderkey"]: (r["o_totalprice"] + 1.0 if r["o_orderkey"] % 3 == 0 else r["o_totalprice"])
+        for r in orders
+        if r["o_orderkey"] % 7 != 0
+    }
+    want = Counter()
+    for k in base.keys() | nxt.keys():
+        if k not in base:
+            want["added"] += 1
+        elif k not in nxt:
+            want["removed"] += 1
+        elif base[k] != nxt[k]:
+            want["changed"] += 1
+        else:
+            want["unchanged"] += 1
+    assert {s: r["n"] for s, r in rows.items()} == dict(want)
+    assert sum(want.values()) == len(base.keys() | nxt.keys())
