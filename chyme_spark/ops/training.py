@@ -672,3 +672,70 @@ def x_embedding_pq(
     )
     vecs.unpersist()
     return out
+
+
+@query(
+    "x_mmr_rerank",
+    oracle=None,  # rows-only: iterative greedy selection is not SQL-expressible;
+    # the selection contract is pinned by tests/test_round6_cont3.py
+    # (first pick == plain top-1, exact match vs an independent Python
+    # MMR model, and strictly-no-worse diversity than plain top-k)
+    doc="Maximal Marginal Relevance re-rank: Spark generates the bounded candidate pool (one corpus cosine pass), then greedy lambda-tradeoff selection picks k diverse results — the retrieval step between ANN and context packing",
+)
+def x_mmr_rerank(
+    spark: SparkSession, sf: str, pool: int = 32, k: int = 10, lam_ppm: int = 700000
+) -> DataFrame:
+    """MMR (Carbonell & Goldstein 1998, public): greedily pick the
+    candidate maximizing lam * sim(query, c) - (1 - lam) * max sim(c,
+    selected).
+
+    100 TB plan: the HEAVY step — scoring the corpus against the query
+    and keeping the top ``pool`` — is one Spark pass (broadcast query,
+    TakeOrdered pool), identical in shape to d44. The greedy loop is
+    O(k * pool) on a pool BOUNDED BY CONSTRUCTION (32 vectors), the one
+    place driver-side compute is the honest design (the same bounded
+    exception as the collected query set, training.py cosine path); an
+    in-Spark loop would launch k jobs to argmax 32 rows. Determinism:
+    every similarity is rounded to 6 dp before comparison and ties
+    break on vec_id, so float noise cannot reorder the selection; lam
+    arrives as integer ppm for the same reason."""
+    from chyme_spark.ops.llm import _dot, _norm
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+    cos = F.round(
+        _dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+    ).cast("double")
+    cand = (
+        corpus.join(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", "nrm", cos.alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(pool)
+        .collect()  # bounded: exactly `pool` rows by construction
+    )
+    lam = lam_ppm / 1_000_000.0
+
+    def pair_sim(a, b) -> float:
+        dot = sum(x * y for x, y in zip(a["embedding"], b["embedding"]))
+        return round(dot / (a["nrm"] * b["nrm"]), 6)
+
+    selected: list = []
+    remaining = list(cand)
+    while remaining and len(selected) < k:
+        best = None
+        for c in remaining:
+            penalty = max((pair_sim(c, s) for s in selected), default=0.0)
+            score = round(lam * c["rel"] - (1 - lam) * penalty, 6)
+            key = (score, -c["vec_id"])
+            if best is None or key > best[0]:
+                best = (key, c, score)
+        selected.append(best[1])
+        remaining.remove(best[1])
+    rows = [
+        (i + 1, r["vec_id"], float(r["rel"])) for i, r in enumerate(selected)
+    ]
+    return spark.createDataFrame(rows, "rank int, vec_id bigint, relevance double")

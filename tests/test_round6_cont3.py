@@ -324,3 +324,48 @@ def test_table_diff_partitions_every_key_once(spark, sf_dir):
             want["unchanged"] += 1
     assert {s: r["n"] for s, r in rows.items()} == dict(want)
     assert sum(want.values()) == len(base.keys() | nxt.keys())
+
+
+def test_mmr_rerank_matches_model_and_diversifies(spark, sf_dir):
+    """Independent model: pure-Python greedy MMR from the raw embeddings
+    (no Spark scoring reused). Also asserts the diversity contract: the
+    MMR set's mean pairwise similarity is <= the plain top-k set's."""
+    import math
+
+    out = REGISTRY["x_mmr_rerank"].fn(spark, sf_dir).collect()
+    emb = {r["vec_id"]: list(r["embedding"]) for r in load_table(spark, sf_dir, "embeddings").collect()}
+
+    def sim(a, b):
+        dot = sum(x * y for x, y in zip(emb[a], emb[b]))
+        na = math.sqrt(sum(x * x for x in emb[a]))
+        nb = math.sqrt(sum(x * x for x in emb[b]))
+        return round(dot / (na * nb), 6)
+
+    pool = sorted(
+        ((sim(0, v), v) for v in emb if v != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:32]
+    lam = 0.7
+    selected: list[int] = []
+    rel = dict((v, s) for s, v in pool)
+    remaining = [v for _, v in pool]
+    while remaining and len(selected) < 10:
+        best = None
+        for c in remaining:
+            pen = max((sim(c, s) for s in selected), default=0.0)
+            score = round(lam * rel[c] - (1 - lam) * pen, 6)
+            if best is None or (score, -c) > best[0]:
+                best = ((score, -c), c)
+        selected.append(best[1])
+        remaining.remove(best[1])
+    assert [r["vec_id"] for r in out] == selected
+    assert out[0]["vec_id"] == pool[0][1]  # first pick is plain top-1
+    topk = [v for _, v in pool[:10]]
+
+    def mean_pair(ids):
+        import itertools
+
+        ps = [sim(a, b) for a, b in itertools.combinations(ids, 2)]
+        return sum(ps) / len(ps)
+
+    assert mean_pair(selected) <= mean_pair(topk) + 1e-9
