@@ -2624,7 +2624,11 @@ def x_last_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
       FROM lineitem
       UNION ALL
       SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
-             count(DISTINCT l_shipdate),
+             -- distinct over the RENDERED second-granularity string, to
+             -- match the profiled representation (the raw column is
+             -- timestamp[ms]; two shipdates inside one second must not
+             -- diverge the engines — round-6 review)
+             count(DISTINCT strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')),
              CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
              min(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')),
              max(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'))
@@ -3095,7 +3099,6 @@ def x_longest_streak(spark: SparkSession, sf: str) -> DataFrame:
     days = ev.select(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
     ).distinct()
-    w = Window.partitionBy("user_id").orderBy("d")
     isl = days.withColumn(
         "grp", F.expr("date_sub(d, CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT))")
     )
@@ -3160,10 +3163,15 @@ def x_session_paths(spark: SparkSession, sf: str) -> DataFrame:
     TakeOrderedAndProject — no global sort of the path table."""
     ev = load_table(spark, sf, "events")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wu)
+    # gap in MICROSECONDS: ts carries sub-second components, and a
+    # second-truncated cast("long") gap disagrees with the oracle's
+    # exact INTERVAL comparison when a boundary gap has a fractional
+    # part (round-6 review: one sf0.01 gap already sits in the
+    # (1799 s, 1802 s) band)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wu)
     s = ev.withColumn(
         "new_sess",
-        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
     ).withColumn("sess", F.sum("new_sess").over(wu))
     paths = s.groupBy("user_id", "sess").agg(
         F.array_join(
