@@ -97,6 +97,22 @@ HEADLINE = [
 ]
 
 
+def _cpu_calibration() -> float:
+    """Fixed single-thread workload, timed: a host-speed constant.
+
+    Round-over-round bench comparisons run on whatever host the driver
+    has that day; round 6 measured a uniform ~1.25x drift on UNTOUCHED
+    narrow-map queries (d27/d24) across runs hours apart — pure host
+    speed, not plans. Dividing per-query times by this constant
+    separates real regressions from the weather."""
+    t0 = time.time()
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc + i * i) % 1_000_000_007
+    assert acc >= 0
+    return round(time.time() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from chyme_spark.registry import load_all
@@ -224,6 +240,10 @@ def main() -> None:
         "steady_passes": n_steady,
         "steady_total": round(sum(steady.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # single-thread host-speed constant (see _cpu_calibration):
+        # divide query times by (this / a reference run's value) before
+        # calling a cross-round delta a regression
+        "cpu_calibration_sec": _cpu_calibration(),
     }
     if sf1_block is not None:
         out["sf1"] = sf1_block
