@@ -2704,8 +2704,11 @@ def x_column_profile(spark: SparkSession, sf: str) -> DataFrame:
            CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
            CAST(ROUND(MIN(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS min_price,
            CAST(ROUND(MAX(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS max_price,
-           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-                      / count(*), 4) AS DOUBLE) AS avg_price
+           -- TWAP discipline: a double quotient ROUND(x, 4) flips at
+           -- half-ulp boundaries (sf0.001 hit 50416.73875 exactly);
+           -- integer floor division of exact ten-thousandths is pinned
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+             // count(*) / 10000.0 AS avg_price
     FROM lineitem
     GROUP BY month, l_returnflag
     ORDER BY month, l_returnflag
@@ -2719,9 +2722,10 @@ def x_partial_agg_merge(spark: SparkSession, sf: str) -> DataFrame:
     never the fact history. Every aggregate here is chosen to be
     mergeable: sums/counts add, min/min and max/max compose, and avg is
     NOT averaged-of-averages (wrong under unequal day sizes) but
-    reconstructed from merged (decimal sum, count) with one IEEE
-    division at the end, so the result is bit-identical to a raw-fact
-    aggregate. Two shuffles total, the second over day-cardinality
+    reconstructed from merged (decimal sum, count) by exact integer
+    floor division in ten-thousandths (the TWAP discipline — a rounded
+    double quotient flips at half-ulp boundaries), so the result is
+    bit-identical to a raw-fact aggregate. Two shuffles total, the second over day-cardinality
     partials. Non-mergeable aggregates (exact median, exact distinct)
     need sketch state instead — x_hll_sketch_union is that pattern."""
     li = load_table(spark, sf, "lineitem")
@@ -2743,9 +2747,10 @@ def x_partial_agg_merge(spark: SparkSession, sf: str) -> DataFrame:
             money(F.sum("p_sum_qty")).alias("sum_qty"),
             money(F.min("p_min_price")).alias("min_price"),
             money(F.max("p_max_price")).alias("max_price"),
-            F.round(
-                F.sum("p_sum_price").cast("double") / F.sum("p_n"), 4
-            ).cast("double").alias("avg_price"),
+            (
+                F.expr("CAST(sum(p_sum_price) * 10000 AS BIGINT) div sum(p_n)")
+                / F.lit(10000.0)
+            ).alias("avg_price"),
         )
         .orderBy("month", "l_returnflag")
     )

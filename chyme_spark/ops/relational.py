@@ -149,7 +149,11 @@ def d05_distinct(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM lineitem
     QUALIFY row_number() OVER (
         PARTITION BY l_orderkey, l_partkey
-        ORDER BY l_linenumber, l_suppkey) = 1
+        -- l_quantity completes the tiebreak: sf0.001 contains a pair of
+        -- rows identical in (okey, pkey, linenumber, suppkey) differing
+        -- only in quantity, which left this order underdetermined (the
+        -- Spark side's min(struct) always included it)
+        ORDER BY l_linenumber, l_suppkey, l_quantity) = 1
     """,
     doc="D-06 deterministic keyed dedup via row_number (ref task-hash ledger internal/core/task.go:157-179)",
 )
