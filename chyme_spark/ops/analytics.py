@@ -3365,3 +3365,82 @@ def x_table_diff(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "x_temporal_join",
+    # Point-in-time correctness: each purchase joins the dimension
+    # VERSION that was valid at the purchase's own timestamp (SCD2
+    # lookup) — the join every feature-store and revenue report needs
+    # and the one naive "join latest" pipelines silently get wrong.
+    # Signups act as dimension updates (each sets the user's plan value
+    # until the next signup); purchases are the fact probes.
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts AS valid_from, value AS plan_value,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS valid_to
+        FROM events WHERE event_type = 'signup'),
+    f AS (
+        SELECT user_id, event_id AS purchase_id, ts,
+               CAST(value AS DECIMAL(18,4)) AS amount
+        FROM events WHERE event_type = 'purchase')
+    SELECT f.purchase_id, f.user_id,
+           strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(v.valid_from, '%Y-%m-%d %H:%M:%S') AS version_ts,
+           CAST(v.plan_value AS DOUBLE) AS plan_value,
+           CAST(f.amount AS DOUBLE) AS amount
+    FROM f JOIN v
+      ON f.user_id = v.user_id
+     AND f.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+    ORDER BY f.purchase_id
+    """,
+    doc="point-in-time SCD2 lookup: purchases join the dimension version valid at their own timestamp — equi-join on the key with the interval predicate as a post-join filter, versions built by one lead() window",
+)
+def x_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: versions build with ONE window over the update
+    subset (filter pushed to the scan); the lookup is an EQUI-join on
+    user_id — the interval test rides along as a join residual, so
+    Spark plans a hash join keyed on the user, never a range nested
+    loop. Each probe matches at most one version (intervals partition
+    the timeline per key by construction), so output cardinality equals
+    the fact's. Contrast x_asof_join: the union+ordered-window strategy
+    avoids materializing intervals and wins when versions churn fast;
+    this interval-join form wins when the dimension is stable and
+    reused by many facts (build once, probe many). Both are one
+    fact-sized shuffle."""
+    ev = load_table(spark, sf, "events")
+    # (ts, event_id) tiebreak matches the oracle exactly: two updates in
+    # the same instant must version in the same order on both engines
+    wv = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    v = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            "event_id",
+            F.col("value").alias("plan_value"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(wv))
+        .drop("event_id")
+    )
+    f = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", dec("value").alias("amount")
+    )
+    return (
+        f.join(v, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            ts_str("ts").alias("purchase_ts"),
+            ts_str("valid_from").alias("version_ts"),
+            F.col("plan_value").cast("double").alias("plan_value"),
+            F.col("amount").cast("double").alias("amount"),
+        )
+        .orderBy("purchase_id")
+    )

@@ -174,6 +174,10 @@ EXPECTED = {
     # diff: both snapshot scans shuffle into the (never-broadcastable)
     # full-outer SMJ + the 4-row class agg + output sort
     "x_table_diff": (4, 0, 1, False),
+    # temporal: version window shuffle + output sort; the probe join is
+    # an EQUI hash join on user (interval predicate is a residual, no
+    # range nested loop) — AQE-broadcast at this SF
+    "x_temporal_join": (2, 1, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their
