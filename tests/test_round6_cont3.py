@@ -369,3 +369,36 @@ def test_mmr_rerank_matches_model_and_diversifies(spark, sf_dir):
         return sum(ps) / len(ps)
 
     assert mean_pair(selected) <= mean_pair(topk) + 1e-9
+
+
+def test_temporal_join_point_in_time_contract(spark, sf_dir):
+    """Every purchase matches exactly the signup version whose interval
+    contains it (pure-Python bisect model), and purchases before a
+    user's first signup are absent."""
+    import bisect
+
+    out = {r["purchase_id"]: r for r in REGISTRY["x_temporal_join"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").collect()
+    signups = defaultdict(list)
+    for r in ev:
+        if r["event_type"] == "signup":
+            signups[r["user_id"]].append((r["ts"], r["event_id"], r["value"]))
+    for v in signups.values():
+        v.sort()
+    want = {}
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        vs = signups.get(r["user_id"], [])
+        i = bisect.bisect_right([(ts, eid) for ts, eid, _ in vs], (r["ts"],)) - 1
+        # bisect on (ts,) lands before same-ts versions; walk to the
+        # last version with valid_from <= purchase ts
+        while i + 1 < len(vs) and vs[i + 1][0] <= r["ts"]:
+            i += 1
+        if i >= 0:
+            want[r["event_id"]] = vs[i]
+    assert set(out) == set(want)
+    for pid, (vts, _, vval) in want.items():
+        r = out[pid]
+        assert r["version_ts"] == vts.strftime("%Y-%m-%d %H:%M:%S"), pid
+        assert r["plan_value"] == vval, pid
