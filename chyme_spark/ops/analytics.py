@@ -3444,3 +3444,77 @@ def x_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "x_decile_bins",
+    # Exact equi-depth binning: NTILE(10) over the full order table —
+    # the feature-engineering discretizer. NTILE's exact contract
+    # (first n%B buckets get one extra row) is reproduced from a
+    # distributed rank, so the result is bit-equal to the single
+    # window the oracle runs.
+    oracle="""
+    WITH r AS (
+        SELECT o_orderkey, o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders)
+    SELECT bucket, count(*) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi
+    FROM r GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="exact equi-depth decile binning: NTILE(10) reproduced from the two-level distributed rank (price-domain buckets + exclusive prefix counts) plus closed-form NTILE arithmetic — no single-partition window",
+)
+def x_decile_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: NTILE over a bare ORDER BY is the same
+    single-partition window d19_sort just eliminated, so this op
+    derives the exact global rank the same two-level way (price-domain
+    groups rank locally in parallel; the ~6k-row group-count table
+    takes the tiny exclusive-prefix window and broadcasts back), then
+    maps rank -> bucket with NTILE's closed form: with q = n/B and
+    rem = n%B, the first rem buckets hold q+1 rows. Every step is
+    integer arithmetic on (rank, n) — nothing to round, nothing
+    engine-specific. The bin edges (min/max per bucket) come from the
+    10-row aggregate, giving the discretizer's lookup table directly."""
+    orders = load_table(spark, sf, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / 100).cast("long").alias("grp"),
+    )
+    wl = Window.partitionBy("grp").orderBy("o_totalprice", "o_orderkey")
+    local = base.withColumn("lrank", F.row_number().over(wl))
+    counts = base.groupBy("grp").agg(F.count("*").alias("c"))
+    wg = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "grp",
+        F.coalesce(F.sum("c").over(wg), F.lit(0)).alias("off"),
+        F.sum("c").over(
+            Window.orderBy("grp").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    ranked = local.join(F.broadcast(offsets), "grp").select(
+        "o_totalprice",
+        (F.col("off") + F.col("lrank")).alias("r"),
+        F.col("n"),
+    )
+    # NTILE closed form: q = n div B, rem = n mod B; rank threshold
+    # rem*(q+1) splits the fat (q+1-row) buckets from the thin ones
+    bucket = F.expr(
+        "CASE WHEN r <= (n % 10) * (n div 10 + 1) "
+        "THEN (r - 1) div (n div 10 + 1) + 1 "
+        "ELSE (n % 10) + (r - 1 - (n % 10) * (n div 10 + 1)) div (n div 10) + 1 END"
+    )
+    return (
+        ranked.select(bucket.cast("int").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

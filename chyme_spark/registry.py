@@ -83,16 +83,18 @@ _FRONT_50 = [
     "x_cdc_apply", "x_interpolate", "x_phrase_search",
     "x_mad_outliers", "x_longest_streak", "x_session_paths",
     "x_market_basket", "x_rolling_dau", "x_table_diff",
-    "x_mmr_rerank", "x_temporal_join",
+    "x_mmr_rerank", "x_temporal_join", "x_decile_bins",
     # changed in round 6 — re-prove the rewritten arithmetic/plan
     # (x_embedding_centroids yielded its slot to x_mmr_rerank, whose
     # never-checked row the window-coverage test mandates; the
     # decimal-pinning change class stays represented by Q14/Q17, and
     # centroids is green at sf0.01+sf0.1+7-partition locally)
-    # (x_tpch_q15_top_supplier yielded its slot to x_temporal_join the
-    # same way — Q11 remains as the empty-window-rewrite re-proof
-    # representative; Q15 is green locally at sf0.001/0.01/0.1)
-    "x_tpch_q14_promo_revenue", "x_tpch_q17_small_qty_parts",
+    # (x_tpch_q15_top_supplier yielded its slot to x_temporal_join and
+    # x_tpch_q17_small_qty_parts to x_decile_bins the same way — Q11
+    # stays as the empty-window-rewrite re-proof representative and Q14
+    # as the decimal-pinning one; Q15/Q17 are green locally at
+    # sf0.001/0.01/0.1)
+    "x_tpch_q14_promo_revenue",
     "x_tpch_q11_important_stock", "d19_sort",
     # backfill: hash-proven greens last checked in ROUND 1 (stalest)
     # (x_string_agg rotated out for x_tpch_q9_product_profit,

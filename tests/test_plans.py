@@ -178,6 +178,10 @@ EXPECTED = {
     # an EQUI hash join on user (interval predicate is a residual, no
     # range nested loop) — AQE-broadcast at this SF
     "x_temporal_join": (2, 1, 0, False),
+    # deciles: grp window shuffle + grp counts + rank-bucket agg +
+    # 10-row output sort + the domain-bounded offsets windows; the
+    # offsets table broadcasts back (d19's two-level rank, ascending)
+    "x_decile_bins": (5, 1, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their
