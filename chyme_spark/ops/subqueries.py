@@ -42,22 +42,27 @@ def x_corr_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "x_range_frame",
+    # ordering key is exact MICROSECONDS on both engines: the earlier
+    # seconds key diverged at sf0.1 because Spark's unix_timestamp
+    # truncates the fractional second while duckdb's CAST(epoch(ts) AS
+    # BIGINT) rounds it — adjacent events landed on different ordering
+    # keys and the RANGE peer sets (and thus the sums) differed
     oracle="""
     SELECT event_id, user_id,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
-               PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
-               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
            AS hour_value
     FROM events
     """,
-    doc="value-RANGE window frame: trailing 1-hour sum per user (peers included by value, not row position)",
+    doc="value-RANGE window frame: trailing 1-hour sum per user (peers included by value, not row position; exact-microsecond ordering key)",
 )
 def x_range_frame(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts").cast("bigint"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return ev.select(
         "event_id",

@@ -89,12 +89,15 @@ _FRONT_50 = [
     # never-checked row the window-coverage test mandates; the
     # decimal-pinning change class stays represented by Q14/Q17, and
     # centroids is green at sf0.01+sf0.1+7-partition locally)
-    # (x_tpch_q15_top_supplier yielded its slot to x_temporal_join and
-    # x_tpch_q17_small_qty_parts to x_decile_bins the same way — Q11
-    # stays as the empty-window-rewrite re-proof representative and Q14
-    # as the decimal-pinning one; Q15/Q17 are green locally at
-    # sf0.001/0.01/0.1)
-    "x_tpch_q14_promo_revenue",
+    # (x_tpch_q15_top_supplier yielded its slot to x_temporal_join,
+    # x_tpch_q17_small_qty_parts to x_decile_bins, and
+    # x_tpch_q14_promo_revenue to x_range_frame — Q11 stays as the
+    # empty-window-rewrite re-proof representative; Q14/Q15/Q17 are
+    # green locally at sf0.001/0.01/0.1. x_range_frame's ordering key
+    # was FIXED this round after the sf0.1 full sweep exposed a
+    # truncate-vs-round divergence, so its driver re-proof outranks the
+    # decimal trio's)
+    "x_range_frame",
     "x_tpch_q11_important_stock", "d19_sort",
     # backfill: hash-proven greens last checked in ROUND 1 (stalest)
     # (x_string_agg rotated out for x_tpch_q9_product_profit,
