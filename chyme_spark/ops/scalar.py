@@ -213,7 +213,12 @@ def d29_hash_fns(spark: SparkSession, sf: str) -> DataFrame:
            month(o_orderdate) AS order_month,
            strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
            date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
-           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+           -- floor, not bare CAST: duckdb CAST(double->BIGINT) rounds
+           -- while Spark unix_timestamp truncates — divergent on any
+           -- fractional second (the x_range_frame sf0.1 lesson);
+           -- o_orderdate is day-granular today, but only by generator
+           -- convention
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
     FROM orders
     """,
     doc="D-30 date/time bundle over order timestamps",
