@@ -167,3 +167,33 @@ def test_boilerplate_scrub_matches_python_model(spark, corpus, k, min_df):
         for r in boilerplate_scrub(docs, seg_words=k, min_df=min_df).collect()
     }
     assert got == _py_boilerplate(texts, k, min_df)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    b=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200)
+def test_ntile_closed_form_matches_definition(n: int, b: int):
+    """x_decile_bins' closed-form bucket arithmetic must equal NTILE's
+    definition (first n%B buckets get ceil(n/B) rows, the rest floor)
+    for every (n, B), not just (row-count, 10) in the fixtures."""
+    q, rem = divmod(n, b)
+
+    def closed_form(r: int) -> int:
+        if r <= rem * (q + 1):
+            return (r - 1) // (q + 1) + 1
+        return rem + (r - 1 - rem * (q + 1)) // q + 1
+
+    # reference: assign ranks 1..n to buckets 1..B the way SQL NTILE
+    # does — walk buckets in order, fat buckets first
+    ref = []
+    bucket, left = 1, q + 1 if rem > 0 else q
+    for _ in range(n):
+        ref.append(bucket)
+        left -= 1
+        if left == 0 and len(ref) < n:
+            bucket += 1
+            left = q + 1 if bucket <= rem else q
+    got = [closed_form(r) for r in range(1, n + 1)]
+    assert got == ref
