@@ -2900,3 +2900,105 @@ def x_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_matches"))
         .orderBy("phrase", "doc_id")
     )
+
+
+@query(
+    "x_ppjoin_setsim",
+    # Exact set-similarity self-join at Jaccard >= 0.95 with PPJoin
+    # prefix filtering (Xiao et al., WWW'08, public): order every
+    # doc's token set by one GLOBAL frequency order (rarest first) and
+    # keep only the first |s| - ceil(t*|s|) + 1 tokens as the prefix —
+    # two sets with J >= t provably share a prefix token, so candidate
+    # generation is an equi-join on prefix tokens, never all-pairs,
+    # and verification runs exact Jaccard on candidates only. The
+    # oracle is the unfiltered all-pairs join: prefix filtering is
+    # LOSSLESS, so the outputs must match exactly.
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents),
+    s AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    i AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS DOUBLE) AS jaccard
+    FROM i
+    JOIN s sa ON sa.doc_id = doc_a
+    JOIN s sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95
+    ORDER BY doc_a, doc_b
+    """,
+    doc="PPJoin exact set-similarity self-join (J >= 0.95): global rarest-first token order, |s|-ceil(t|s|)+1 prefixes, candidate equi-join on prefix tokens, exact verify — lossless, oracle-proven equal to all-pairs",
+)
+def x_ppjoin_setsim(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the all-pairs form shuffles |corpus|^2 through hot
+    tokens; PPJoin's candidate join carries only PREFIX postings —
+    rarest-first ordering puts the lowest-frequency tokens in the
+    prefixes, so the hottest tokens never generate candidates. The
+    global frequency table is vocabulary-sized (broadcast); prefix
+    selection is one per-doc window over the token join; verification
+    joins full token lists ONLY for candidate pairs. Prefix length is
+    exact integer arithmetic: ceil(19n/20) = (19n + 19) div 20 — no
+    float thresholds anywhere until the final reported Jaccard (one
+    identical division + round on both engines, the x_ngram_jaccard
+    pattern)."""
+    t_num, t_den = 19, 20  # t = 0.95 as an exact rational
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    # vocabulary-sized global order (rarest first, token tiebreak);
+    # the single-partition window is over the vocab table, not facts
+    wv = Window.orderBy("df", "tok")
+    order = freq.select("tok", F.row_number().over(wv).alias("tok_rank"))
+    sized = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ranked = (
+        tok.join(F.broadcast(order), "tok")
+        .join(sized, "doc_id")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("tok_rank")
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.expr(f"({t_num} * n + {t_num}) div {t_den}") + 1
+    ).select("doc_id", "tok")
+    pa = prefix.alias("pa")
+    pb = prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sized.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.95)
+        .select(
+            "doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard")
+        )
+        .orderBy("doc_a", "doc_b")
+    )

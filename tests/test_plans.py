@@ -182,6 +182,10 @@ EXPECTED = {
     # 10-row output sort + the domain-bounded offsets windows; the
     # offsets table broadcasts back (d19's two-level rank, ascending)
     "x_decile_bins": (5, 1, 0, False),
+    # PPJoin: distinct-token + vocab-freq + doc-size + prefix-window
+    # shuffles + candidate/verify aggs; the vocab order broadcasts by
+    # hint, the rest AQE-promote at this SF
+    "x_ppjoin_setsim": (5, 7, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their
