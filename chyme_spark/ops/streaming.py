@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from chyme_spark.ops.common import dec, money
+from chyme_spark.ops.common import dec, money, ts_str
 from chyme_spark.registry import query
 from chyme_spark.session import load_table
 
@@ -386,3 +386,78 @@ def d41_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
     sink = _run_to_memory(deduped, "append")
     return sink.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "x_stream_session_timeout",
+    oracle=None,  # rows-only: custom timeout state is not SQL-expressible;
+    # the emission contract (closed sessions == batch d37 sessionization
+    # minus each user's trailing open session) is pinned by
+    # tests/test_ann_and_state.py::test_stream_session_timeout_matches_batch
+    doc="stateful streaming sessionization with closure emission: applyInPandasWithState holds each user's open session and emits a session ONLY when it closes (gap detected by a later event, or event-time timeout past the watermark) — the production 'session ended' feed",
+)
+def x_stream_session_timeout(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB design: state is ONE open session per user (four scalars)
+    — not buffered events — so state size is bounded by active users,
+    and the watermark-driven timeout (setTimeoutTimestamp at last_seen
+    + gap) guarantees idle sessions close and release state instead of
+    accumulating forever (the leak every naive stateful sessionizer
+    ships with). In-batch closures emit immediately; only each user's
+    trailing open session waits on the timeout. Mirrors d37's batch
+    semantics exactly for every closed session (pinned by the pytest
+    contract above; ref process-state checkpoint
+    internal/worker/persistance.go:25-69)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = _SESSION_GAP_S * 1_000_000
+    ev = (
+        _events_stream(spark, sf)
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", "value")
+    )
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        out = []
+        if state.hasTimedOut:
+            s0, last, n, total = state.get
+            out.append((uid, s0, last, n, round(total, 2)))
+            state.remove()
+        else:
+            batch = pd.concat(list(pdfs))
+            if len(batch):
+                batch = batch.sort_values("ts")
+                us = (batch["ts"].astype("int64") // 1000).tolist()  # ns -> us
+                vals = batch["value"].tolist()
+                if state.exists:
+                    s0, last, n, total = state.get
+                else:
+                    s0, last, n, total = us[0], us[0], 0, 0.0
+                for t, v in zip(us, vals):
+                    if n and t - last > gap_us:
+                        out.append((uid, s0, last, n, round(total, 2)))
+                        s0, n, total = t, 0, 0.0
+                    last, n, total = t, n + 1, total + float(v)
+                state.update((s0, last, n, total))
+                state.setTimeoutTimestamp((last + gap_us) // 1000)
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "start_us", "end_us", "n_events", "session_value"],
+        )
+
+    closed = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, start_us long, end_us long, n_events long, session_value double",
+        stateStructType="s0 long, last long, n long, total double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    sink = _run_to_memory(closed, "append")
+    return sink.select(
+        "user_id",
+        ts_str(F.timestamp_micros(F.col("start_us"))).alias("session_start"),
+        ts_str(F.timestamp_micros(F.col("end_us"))).alias("session_end"),
+        "n_events",
+        "session_value",
+    ).orderBy("user_id", "session_start")

@@ -84,7 +84,7 @@ _FRONT_50 = [
     "x_mad_outliers", "x_longest_streak", "x_session_paths",
     "x_market_basket", "x_rolling_dau", "x_table_diff",
     "x_mmr_rerank", "x_temporal_join", "x_decile_bins",
-    "x_ppjoin_setsim",
+    "x_ppjoin_setsim", "x_stream_session_timeout",
     # changed in round 6 — re-prove the rewritten arithmetic/plan
     # (x_embedding_centroids yielded its slot to x_mmr_rerank, whose
     # never-checked row the window-coverage test mandates; the
@@ -103,7 +103,11 @@ _FRONT_50 = [
     # crossJoin(broadcast(1-row)) mechanism with Q15 — both green
     # locally at three SFs — and the two-level global-scalar
     # discipline is re-proven in-window by d19_sort + x_decile_bins)
-    "x_range_frame", "d19_sort",
+    # (d19_sort yielded the final slot to x_stream_session_timeout:
+    # the rank rewrite returns BIT-IDENTICAL rows to the r1/r2
+    # driver-proven result — the change is plan-shape only, which
+    # tests/test_plans.py pins — and it is green locally at three SFs)
+    "x_range_frame",
     # backfill: hash-proven greens last checked in ROUND 1 (stalest)
     # (x_string_agg rotated out for x_tpch_q9_product_profit,
     # x_quality_score for x_column_profile, x_multimodal_features for

@@ -48,3 +48,37 @@ def test_ivf_ann_overlaps_brute_force(spark, sf_dir):
     for r in ivf:
         if (r.qid, r.vec_id) in brute_cos:
             assert abs(r.cosine - brute_cos[(r.qid, r.vec_id)]) < 1e-9
+
+
+def test_stream_session_timeout_matches_batch(spark, sf_dir):
+    """Every session the stream emits as CLOSED must be exactly a d37
+    batch session, and the closed set must cover every batch session
+    except (at most) each user's trailing one — the only session whose
+    closure legitimately depends on watermark timeout timing."""
+    closed = REGISTRY["x_stream_session_timeout"].fn(spark, sf_dir).collect()
+    batch = REGISTRY["d37_sessionization"].fn(spark, sf_dir).collect()
+    batch_keys = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch
+    }
+    last_per_user = {}
+    for r in batch:
+        cur = last_per_user.get(r["user_id"])
+        if cur is None or r["session_start"] > cur["session_start"]:
+            last_per_user[r["user_id"]] = r
+    trailing = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in last_per_user.values()
+    }
+    closed_keys = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in closed
+    }
+    assert closed_keys <= batch_keys  # no invented sessions
+    assert batch_keys - trailing <= closed_keys  # all non-trailing closed
+    # values agree within double-vs-decimal rounding of the 2dp sum
+    batch_val = {
+        (r["user_id"], r["session_start"]): r["session_value"] for r in batch
+    }
+    for r in closed:
+        assert abs(r["session_value"] - batch_val[(r["user_id"], r["session_start"])]) <= 0.02
