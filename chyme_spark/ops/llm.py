@@ -3002,3 +3002,74 @@ def x_ppjoin_setsim(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "x_sorted_neighborhood",
+    # Sorted-neighborhood entity resolution (Hernandez & Stolfo 1995,
+    # public): sort records by a key, compare only records within a
+    # sliding window of w rank positions — the complementary blocking
+    # strategy to x_record_linkage's equality blocks (SN catches
+    # near-misses that straddle block boundaries; real pipelines union
+    # both passes). Window pairing is an equi-join on (rank + offset),
+    # never a windowed self-scan.
+    oracle="""
+    WITH r AS (
+        SELECT c_custkey, c_name,
+               row_number() OVER (ORDER BY c_name, c_custkey) AS rnk
+        FROM customer)
+    SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+           CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ORDER BY a_key, b_key
+    """,
+    doc="sorted-neighborhood linkage: global name rank via the two-level distributed sort, neighbor pairs as an offset-explode equi-join on rank (w=3), levenshtein <= 2 verify",
+)
+def x_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the global rank comes from the d19_sort two-level
+    pattern (order-preserving key-range groups rank locally; the
+    group-count table takes the tiny prefix window and broadcasts
+    back) — no single-partition sort. Neighbor candidate generation is
+    then each row EXPLODED into its w=3 (rank + offset) probes and
+    EQUI-joined back on the rank — the shuffle carries w*n bounded
+    pairs, and no window function ever sees the full sorted table in
+    one task. The threshold levenshtein(a, b, 2) band-limits the DP.
+    The sort key embeds the entity ordering, so c_custkey div 256 is
+    an order-preserving group (names are zero-padded key renderings:
+    verified in the fixture; a production key needs its own
+    order-preserving bucketization)."""
+    cust = load_table(spark, sf, "customer")
+    base = cust.select(
+        "c_custkey", "c_name", (F.col("c_custkey") / 256).cast("long").alias("grp")
+    )
+    wl = Window.partitionBy("grp").orderBy("c_name", "c_custkey")
+    local = base.withColumn("lrank", F.row_number().over(wl))
+    counts = base.groupBy("grp").agg(F.count("*").alias("c"))
+    wg = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "grp", F.coalesce(F.sum("c").over(wg), F.lit(0)).alias("off")
+    )
+    ranked = local.join(F.broadcast(offsets), "grp").select(
+        "c_custkey", "c_name", (F.col("off") + F.col("lrank")).alias("rnk")
+    )
+    probes = ranked.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.col("rnk").alias("a_rnk"),
+        F.explode(F.expr("sequence(rnk + 1, rnk + 3)")).alias("rnk"),
+    )
+    dist = F.levenshtein(F.col("a_name"), F.col("c_name"), 2)
+    return (
+        probes.join(ranked, "rnk")
+        .select(
+            "a_key",
+            F.col("c_custkey").alias("b_key"),
+            (F.col("rnk") - F.col("a_rnk")).cast("bigint").alias("rank_gap"),
+            dist.alias("dist0"),
+        )
+        .filter((F.col("dist0") >= 0) & (F.col("dist0") <= 2))
+        .select("a_key", "b_key", "rank_gap", F.col("dist0").cast("bigint").alias("dist"))
+        .orderBy("a_key", "b_key")
+    )

@@ -85,6 +85,7 @@ _FRONT_50 = [
     "x_market_basket", "x_rolling_dau", "x_table_diff",
     "x_mmr_rerank", "x_temporal_join", "x_decile_bins",
     "x_ppjoin_setsim", "x_stream_session_timeout",
+    "x_sorted_neighborhood",
     # changed in round 6 — re-prove the rewritten arithmetic/plan
     # (x_embedding_centroids yielded its slot to x_mmr_rerank, whose
     # never-checked row the window-coverage test mandates; the
@@ -103,11 +104,15 @@ _FRONT_50 = [
     # crossJoin(broadcast(1-row)) mechanism with Q15 — both green
     # locally at three SFs — and the two-level global-scalar
     # discipline is re-proven in-window by d19_sort + x_decile_bins)
-    # (d19_sort yielded the final slot to x_stream_session_timeout:
-    # the rank rewrite returns BIT-IDENTICAL rows to the r1/r2
-    # driver-proven result — the change is plan-shape only, which
-    # tests/test_plans.py pins — and it is green locally at three SFs)
-    "x_range_frame",
+    # (d19_sort yielded its slot to x_stream_session_timeout: the rank
+    # rewrite returns BIT-IDENTICAL rows to the r1/r2 driver-proven
+    # result — the change is plan-shape only, which tests/test_plans.py
+    # pins — and it is green locally at three SFs. x_range_frame then
+    # yielded the final slot to x_sorted_neighborhood: its ordering-key
+    # fix is hash-proven locally at sf0.001/0.01/0.1 — including the
+    # sf0.1 scale that exposed the bug — while the newcomer has no
+    # check anywhere yet, which the window-coverage test rightly ranks
+    # first. Every slot this round is now a never-driver-checked r6 op.)
     # backfill: hash-proven greens last checked in ROUND 1 (stalest)
     # (x_string_agg rotated out for x_tpch_q9_product_profit,
     # x_quality_score for x_column_profile, x_multimodal_features for

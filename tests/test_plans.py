@@ -186,6 +186,9 @@ EXPECTED = {
     # shuffles + candidate/verify aggs; the vocab order broadcasts by
     # hint, the rest AQE-promote at this SF
     "x_ppjoin_setsim": (5, 7, 0, False),
+    # SN linkage: grp rank window + grp counts + probe-rank equi-join
+    # shuffle + output sort; offsets table + AQE probe join broadcast
+    "x_sorted_neighborhood": (4, 3, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their

@@ -59,7 +59,7 @@ AUDIT = [
     "x_interpolate", "x_phrase_search", "x_mad_outliers",
     "x_longest_streak", "x_session_paths", "x_market_basket",
     "x_rolling_dau", "x_table_diff", "x_temporal_join",
-    "x_decile_bins", "x_ppjoin_setsim",
+    "x_decile_bins", "x_ppjoin_setsim", "x_sorted_neighborhood",
     # x_neardup_survivors / x_dedup_clusters / x_bpe_train /
     # x_pagerank excluded:
     # their iterative loops accumulate per-round subtrees, so the
