@@ -53,100 +53,89 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # row (new this round or red last round), then backfill with the greens
 # whose last driver check is oldest, so staleness is bounded.
 #
-# Round-6 window: (a) new r6 ops go first as they are added; (b) then
-# every query whose oracle or implementation CHANGED this round (the
-# decimal-pinning rewrites of Q14/Q17/centroids and the Q11/Q15
-# single-partition fixes) so the driver re-proves the new arithmetic;
-# (c) then backfill oldest-first — all hash-proven greens last
-# driver-checked in round 1, then round 2. Rows-only-by-design ops
-# (x_ann_*, x_simhash_neardup, d16/d40/d41/d43) are excluded from
-# backfill: their driver row is only rows>0, the weakest re-proof, and
-# their contracts are pinned by recall/stream==batch pytest suites.
+# Window policy: (a) new this-round ops go first as they are added;
+# (b) then every query whose oracle or implementation CHANGED since its
+# last driver-green round, so the driver re-proves the new arithmetic —
+# "changed" is mechanical: tools/oracle_ledger.json records a source
+# hash per query at its last driver-green, and tests/test_registry.py
+# fails if a changed/unledgered query sits outside the first 50;
+# (c) then backfill oldest-first — hash-proven greens whose last driver
+# check is stalest. Rows-only-by-design ops (x_ann_*,
+# x_simhash_neardup, d16/d40/d41/d43) are excluded from backfill:
+# their driver row is only rows>0, the weakest re-proof, and their
+# contracts are pinned by recall/stream==batch pytest suites.
 # If the list exceeds 50, the tail (youngest backfill) rotates out and
 # returns next round.
 _FRONT_50 = [
-    # new in round 6 — straight into the window (inserted as added)
-    "x_stratified_split", "x_dsir_resample", "x_hll_sketch_union",
-    "x_skyline", "x_markov_transitions", "x_anomaly_zscore",
-    "x_record_linkage", "x_hll_intersect", "x_inverted_index",
-    "x_event_pattern_match", "x_last_click_attribution",
-    "x_pandas_grouped_agg",
-    "x_pagerank", "x_scd2_intervals", "x_rolling_median",
-    "x_compaction_plan", "x_full_outer_join", "x_bpe_apply",
-    "x_embedding_pq", "x_triangle_count", "x_boilerplate_scrub",
-    "x_countmin_sketch",
-    "x_segment_dedup_scrub", "x_mixture_temperature",
-    "x_doc_chunk_windows", "x_zorder_layout", "x_lm_surprisal_score",
-    "x_mixture_resample", "x_pmi_collocations", "x_bpe_train",
-    "x_embedding_quantize", "x_tpch_q9_product_profit",
-    "x_column_profile", "x_partial_agg_merge", "x_dup_span_scrub",
-    "x_cdc_apply", "x_interpolate", "x_phrase_search",
-    "x_mad_outliers", "x_longest_streak", "x_session_paths",
-    "x_market_basket", "x_rolling_dau", "x_table_diff",
-    "x_mmr_rerank", "x_temporal_join", "x_decile_bins",
-    "x_ppjoin_setsim", "x_stream_session_timeout",
-    "x_sorted_neighborhood",
-    # changed in round 6 — re-prove the rewritten arithmetic/plan
-    # (x_embedding_centroids yielded its slot to x_mmr_rerank, whose
-    # never-checked row the window-coverage test mandates; the
-    # decimal-pinning change class stays represented by Q14/Q17, and
-    # centroids is green at sf0.01+sf0.1+7-partition locally)
-    # (x_tpch_q15_top_supplier yielded its slot to x_temporal_join,
-    # x_tpch_q17_small_qty_parts to x_decile_bins, and
-    # x_tpch_q14_promo_revenue to x_range_frame — Q11 stays as the
-    # empty-window-rewrite re-proof representative; Q14/Q15/Q17 are
-    # green locally at sf0.001/0.01/0.1. x_range_frame's ordering key
-    # was FIXED this round after the sf0.1 full sweep exposed a
-    # truncate-vs-round divergence, so its driver re-proof outranks the
-    # decimal trio's)
-    # (x_tpch_q11_important_stock yielded the last discretionary slot
-    # to x_ppjoin_setsim: its empty-window rewrite shares the
-    # crossJoin(broadcast(1-row)) mechanism with Q15 — both green
-    # locally at three SFs — and the two-level global-scalar
-    # discipline is re-proven in-window by d19_sort + x_decile_bins)
-    # (d19_sort yielded its slot to x_stream_session_timeout: the rank
-    # rewrite returns BIT-IDENTICAL rows to the r1/r2 driver-proven
-    # result — the change is plan-shape only, which tests/test_plans.py
-    # pins — and it is green locally at three SFs. x_range_frame then
-    # yielded the final slot to x_sorted_neighborhood: its ordering-key
-    # fix is hash-proven locally at sf0.001/0.01/0.1 — including the
-    # sf0.1 scale that exposed the bug — while the newcomer has no
-    # check anywhere yet, which the window-coverage test rightly ranks
-    # first. Every slot this round is now a never-driver-checked r6 op.)
-    # backfill: hash-proven greens last checked in ROUND 1 (stalest)
-    # (x_string_agg rotated out for x_tpch_q9_product_profit,
-    # x_quality_score for x_column_profile, x_multimodal_features for
-    # x_partial_agg_merge, x_ngram_jaccard for x_dup_span_scrub,
-    # x_langid for x_cdc_apply, x_histogram for the rewritten d19_sort,
-    # x_funnel for x_interpolate, x_fingerprint for x_phrase_search,
-    # x_embedding_neardup for x_mad_outliers, x_doc_token_stats for
-    # x_longest_streak, x_deterministic_split for x_session_paths,
-    # x_cube for x_market_basket, x_dedup_clusters for x_rolling_dau,
-    # x_bitwise_fns for x_table_diff — all r1-green, return next round.
-    # The backfill section is now empty: every slot this round is a
-    # never-driver-checked r6 op or an implementation changed in r6)
-    # backfill tail: oldest greens rotate out first as new r6 ops claim
-    # slots at the head
-    # (x_tfidf rotated out for x_pandas_grouped_agg;
-    # x_try_fns, x_window_distribution rotated out for the CEP /
-    # attribution pair — r1-green, return next round;
-    # d22_ranking_windows, d23_lag_lead, d25_union,
-    # d26_intersect_except, d28_url_parse,
-    # d29_hash_fns rotated out for the continuation-II batch
-    # (x_skyline..x_inverted_index); d30_datetime_fns, d31_math_fns,
-    # d32_conditional_fns rotated out
-    # when x_stratified_split/x_dsir_resample/x_hll_sketch_union
-    # claimed the head — all r2-green, return next round;
-    # d01_parquet_scan, d02_projection, d37_sessionization,
-    # x_array_agg_sorted, x_bloom_prefilter, x_bm25_score,
-    # x_bpe_pretokenize, x_corr_scalar_subquery, x_cosine_topk_np
-    # rotated out when the nine r6 ops claimed the head;
-    # d33_array_fns, d34_map_fns, d35_json_extract, d36_pivot,
-    # d38_tumbling_window, d39_sliding_window, d46_binary_files,
-    # d47_python_udf, d48_pandas_udf, d49_apply_in_pandas rotated out
-    # for the ten continuation ops (x_pagerank..x_countmin_sketch) —
-    # all r2-green, return next round)
+    # ---- Round-7 window ----
+    # (a) new in round 7 — never driver-checked, inserted as added; the
+    # ledger guard (tests/test_registry.py) forces them here.
+    "x_priority_sample", "x_token_drift", "x_entropy_score",
+    "x_dedup_report", "x_benford", "x_skew_audit",
+    "x_tokenizer_fertility",
+    # (b) changed in round 6 but slot-yielded there (VERDICT r6 #1):
+    # their implementation or oracle was rewritten in r6 and the driver
+    # has never re-proven the new arithmetic/plan. All seven are green
+    # locally at sf0.001/0.01/0.1; the ledger marks them CHANGED until
+    # a driver round proves them.
+    "x_range_frame",              # ordering-key bug FIX (r6, subqueries.py)
+    "d19_sort",                   # two-level rank rewrite (relational.py:444)
+    "x_tpch_q11_important_stock", # empty-window crossJoin(broadcast) rewrite
+    "x_tpch_q14_promo_revenue",   # decimal pinning rewrite
+    "x_tpch_q15_top_supplier",    # empty-window rewrite
+    "x_tpch_q17_small_qty_parts", # decimal pinning rewrite
+    "x_embedding_centroids",      # decimal-mean rewrite (training.py:232)
+    # changed in round 7 — re-prove after this round's edits
+    "x_ppjoin_setsim",            # global-rank window removed (r7, VERDICT #2)
+    "x_record_linkage",           # lossless length-blocking second key (r7, ADVICE)
+    "x_stream_session_timeout",   # integer-cents state accumulator (r7, ADVICE)
+    # (c) backfill: hash-proven greens last driver-checked in ROUND 1
+    # (the stalest greens in the ledger; rows-only r1 ops x_ann_*,
+    # x_simhash_neardup excluded per the documented policy above)
+    "x_bitwise_fns", "x_cube", "x_dedup_clusters",
+    "x_deterministic_split", "x_doc_token_stats", "x_embedding_neardup",
+    "x_fingerprint", "x_funnel", "x_histogram", "x_langid",
+    "x_multimodal_features", "x_ngram_jaccard", "x_quality_score",
+    "x_string_agg", "x_tfidf", "x_try_fns", "x_window_distribution",
+    # (d) backfill: greens last driver-checked in ROUND 2 (rows-only
+    # d16/d40/d41/d43 excluded — pytest pins their contracts)
+    "d22_ranking_windows", "d23_lag_lead", "d25_union",
+    "d26_intersect_except", "d28_url_parse", "d29_hash_fns",
+    "d30_datetime_fns", "d31_math_fns", "d32_conditional_fns",
+    "d33_array_fns", "d34_map_fns", "d35_json_extract", "d36_pivot",
+    "d38_tumbling_window", "d39_sliding_window", "d46_binary_files",
+    # (d47_python_udf, d48_pandas_udf, d49_apply_in_pandas rotated out
+    # for x_benford / x_skew_audit / x_tokenizer_fertility — r2-green,
+    # return next round)
+    # (e) tail: oldest round-4 greens fill the remaining slots; each
+    # new r7 op added during the round displaces one from the bottom
+    # (youngest-backfill-out rule above) and it returns next round.
+    # (x_bpe_pretokenize rotated out for the r7-changed x_ppjoin_setsim,
+    # x_bm25_score for the r7-changed x_record_linkage, x_bloom_prefilter
+    # for the r7-changed x_stream_session_timeout, and d01_parquet_scan /
+    # d02_projection / d37_sessionization / x_array_agg_sorted for the
+    # four new r7 ops at the head — all r4-green, return next round)
 ]
+
+def source_hash(q: "Query") -> str:
+    """Mechanical change-detector for the window-coverage guard.
+
+    sha256 over the query fn's own source text plus its oracle SQL.
+    tools/oracle_ledger.json records this per query at its last
+    driver-green round; tests/test_registry.py forces any query whose
+    current hash differs (or that has no ledger row) into ``_FRONT_50``.
+
+    Known approximation: edits to *shared helpers* a query fn calls do
+    not flip its hash — when touching a shared helper, mark its callers
+    CHANGED in the ledger by hand (tools/update_ledger.py
+    --mark-changed) in the same commit.
+    """
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(q.fn)
+    return hashlib.sha256((src + "\x00" + (q.oracle or "")).encode()).hexdigest()
+
 
 _D_NAME = re.compile(r"^d\d\d_")
 

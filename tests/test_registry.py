@@ -50,6 +50,46 @@ def test_front_window_covers_all_unchecked_and_red_rows():
     assert not missing, f"unproven queries outside the checked window: {missing}"
 
 
+def test_changed_or_new_queries_enter_window():
+    """Window-coverage guard (VERDICT r6 #8): any query whose fn/oracle
+    source hash differs from tools/oracle_ledger.json — or that has no
+    ledger row at all (new op, or marked CHANGED) — must sit inside the
+    first-50 checked window this round.  This makes the round-6 class of
+    risk (an implementation rewritten after its last driver-green, then
+    slot-yielded out of the window) structurally impossible."""
+    from chyme_spark.registry import source_hash
+
+    ledger = json.load(open(os.path.join(REPO, "tools", "oracle_ledger.json")))
+    reg = load_all()
+    window = set(list(reg)[:50])
+    offenders = []
+    for name, q in reg.items():
+        rec = ledger.get(name)
+        if rec is None or rec["hash"] != source_hash(q):
+            if name not in window:
+                offenders.append(name)
+    assert not offenders, (
+        f"queries changed since last driver-green (or new/unledgered) sit outside "
+        f"the checked window — rotate them into _FRONT_50 or refresh the ledger "
+        f"(tools/update_ledger.py): {sorted(offenders)}"
+    )
+
+
+def test_ledger_covers_registry():
+    """Every ledger row must point at a registered query (no orphans), and
+    sentinel rows must be inside the window (they are by definition
+    changed-since-green)."""
+    from chyme_spark.registry import source_hash  # noqa: F401
+
+    ledger = json.load(open(os.path.join(REPO, "tools", "oracle_ledger.json")))
+    reg = load_all()
+    orphans = sorted(set(ledger) - set(reg))
+    assert not orphans, f"ledger rows for unregistered queries: {orphans}"
+    window = set(list(reg)[:50])
+    stray = [n for n, r in ledger.items() if r["hash"] == "CHANGED-SINCE-LAST-GREEN" and n not in window]
+    assert not stray, f"sentinel (changed) queries outside the window: {stray}"
+
+
 def test_all_d_ids_register():
     names = list(load_all())
     d_ids = [n for n in names if re.match(r"^d\d\d_", n)]
