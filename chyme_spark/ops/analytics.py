@@ -3518,3 +3518,149 @@ def x_decile_bins(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: data-quality audits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_benford",
+    # First-significant-digit audit (Benford's law — public): natural
+    # multi-scale amounts follow P(d) = log10(1 + 1/d); bulk-generated
+    # or truncated data deviates, making this a standard data-quality
+    # / fraud screen. The expected distribution is a LITERAL integer
+    # ppm table (the nine public constants), so the comparison is pure
+    # integer arithmetic — no log10 at query time on either engine.
+    # First digit comes from the BIGINT floor of the amount rendered as
+    # a string (identical on both engines; o_totalprice >= 1 always).
+    oracle="""
+    WITH d AS (
+        SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                   AS digit
+        FROM orders),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs),
+    exp AS (
+        SELECT * FROM (VALUES ('1', 301030), ('2', 176091), ('3', 124939),
+                              ('4', 96910), ('5', 79181), ('6', 66947),
+                              ('7', 57992), ('8', 51153), ('9', 45757))
+            AS v(digit, exp_ppm))
+    SELECT exp.digit, COALESCE(n, 0) AS n,
+           CAST((COALESCE(n, 0) * 1000000) // total AS BIGINT) AS obs_ppm,
+           CAST(exp_ppm AS BIGINT) AS exp_ppm,
+           CAST((COALESCE(n, 0) * 1000000) // total - exp_ppm AS BIGINT)
+               AS dev_ppm
+    FROM exp LEFT JOIN obs USING (digit), t
+    ORDER BY exp.digit
+    """,
+    doc="Benford first-digit audit over order amounts: observed vs expected ppm (literal log10 table), integer deviation — bulk-data anomaly screen",
+)
+def x_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: one narrow map (floor -> string -> first char) into
+    a 9-bucket hash aggregate with map-side combine — the shuffle
+    carries at most 9 rows per task. The digit-domain frame (9 literal
+    rows) left-joins the observed counts and broadcasts trivially; the
+    1-row total is the partial-agg -> broadcast global-scalar shape.
+    Expected ppm values are round(log10(1+1/d) * 1e6) precomputed ONCE
+    here (not at query time), so no engine's libm is in the loop."""
+    exp_rows = [
+        ("1", 301030), ("2", 176091), ("3", 124939), ("4", 96910),
+        ("5", 79181), ("6", 66947), ("7", 57992), ("8", 51153),
+        ("9", 45757),
+    ]
+    orders = load_table(spark, sf, "orders")
+    obs = (
+        orders.select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    t = obs.agg(F.sum("n").cast("long").alias("total"))
+    exp = spark.createDataFrame(exp_rows, "digit string, exp_ppm long")
+    return (
+        F.broadcast(exp)
+        .join(obs, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.expr("(coalesce(n, 0L) * 1000000L) div total").cast("long").alias("obs_ppm"),
+            F.col("exp_ppm").cast("long"),
+            F.expr("(coalesce(n, 0L) * 1000000L) div total - exp_ppm")
+            .cast("long")
+            .alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "x_skew_audit",
+    # Hot-key diagnosis — the report you read BEFORE choosing a skew
+    # mitigation (x_skew_salted_join/agg demonstrate the cure; this is
+    # the diagnosis): the top-10 heaviest join keys with their exact
+    # corpus share and cumulative concentration in integer ppm.
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_custkey),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys FROM c),
+    top AS (
+        SELECT key, n FROM c ORDER BY n DESC, key LIMIT 10)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank_pos,
+           key, n,
+           CAST((n * 1000000) // total AS BIGINT) AS share_ppm,
+           CAST((SUM(n) OVER (ORDER BY n DESC, key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1000000) // total AS BIGINT) AS cum_share_ppm,
+           n_keys
+    FROM top, t
+    ORDER BY rank_pos
+    """,
+    doc="join-key skew audit: top-10 hot keys with exact ppm share and cumulative concentration — the diagnosis feeding the x_skew_salted_* mitigations",
+)
+def x_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: per-key counts are ONE map-side-combined shuffle;
+    the top-10 is TakeOrderedAndProject (per-partition top-k, 10-row
+    driver merge — no global sort); the window/rank then run over 10
+    rows, which is the bounded-aggregate shape, not a fact-sized empty
+    window. total/n_keys is the 1-row partial-agg broadcast."""
+    orders = load_table(spark, sf, "orders")
+    c = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    t = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    top = c.orderBy(F.desc("n"), "key").limit(10)
+    w = Window.orderBy(F.desc("n"), "key")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(t))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank_pos"),
+            "key",
+            "n",
+            F.expr("(n * 1000000L) div total").cast("long").alias("share_ppm"),
+            (F.sum("n").over(wsum) * 1000000)
+            .cast("long")
+            .alias("cum_raw"),
+            "total",
+            "n_keys",
+        )
+        .select(
+            "rank_pos",
+            "key",
+            "n",
+            "share_ppm",
+            F.expr("cum_raw div total").cast("long").alias("cum_share_ppm"),
+            "n_keys",
+        )
+        .orderBy("rank_pos")
+    )

@@ -417,12 +417,31 @@ def x_stream_session_timeout(spark: SparkSession, sf: str) -> DataFrame:
         .select("user_id", "ts", "value")
     )
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q4(v: float) -> int:
+        # exact mirror of the batch twin's CAST(value AS DECIMAL(18,4)):
+        # Spark's double->decimal cast goes through the shortest decimal
+        # rendering (BigDecimal.valueOf), which is what repr() gives,
+        # then HALF_UP at scale 4 — so the state accumulates the SAME
+        # integer ten-thousandths the batch DECIMAL sum sees (ADVICE r6:
+        # the old float+banker's-round accumulator could differ from
+        # d37 by a cent)
+        return int(
+            Decimal(repr(v)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+            * 10000
+        )
+
+    def money(total_q4: int) -> float:
+        # ROUND(sum, 2) HALF_UP on a non-negative ten-thousandths total
+        return ((total_q4 + 50) // 100) / 100.0
+
     def fn(key, pdfs, state):
         uid = key[0]
         out = []
         if state.hasTimedOut:
             s0, last, n, total = state.get
-            out.append((uid, s0, last, n, round(total, 2)))
+            out.append((uid, s0, last, n, money(total)))
             state.remove()
         else:
             batch = pd.concat(list(pdfs))
@@ -433,12 +452,12 @@ def x_stream_session_timeout(spark: SparkSession, sf: str) -> DataFrame:
                 if state.exists:
                     s0, last, n, total = state.get
                 else:
-                    s0, last, n, total = us[0], us[0], 0, 0.0
+                    s0, last, n, total = us[0], us[0], 0, 0
                 for t, v in zip(us, vals):
                     if n and t - last > gap_us:
-                        out.append((uid, s0, last, n, round(total, 2)))
-                        s0, n, total = t, 0, 0.0
-                    last, n, total = t, n + 1, total + float(v)
+                        out.append((uid, s0, last, n, money(total)))
+                        s0, n, total = t, 0, 0
+                    last, n, total = t, n + 1, total + q4(float(v))
                 state.update((s0, last, n, total))
                 state.setTimeoutTimestamp((last + gap_us) // 1000)
         yield pd.DataFrame(
@@ -449,10 +468,12 @@ def x_stream_session_timeout(spark: SparkSession, sf: str) -> DataFrame:
     closed = ev.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType="user_id long, start_us long, end_us long, n_events long, session_value double",
-        stateStructType="s0 long, last long, n long, total double",
+        stateStructType="s0 long, last long, n long, total long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+    # stateStructType keeps total as LONG ten-thousandths (integer-cents
+    # discipline): stream == batch d37 exactly, no float accumulation
     sink = _run_to_memory(closed, "append")
     return sink.select(
         "user_id",

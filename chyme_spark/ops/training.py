@@ -739,3 +739,57 @@ def x_mmr_rerank(
         (i + 1, r["vec_id"], float(r["rel"])) for i, r in enumerate(selected)
     ]
     return spark.createDataFrame(rows, "rank int, vec_id bigint, relevance double")
+
+
+@query(
+    "x_tokenizer_fertility",
+    oracle=None,  # depends on the trained BPE merge table — no single
+    # SQL equivalent; the >=1 fertility bound, full vocabulary
+    # coverage, and the exact subword accounting identity are pinned
+    # in tests/test_round7_ops.py
+    doc="per-language tokenizer fertility (BPE subwords per whitespace word) off the trained merge table — the tokenizer-budget audit a multilingual mixture needs; rows-only, contracts in pytest",
+)
+def x_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Fertility — subword tokens emitted per whitespace word — is the
+    number that turns a language-mixture token budget into a real
+    compute budget (high-fertility languages cost proportionally more
+    sequence length per word; tokenizer papers report it per language
+    for exactly this reason).
+
+    Spark-first shape: the trained words table (vocabulary-sized, one
+    row per distinct word with its merged symbol array) already knows
+    each word's subword count, so fertility needs NO corpus re-encode:
+    (1) one (lang, word) count shuffle over the corpus, (2) an
+    equi-join to the |V|-row words table (un-hinted: AQE broadcasts at
+    fixture scale, shuffles if the vocabulary outgrows that), (3) a
+    ~5-row lang rollup. Integer ppm division keeps the output exact
+    and order-independent; the join cannot drop words because the
+    vocabulary and the lang counts come from the same tokenization
+    (whitespace split, '' filtered) — an identity the pytest contract
+    re-proves."""
+    from pyspark.sql import functions as F
+
+    _, words = _train_merges(spark, sf)
+    vocab = words.select("w", F.size("sym").cast("long").alias("n_sub"))
+    docs = load_table(spark, sf, "documents")
+    lw = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        lw.join(vocab, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_sub")).cast("long").alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_subwords",
+            F.expr("(n_subwords * 1000000L) div n_words").cast("long").alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -76,9 +76,11 @@ def test_stream_session_timeout_matches_batch(spark, sf_dir):
     }
     assert closed_keys <= batch_keys  # no invented sessions
     assert batch_keys - trailing <= closed_keys  # all non-trailing closed
-    # values agree within double-vs-decimal rounding of the 2dp sum
+    # EXACT value equality (ADVICE r6): the stream accumulates integer
+    # ten-thousandths mirroring the batch DECIMAL(18,4) sum + HALF_UP
+    # cent rounding, so stream == batch to the bit — no tolerance
     batch_val = {
         (r["user_id"], r["session_start"]): r["session_value"] for r in batch
     }
     for r in closed:
-        assert abs(r["session_value"] - batch_val[(r["user_id"], r["session_start"])]) <= 0.02
+        assert r["session_value"] == batch_val[(r["user_id"], r["session_start"])]

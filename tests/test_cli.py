@@ -218,9 +218,19 @@ def test_compact_zorder_prunes_both_columns(spark, tmp_path):
             lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
             hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
             spans.append(hi - lo)
-        # each z-ordered file covers ~half of each dimension at 4 files;
-        # 0.75 leaves slack for quantile-estimation error
-        assert sum(spans) / len(spans) < 0.75, (colname, spans)
+        # Derived bound (VERDICT r6 #3 — the old 0.75 failed once at
+        # 0.7503 under concurrent load): with 4 range partitions over a
+        # 2-dim z-curve each file ideally spans 0.5 of each dimension
+        # (the top two z bits are the two columns' high bucket bits).
+        # Each of the 3 interior range boundaries that lands INSIDE a
+        # quadrant (repartitionByRange samples, so alignment is not
+        # guaranteed) doubles one dimension's span in the two adjacent
+        # files; the worst split-every-boundary mean is therefore
+        # (2*0.5 + 2*1.0)/4 = 0.75 per dimension, plus approxQuantile
+        # (0.001) and 256-bucket quantization error. An UNclustered
+        # column concentrates at ~1.0 (every file sees the full range),
+        # so 0.85 keeps the full discriminating power with real margin.
+        assert sum(spans) / len(spans) < 0.85, (colname, spans)
     # rows survived the rewrite
     assert spark.read.parquet(t).count() == 20000
 

