@@ -229,6 +229,13 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — the probe must never sink the bench line
             sf1_block = {"error": f"{type(e).__name__}: {e}"}
 
+    calibration = _cpu_calibration()
+    # calibration-normalized medians (VERDICT r6 #6): per-query median
+    # divided by the host-speed constant, so cross-round comparisons are
+    # self-serve — compare `queries_median_calibrated` directly between
+    # BENCH_r{N}.json files and host drift cancels out (unit: multiples
+    # of the calibration workload, not seconds)
+    calibrated = {n: round(v / calibration, 2) for n, v in steady.items()}
     out = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(timings.values()), 3),
@@ -243,7 +250,9 @@ def main() -> None:
         # single-thread host-speed constant (see _cpu_calibration):
         # divide query times by (this / a reference run's value) before
         # calling a cross-round delta a regression
-        "cpu_calibration_sec": _cpu_calibration(),
+        "cpu_calibration_sec": calibration,
+        "queries_median_calibrated": calibrated,
+        "steady_total_calibrated": round(sum(calibrated.values()), 2),
     }
     if sf1_block is not None:
         out["sf1"] = sf1_block
