@@ -196,3 +196,189 @@ def x_pandas_grouped_agg(spark: SparkSession, sf: str) -> DataFrame:
     med = ev.groupBy("event_type").agg(_lower_median("cents").alias("median_cents"))
     cnt = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
     return cnt.join(med, "event_type").select("event_type", "n", "median_cents")
+
+
+def _reconcile_order(key, orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+    # integer cents per side via FLOOR of the identically-parenthesized
+    # double expression — the same IEEE ops in the same order on both
+    # engines, so the floor boundary can never disagree (a ROUND-based
+    # cent would hinge on half-up-vs-banker's at values the fixture's
+    # double sums CAN produce — caught by the sf0.001 sweep); flooring
+    # per line BEFORE the sum keeps the total order-independent
+    import math
+
+    import numpy as np
+
+    if len(orders_pdf) == 0:
+        return pd.DataFrame(
+            columns=["o_orderkey", "n_lines", "order_cents", "lines_cents", "diff_cents"]
+        )
+    okey = int(key[0])
+    order_cents = int(math.floor(float(orders_pdf["o_totalprice"].iloc[0]) * 100))
+    if len(lines_pdf):
+        net = (
+            lines_pdf["l_extendedprice"].to_numpy()
+            * (1.0 + lines_pdf["l_tax"].to_numpy())
+            * (1.0 - lines_pdf["l_discount"].to_numpy())
+            * 100.0
+        )
+        lines_cents = int(np.floor(net).astype("int64").sum())
+        n_lines = int(len(lines_pdf))
+    else:
+        lines_cents, n_lines = 0, 0
+    return pd.DataFrame(
+        [
+            {
+                "o_orderkey": okey,
+                "n_lines": n_lines,
+                "order_cents": order_cents,
+                "lines_cents": lines_cents,
+                "diff_cents": order_cents - lines_cents,
+            }
+        ]
+    )
+
+
+@query(
+    "x_cogroup_reconcile",
+    # The COGROUPED-map pandas surface (the 5th and last Python
+    # extension shape, after scalar / grouped-map / grouped-agg /
+    # UDTF): two DataFrames co-partitioned on a key, each group pair
+    # fed to one Python function — the per-entity reconciliation shape
+    # (billing vs ledger, header vs detail) that a join + window can
+    # express but a domain team writes as plain per-key pandas.
+    # Reconciles each order's header total against the sum of its line
+    # items' net amounts in integer cents.
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(COALESCE(l.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(floor(o.o_totalprice * 100) AS BIGINT) AS order_cents,
+           CAST(COALESCE(l.cents, 0) AS BIGINT) AS lines_cents,
+           CAST(floor(o.o_totalprice * 100) AS BIGINT)
+               - CAST(COALESCE(l.cents, 0) AS BIGINT) AS diff_cents
+    FROM orders o
+    LEFT JOIN (
+        SELECT l_orderkey,
+               count(*) AS n_lines,
+               SUM(CAST(floor(l_extendedprice * (1.0 + l_tax)
+                              * (1.0 - l_discount) * 100.0) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY l_orderkey) l
+      ON l.l_orderkey = o.o_orderkey
+    """,
+    doc="cogrouped applyInPandas: per-order header-vs-lines reconciliation in integer cents — the two-sided grouped Python surface, LEFT-JOIN oracle",
+)
+def x_cogroup_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: cogroup shuffles BOTH tables once on the shared
+    key and streams each (orders-group, lines-group) pair through
+    Arrow — the same exchange a shuffle join pays, with bounded group
+    sizes (one header row, <= 7 lines per TPC-H order). Cents are
+    FLOOR of the identically-parenthesized double product on both
+    engines (see _reconcile_order), flooring per line before the sum
+    so the total is independent of pandas' reduction order."""
+    from chyme_spark.session import load_table
+
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    lines = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_tax", "l_discount"
+    )
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(lines.groupBy("l_orderkey"))
+        .applyInPandas(
+            _reconcile_order,
+            schema="o_orderkey long, n_lines long, order_cents long, "
+            "lines_cents long, diff_cents long",
+        )
+    )
+
+
+@query(
+    "x_map_in_arrow",
+    # mapInArrow — the zero-copy RecordBatch iterator surface (lower
+    # level than mapInPandas: no pandas conversion at all). Per-doc
+    # UTF-8 byte length and whitespace token count computed with
+    # pyarrow.compute kernels over the raw Arrow buffers.
+    # DuckDB: strlen = BYTE length (octet_length only accepts BLOB);
+    # pyarrow binary_length on a string array is also UTF-8 bytes
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS text_bytes,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="mapInArrow over raw RecordBatches: per-doc UTF-8 byte length + whitespace token count via pyarrow.compute — the zero-copy Python batch surface",
+)
+def x_map_in_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: a narrow batch-streaming map — no shuffle, no
+    pandas materialization; pyarrow.compute kernels (binary_length,
+    count_substring) run C++ over the Arrow buffers Spark already
+    holds. Token count = count(' ') + 1 matches both engines' split
+    semantics (an empty string splits to one empty token)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chyme_spark.session import load_table
+
+    def fn(batches):
+        for b in batches:
+            text = b.column("text")
+            out = pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(
+                        pc.add(pc.count_substring(text, " "), 1), pa.int64()
+                    ),
+                ],
+                ["doc_id", "text_bytes", "n_ws_tokens"],
+            )
+            yield out
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        fn, schema="doc_id long, text_bytes long, n_ws_tokens long"
+    )
+
+
+@query(
+    "x_observe_metrics",
+    # The Observation API — pipeline-health counters collected ON the
+    # data pass itself (no second scan): the engine-native analog of
+    # the reference's per-stage task accounting (ref worker stage
+    # counters, internal/worker/service.go:131-183). The observed
+    # metrics become the query's 1-row output, so the driver hash
+    # proves the metric values themselves.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="Observation API: count/sum/distinct metrics observed during a single filtered pass, surfaced as a 1-row frame — scan-free pipeline health counters",
+)
+def x_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: metrics ride the SAME pass as the action (here a
+    count() that triggers it) — zero extra scans, driver receives one
+    row of aggregates. The observed values are re-emitted as a 1-row
+    DataFrame so the oracle hash-checks them; a production pipeline
+    would push them to its metrics sink instead."""
+    from pyspark.sql import Observation
+
+    from chyme_spark.session import load_table
+
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    obs = Observation("purchase_health")
+    # DISTINCT aggregates are rejected in observed metrics
+    # (INVALID_OBSERVED_METRICS) — stick to algebraic ones
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("total_cents"),
+        F.max(F.floor(F.col("value") * 100).cast("long")).alias("max_cents"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_purchases"]), int(m["total_cents"]), int(m["max_cents"]))],
+        "n_purchases long, total_cents long, max_cents long",
+    )
