@@ -94,6 +94,11 @@ HEADLINE = [
     "x_boilerplate_scrub",
     "x_dup_span_scrub",
     "x_tpch_q9_product_profit",
+    # round-7: the two new fact-heavy corpus shapes — per-doc unigram
+    # entropy (two keyed shuffles) and subcorpus drift (one token
+    # shuffle + scalar broadcast + TakeOrdered)
+    "x_entropy_score",
+    "x_token_drift",
 ]
 
 
@@ -184,6 +189,10 @@ def main() -> None:
         # continuation III: the positional-gram span scrub — the
         # newest explode-heavy pipeline
         "x_dup_span_scrub",
+        # round-7: the token-explode entropy/drift pair must scale like
+        # the other corpus shapes (sublinear in the 10x token count)
+        "x_entropy_score",
+        "x_token_drift",
     ]
     _CLIFF = 3.0  # flag when time ratio > _CLIFF * data ratio
     sf1_block = None

@@ -482,3 +482,90 @@ def x_stream_session_timeout(spark: SparkSession, sf: str) -> DataFrame:
         "n_events",
         "session_value",
     ).orderBy("user_id", "session_start")
+
+
+@query(
+    "x_stream_upsert",
+    # foreachBatch exactly-once keyed upsert — THE production pattern
+    # for maintaining a mutable state table off a stream when the sink
+    # has no transactional MERGE (the reference's idempotent ledger
+    # update, ref internal/core/task.go:157-179, generalized to
+    # last-write-wins state). The merge keeps the per-key row with the
+    # MAXIMUM (ts, event_id), which is associative/commutative/
+    # idempotent — so the final table is independent of micro-batch
+    # boundaries, redelivery, and arrival order, and a plain batch SQL
+    # oracle can check it exactly (unlike append-mode emission, which
+    # is watermark-timing-dependent and stays rows-only).
+    oracle="""
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+           event_type AS last_event_type,
+           CAST(floor(value * 100) AS BIGINT) AS last_cents
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ORDER BY user_id
+    """,
+    doc="foreachBatch exactly-once upsert: per-user latest-state table maintained across micro-batches via max-(ts,event_id) merge — batching-independent, hash-checked against the batch QUALIFY oracle",
+)
+def x_stream_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB design: each micro-batch pays one merge-key shuffle
+    (the latest_per_key collapse over target ∪ updates); with the
+    state table bucketed on user_id the join co-locates and a real
+    lakehouse sink (MERGE INTO) touches only matched files. State size
+    is bounded by distinct users, not stream length. The swap-dir
+    commit below stands in for the sink's atomic commit; the
+    checkpoint makes replays re-run foreachBatch with the same batch
+    ids, and the max-merge makes those replays idempotent — together
+    that is the exactly-once contract (redelivery idempotence pinned
+    in tests/test_streaming.py).
+
+    Determinism note: the merge key order is (ts, event_id) with
+    event_id unique per event, so ties cannot survive; floor-cents
+    mirrors the oracle exactly."""
+    import shutil
+
+    from chyme_spark.merge import latest_per_key
+
+    ev = _events_stream(spark, sf).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="chyme_upsert_")
+    state_dir = os.path.join(base, "state")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_df = batch_df.withColumn(
+            "__ord", F.struct(F.col("ts"), F.col("event_id"))
+        )
+        if os.path.exists(state_dir):
+            merged = s.read.parquet(state_dir).unionByName(batch_df)
+        else:
+            merged = batch_df
+        merged = latest_per_key(merged, ["user_id"], "__ord")
+        stage = os.path.join(base, f"stage_{batch_id}")
+        merged.write.mode("overwrite").parquet(stage)
+        # atomic-enough swap (driver-side, sequential per batch): the
+        # stand-in for a transactional sink's commit
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.replace(stage, state_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="chyme_upsert_ckpt_")
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(state_dir)
+        .select(
+            "user_id",
+            ts_str("ts").alias("last_seen"),
+            F.col("event_type").alias("last_event_type"),
+            F.floor(F.col("value") * 100).cast("long").alias("last_cents"),
+        )
+        .orderBy("user_id")
+    )

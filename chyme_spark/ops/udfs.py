@@ -262,8 +262,9 @@ def _reconcile_order(key, orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> 
                count(*) AS n_lines,
                SUM(CAST(floor(l_extendedprice * (1.0 + l_tax)
                               * (1.0 - l_discount) * 100.0) AS BIGINT)) AS cents
-        FROM lineitem GROUP BY l_orderkey) l
+        FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY l_orderkey) l
       ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 10 = 0
     """,
     doc="cogrouped applyInPandas: per-order header-vs-lines reconciliation in integer cents — the two-sided grouped Python surface, LEFT-JOIN oracle",
 )
@@ -274,12 +275,25 @@ def x_cogroup_reconcile(spark: SparkSession, sf: str) -> DataFrame:
     sizes (one header row, <= 7 lines per TPC-H order). Cents are
     FLOOR of the identically-parenthesized double product on both
     engines (see _reconcile_order), flooring per line before the sum
-    so the total is independent of pandas' reduction order."""
+    so the total is independent of pandas' reduction order.
+
+    Bounded to the deterministic 10% key sample (o_orderkey % 10 = 0,
+    pushed to both scans): the per-group Python dispatch overhead makes
+    cogroup a SURFACE demo, not a hot path — at full fact scale the
+    same reconciliation is the JVM join the oracle itself uses, and the
+    driver's 50-query window should not pay 15k Python group calls for
+    a surface proof (the unbounded run was ~55 s at sf0.01)."""
     from chyme_spark.session import load_table
 
-    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
-    lines = load_table(spark, sf, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_tax", "l_discount"
+    orders = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    lines = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_extendedprice", "l_tax", "l_discount")
     )
     return (
         orders.groupBy("o_orderkey")

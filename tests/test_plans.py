@@ -192,6 +192,27 @@ EXPECTED = {
     # SN linkage: grp rank window + grp counts + probe-rank equi-join
     # shuffle + output sort; offsets table + AQE probe join broadcast
     "x_sorted_neighborhood": (4, 3, 0, False),
+    # round-7 additions. priority sample: ZERO shuffles — narrow map +
+    # TakeOrderedAndProject is the whole plan
+    "x_priority_sample": (0, 0, 0, True),
+    # entropy: (doc,tok) count agg + the doc_id window shuffle; no
+    # global state anywhere
+    "x_entropy_score": (2, 0, 0, False),
+    # drift: ONE token shuffle + the 1-row totals broadcast (its
+    # SinglePartition is the partial->1-row merge, the accepted
+    # global-scalar shape) + TakeOrdered top-40
+    "x_token_drift": (2, 1, 0, True),
+    # benford: 9-bucket digit agg + 1-row total + the 9-row literal
+    # domain frame broadcast-joined; output sort pays a tiny exchange
+    "x_benford": (4, 2, 0, False),
+    # skew audit: per-key count shuffle + 1-row totals broadcast; the
+    # rank/cumsum window runs over the 10-row TakeOrdered result (its
+    # SinglePartition is that bounded 10-row frame, not a fact window)
+    "x_skew_audit": (2, 1, 0, True),
+    # the two zero-shuffle Python surfaces: raw Arrow batch map and the
+    # observe pass re-emitted as a 1-row local frame
+    "x_map_in_arrow": (0, 0, 0, False),
+    "x_observe_metrics": (0, 0, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their

@@ -197,3 +197,27 @@ def test_ntile_closed_form_matches_definition(n: int, b: int):
             left = q + 1 if bucket <= rem else q
     got = [closed_form(r) for r in range(1, n + 1)]
     assert got == ref
+
+
+@given(
+    st.integers(min_value=1, max_value=10**15),
+    st.integers(min_value=1, max_value=10**15),
+)
+def test_binlength_is_floor_log2_of_quotient(x: int, y: int):
+    """The integer-log2 identity every whole-bit-quantized op rests on
+    (x_lm_surprisal_score, x_entropy_score, x_dsir_resample):
+    length(bin(q)) - 1 == floor(log2(q)) for q = x div y >= 1, and
+    floor(log2(floor(r))) == floor(log2(r)) for real r >= 1 — so the
+    integer division before the log loses nothing."""
+    if x < y:
+        x, y = y, x  # ensure q >= 1
+    q = x // y
+    # SQL length(bin(q)) - 1 == python bit_length - 1 (bin() = '0b...')
+    assert len(bin(q)) - 2 == q.bit_length()
+    # floor(log2(q)) in exact integer form: 2^bits <= q < 2^(bits+1)
+    bits = q.bit_length() - 1
+    assert 2**bits <= q < 2 ** (bits + 1)
+    # and the same bits bracket the REAL quotient x/y (cross-multiplied
+    # to stay integer-exact): truncating to the int quotient before the
+    # log loses nothing
+    assert 2**bits * y <= x < 2 ** (bits + 1) * y

@@ -139,3 +139,70 @@ def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.countDistinct("event_id").alias("n")).collect()
     }
     assert got == want
+
+
+def test_stream_upsert_idempotent_under_redelivery(spark, sf_dir):
+    """x_stream_upsert's exactly-once contract: because the merge keeps
+    the max-(ts, event_id) row per user (associative, commutative,
+    idempotent), processing every event TWICE (at-least-once
+    redelivery, the d41 simulation) must produce the byte-identical
+    state table as processing it once — and both must equal the batch
+    QUALIFY oracle the driver hash-checks."""
+    import os
+    import shutil
+    import tempfile
+
+    from chyme_spark.merge import latest_per_key
+    from chyme_spark.ops.streaming import _events_stream
+
+    once = {tuple(r) for r in REGISTRY["x_stream_upsert"].fn(spark, sf_dir).collect()}
+
+    # redelivered run: same op body, stream unioned with itself
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    ev = ev.unionByName(
+        _events_stream(spark, sf_dir).select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+    )
+    base = tempfile.mkdtemp(prefix="chyme_upsert_redeliver_")
+    state_dir = os.path.join(base, "state")
+
+    def apply_batch(batch_df, batch_id):
+        s = batch_df.sparkSession
+        batch_df = batch_df.withColumn("__ord", F.struct(F.col("ts"), F.col("event_id")))
+        merged = (
+            s.read.parquet(state_dir).unionByName(batch_df)
+            if os.path.exists(state_dir)
+            else batch_df
+        )
+        merged = latest_per_key(merged, ["user_id"], "__ord")
+        stage = os.path.join(base, f"stage_{batch_id}")
+        merged.write.mode("overwrite").parquet(stage)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.replace(stage, state_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="chyme_upsert_redeliver_ckpt_")
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from chyme_spark.ops.common import ts_str
+
+    twice = {
+        tuple(r)
+        for r in spark.read.parquet(state_dir)
+        .select(
+            "user_id",
+            ts_str("ts").alias("last_seen"),
+            F.col("event_type").alias("last_event_type"),
+            F.floor(F.col("value") * 100).cast("long").alias("last_cents"),
+        )
+        .collect()
+    }
+    assert twice == once
