@@ -569,3 +569,56 @@ def x_stream_upsert(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "x_stream_outer_join",
+    oracle=None,  # rows-only: outer-side null emission fires only when the
+    # watermark passes each view's join horizon, so the emitted set
+    # depends on end-of-stream watermark timing; the no-invented-rows /
+    # horizon-completeness contract vs the batch LEFT JOIN is pinned in
+    # tests/test_streaming.py
+    doc="LEFT OUTER stream-stream join with watermarked state: views left-joined to clicks within 30 minutes; unmatched views emit a null click once the watermark clears their horizon — the outer-emission surface on top of x_stream_stream_join",
+)
+def x_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB design: identical state bounds to the inner
+    x_stream_stream_join (both sides watermarked, join state evicted
+    past the 30-minute horizon) plus the outer-side bookkeeping Spark
+    keeps to know when a view can no longer match — which is exactly
+    the watermark, so state stays bounded by the horizon at any stream
+    size. The production use is click-attribution with explicit
+    'no click' rows (the reference's quarantine-vs-processed split,
+    ref internal/worker/service.go:131-183, as a streaming feed)."""
+    views = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    clicks = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    pairs = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(
+        "view_id",
+        "click_id",
+        F.col("v_user").alias("user_id"),
+        F.col("click_id").isNotNull().alias("matched"),
+    )
+    return _run_to_memory(pairs, "append")
