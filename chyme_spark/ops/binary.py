@@ -384,3 +384,106 @@ def x_media_resize(spark: SparkSession, sf: str) -> DataFrame:
     return media_table(spark, sf).select("doc_id", "payload").mapInPandas(
         _resize_half, RESIZE_SCHEMA
     )
+
+
+@query(
+    "x_image_phash_neardup",
+    # Perceptual-hash near-duplicate detection for the image modality —
+    # the multimodal twin of SimHash text dedup. The aHash kernel is
+    # the real, published algorithm (average hash: threshold an 8x8
+    # grayscale raster at its mean, 64 bits); the DECODE step
+    # (JPEG -> raster) is the honest environment gate in _decode_media,
+    # so here the raster is the first 64 payload bytes (cycled) — a
+    # deterministic stand-in that keeps every downstream stage (hash,
+    # banding, candidate join, Hamming verify) real and oracle-proven.
+    # Candidates come from 16-bit band collisions (4 bands: any pair
+    # within Hamming distance 3 is GUARANTEED a shared band; more
+    # distant pairs surface probabilistically), verified at Hamming
+    # <= 6. Both engines build the identical banded candidate set, so
+    # the output is deterministic and hash-checked.
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id, hex(encode(text)) AS hx FROM documents
+        WHERE doc_id % 3 = 0),
+    byt AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+               ('0x' || substr(hx, CAST(2 * (t.i % (strlen(hx) // 2)) + 1 AS INT), 2))::BIGINT AS b
+        FROM imgs, LATERAL unnest(range(0, 64)) AS t(i)),
+    m AS (SELECT doc_id, SUM(b) // 64 AS mean FROM byt GROUP BY doc_id),
+    bits AS (
+        SELECT byt.doc_id, i, CASE WHEN b >= mean THEN 1 ELSE 0 END AS bit
+        FROM byt JOIN m USING (doc_id)),
+    bands AS (
+        SELECT doc_id, i // 16 AS band,
+               CAST(SUM(bit * (1 << CAST(i % 16 AS INT))) AS BIGINT) AS bh
+        FROM bits GROUP BY doc_id, i // 16),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    ham AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(bit_count(xor(ba.bh, bb.bh))) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN bands ba ON ba.doc_id = c.doc_a
+        JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
+        GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b, hamming FROM ham
+    WHERE hamming <= 6
+    ORDER BY doc_a, doc_b
+    """,
+    doc="image perceptual-hash (aHash) near-dup: 8x8 byte raster -> mean-threshold 64-bit hash -> 16-bit band bucket join -> Hamming <= 6 verify; decode stubbed, every Spark stage real and oracle-proven",
+)
+def x_image_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: hashing is a narrow JVM map (hex + one explode to
+    64 (doc, i, byte) rows — no Python, no UDF); the mean/bit/band
+    reductions are keyed on doc_id (map-side combined); candidate
+    generation is the SimHash chunk-band equi-join (never all-pairs),
+    and the Hamming verify joins the 4-row band table only for
+    candidate pairs. At a real corpus the raster comes from the decode
+    kernel (_decode_media) instead of the payload prefix — same
+    downstream plan."""
+    imgs = media_table(spark, sf).filter(F.col("media_type") == "image")
+    staged = imgs.select("doc_id", F.hex("payload").alias("hx")).withColumn(
+        "bl", F.expr("length(hx) div 2").cast("int")
+    )
+    byt = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 63), i -> "
+                "cast(conv(substring(hx, cast(2 * (i % bl) + 1 as int), 2), 16, 10) as bigint))"
+            )
+        ).alias("i", "b"),
+    )
+    m = byt.groupBy("doc_id").agg(F.expr("sum(b) div 64").alias("mean"))
+    bits = byt.join(m, "doc_id").select(
+        "doc_id", "i", F.when(F.col("b") >= F.col("mean"), 1).otherwise(0).alias("bit")
+    )
+    bands = bits.groupBy(
+        "doc_id", F.expr("i div 16").alias("band")
+    ).agg(
+        F.sum(F.expr("bit * shiftleft(1L, cast(i % 16 as int))")).cast("bigint").alias("bh")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ba = bands.select(F.col("doc_id").alias("doc_a"), F.col("band"), F.col("bh").alias("bha"))
+    bb = bands.select(F.col("doc_id").alias("doc_b"), F.col("band"), F.col("bh").alias("bhb"))
+    return (
+        cand.join(ba, "doc_a")
+        .join(bb, ["doc_b", "band"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.bit_count(F.expr("bha ^ bhb"))).cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    )
