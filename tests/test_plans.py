@@ -213,6 +213,11 @@ EXPECTED = {
     # observe pass re-emitted as a 1-row local frame
     "x_map_in_arrow": (0, 0, 0, False),
     "x_observe_metrics": (0, 0, 0, False),
+    # pHash near-dup: byte-explode mean/band reductions + candidate
+    # distinct + Hamming verify agg; the 4-row-per-doc band table joins
+    # AQE-broadcast at this SF (shuffle at corpus scale, un-hinted);
+    # NO SinglePartition anywhere
+    "x_image_phash_neardup": (4, 4, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their

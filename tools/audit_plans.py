@@ -60,9 +60,9 @@ AUDIT = [
     "x_longest_streak", "x_session_paths", "x_market_basket",
     "x_rolling_dau", "x_table_diff", "x_temporal_join",
     "x_decile_bins", "x_ppjoin_setsim", "x_sorted_neighborhood",
-    # round-7 additions: sampling, drift, entropy, audits
+    # round-7 additions: sampling, drift, entropy, audits, pHash dedup
     "x_priority_sample", "x_token_drift", "x_entropy_score",
-    "x_benford", "x_skew_audit",
+    "x_benford", "x_skew_audit", "x_image_phash_neardup",
     # (x_dedup_report and x_tokenizer_fertility excluded with the other
     # iterative consumers: CC labels / BPE merge-loop lineage make the
     # one-shot exchange counts mis-state per-round work)
