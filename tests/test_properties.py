@@ -221,3 +221,23 @@ def test_binlength_is_floor_log2_of_quotient(x: int, y: int):
     # to stay integer-exact): truncating to the int quotient before the
     # log loses nothing
     assert 2**bits * y <= x < 2 ** (bits + 1) * y
+
+
+@given(
+    st.integers(min_value=0, max_value=2**64 - 1),
+    st.sets(st.integers(min_value=0, max_value=63), min_size=0, max_size=3),
+)
+def test_phash_banding_detects_hamming_3(h: int, flips: set[int]):
+    """x_image_phash_neardup's candidate guarantee (pigeonhole): two
+    64-bit hashes within Hamming distance 3 MUST share at least one of
+    the four 16-bit bands, so the band equi-join cannot miss them —
+    the same argument SimHash chunk banding makes. Verified over
+    arbitrary hashes and any <= 3 bit flips."""
+    h2 = h
+    for i in flips:
+        h2 ^= 1 << i
+    bands = [(h >> (16 * k)) & 0xFFFF for k in range(4)]
+    bands2 = [(h2 >> (16 * k)) & 0xFFFF for k in range(4)]
+    hamming = bin(h ^ h2).count("1")
+    assert hamming <= 3
+    assert any(a == b for a, b in zip(bands, bands2))
