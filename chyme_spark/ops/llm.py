@@ -3408,3 +3408,197 @@ def x_dedup_report(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "x_corpus_filter_pipeline",
+    # The end-to-end keep/drop decision a production training-data
+    # pipeline makes per document — the LLM-data flagship composing the
+    # registry's individual signals into one pass with an auditable
+    # reason code: exact-duplicate removal (md5 content key, keep min doc_id) >
+    # Gopher rule gate (Rae et al. 2021 §A1.1) > language-ID gate
+    # (marker argmax; 'unknown' drops). Precedence means a document
+    # gets ONE deterministic reason, so drop accounting adds up.
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+        FROM documents),
+    dup AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM t),
+    s AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               CAST(list_sum(list_transform(toks, x -> strlen(x))) AS BIGINT) AS n_tok_chars,
+               len(list_filter(toks, x -> list_contains({list(_GOPHER_STOPWORDS)!r}, x))) AS n_stop,
+               len(list_distinct(toks)) AS n_uniq,
+               len(list_filter(toks, x -> x IN ('the','a','of','is')))   AS s_en,
+               len(list_filter(toks, x -> x IN ('der','und','die','nicht'))) AS s_de,
+               len(list_filter(toks, x -> x IN ('el','la','los','que')))  AS s_es,
+               len(list_filter(toks, x -> x IN ('le','et','les','des')))  AS s_fr
+        FROM t),
+    g AS (
+        SELECT s.*,
+               (n_words BETWEEN 20 AND 100000)
+                   AND (n_tok_chars * 1.0 / n_words BETWEEN 2 AND 10)
+                   AND n_stop >= 2
+                   AND (n_uniq * 1.0 / n_words >= 0.05) AS gopher_keep,
+               CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
+                    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS predicted_lang
+        FROM s)
+    SELECT g.doc_id, n_words, predicted_lang, gopher_keep,
+           dup.doc_id <> dup.keeper AS is_dup,
+           CASE WHEN dup.doc_id <> dup.keeper THEN 'drop:duplicate'
+                WHEN NOT gopher_keep THEN 'drop:quality'
+                WHEN predicted_lang = 'unknown' THEN 'drop:language'
+                ELSE 'keep' END AS decision
+    FROM g JOIN dup ON dup.doc_id = g.doc_id
+    ORDER BY g.doc_id
+    """,
+    doc="corpus filter pipeline flagship: exact-dup > Gopher rules > langid, one deterministic reason code per document — the composed keep/drop pass a training-data pipeline ships",
+)
+def x_corpus_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: ONE token pass computes every per-row signal
+    (narrow array algebra, no UDF), and the only shuffle is the
+    duplicate grouping — md5(text) content keys with a min(doc_id)
+    aggregate joined back on the hash (two fact exchanges on an 8-byte
+    key; AQE broadcasts the survivor table at small SF). Precedence
+    order mirrors cost order: dedup kills the most bytes first, the
+    rule gate is free, language-ID is free — exactly the CCNet-style
+    staging where expensive model scoring (x_lm_surprisal_score)
+    runs only on the survivors of this pass."""
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select("doc_id", F.md5("text").alias("h"), _tokens().alias("toks"))
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+
+    def marker(words: tuple) -> "Column":
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("toks"), lambda x: F.array_contains(arr, x)))
+
+    s = staged.select(
+        "doc_id",
+        "h",
+        F.size("toks").alias("n_words"),
+        F.aggregate(
+            F.transform(F.col("toks"), lambda x: F.length(x)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_tok_chars"),
+        F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        marker(("the", "a", "of", "is")).alias("s_en"),
+        marker(("der", "und", "die", "nicht")).alias("s_de"),
+        marker(("el", "la", "los", "que")).alias("s_es"),
+        marker(("le", "et", "les", "des")).alias("s_fr"),
+    )
+    keeper = s.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    mean_len = F.col("n_tok_chars") * 1.0 / F.col("n_words")
+    gopher_keep = (
+        F.col("n_words").between(20, 100000)
+        & mean_len.between(2, 10)
+        & (F.col("n_stop") >= 2)
+        & (F.col("n_uniq") * 1.0 / F.col("n_words") >= 0.05)
+    )
+    predicted = (
+        F.when(
+            (F.col("s_en") == 0) & (F.col("s_de") == 0) & (F.col("s_es") == 0) & (F.col("s_fr") == 0),
+            "unknown",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    scored = s.join(keeper, "h").select(
+        "doc_id",
+        "n_words",
+        predicted.alias("predicted_lang"),
+        gopher_keep.alias("gopher_keep"),
+        (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "predicted_lang",
+        "gopher_keep",
+        "is_dup",
+        F.when(F.col("is_dup"), "drop:duplicate")
+        .when(~F.col("gopher_keep"), "drop:quality")
+        .when(F.col("predicted_lang") == "unknown", "drop:language")
+        .otherwise("keep")
+        .alias("decision"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x_dataset_card",
+    # The "dataset card" summary block a corpus release ships: per-
+    # language (plus TOTAL via ROLLUP) document/token/char counts,
+    # exact-duplicate counts, and duplicate rate in integer ppm —
+    # the numbers every data statement / datasheet template asks for.
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(lower(text), ' ')) AS n_tok,
+               md5(text) AS h
+        FROM documents),
+    dup AS (
+        SELECT doc_id,
+               CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY h)
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM t)
+    SELECT COALESCE(t.lang, 'TOTAL') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+           CAST((SUM(is_dup) * 1000000) // count(*) AS BIGINT) AS dup_ppm
+    FROM t JOIN dup USING (doc_id)
+    GROUP BY ROLLUP(t.lang)
+    ORDER BY lang
+    """,
+    doc="dataset-card summary: per-language + TOTAL rollup of docs/tokens/chars, exact-dup counts and ppm rate — the datasheet numbers for a corpus release",
+)
+def x_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the dup flag costs one md5-key shuffle (window over
+    the content hash — each hash group is a dup cluster, tiny);
+    the rollup is one grouping-sets aggregate with map-side combine
+    over at most |langs|+1 output rows. Integer ppm keeps the rate
+    exact; TOTAL comes from ROLLUP, not a second scan."""
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(_tokens()).alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    w = Window.partitionBy("h")
+    flagged = t.withColumn(
+        "is_dup", (F.col("doc_id") != F.min("doc_id").over(w)).cast("int")
+    )
+    return (
+        flagged.rollup("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("is_dup").cast("long").alias("n_dup_docs"),
+            F.expr("(sum(is_dup) * 1000000L) div count(*)").cast("long").alias("dup_ppm"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("TOTAL")).alias("lang"),
+            "n_docs",
+            "n_tokens",
+            "total_chars",
+            "n_dup_docs",
+            "dup_ppm",
+        )
+        .orderBy("lang")
+    )
