@@ -94,11 +94,13 @@ HEADLINE = [
     "x_boilerplate_scrub",
     "x_dup_span_scrub",
     "x_tpch_q9_product_profit",
-    # round-7: the two new fact-heavy corpus shapes — per-doc unigram
-    # entropy (two keyed shuffles) and subcorpus drift (one token
-    # shuffle + scalar broadcast + TakeOrdered)
+    # round-7: the new fact-heavy corpus shapes — per-doc unigram
+    # entropy (two keyed shuffles), subcorpus drift (one token shuffle
+    # + scalar broadcast + TakeOrdered), and the composed filter
+    # pipeline flagship (all signals one token pass + dedup shuffle)
     "x_entropy_score",
     "x_token_drift",
+    "x_corpus_filter_pipeline",
 ]
 
 

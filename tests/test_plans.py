@@ -218,6 +218,13 @@ EXPECTED = {
     # AQE-broadcast at this SF (shuffle at corpus scale, un-hinted);
     # NO SinglePartition anywhere
     "x_image_phash_neardup": (4, 4, 0, False),
+    # filter pipeline flagship: ONE content-hash dedup shuffle + the
+    # survivor join (AQE-broadcast here, shuffle at scale) + output
+    # sort; every quality/lang signal is narrow array algebra
+    "x_corpus_filter_pipeline": (2, 1, 0, False),
+    # dataset card: md5-window dup flag shuffle + the rollup
+    # grouping-sets agg + |langs|+1-row output sort
+    "x_dataset_card": (3, 0, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their
