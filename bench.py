@@ -191,10 +191,12 @@ def main() -> None:
         # continuation III: the positional-gram span scrub — the
         # newest explode-heavy pipeline
         "x_dup_span_scrub",
-        # round-7: the token-explode entropy/drift pair must scale like
-        # the other corpus shapes (sublinear in the 10x token count)
+        # round-7: the token-explode entropy/drift pair and the composed
+        # filter flagship must scale like the other corpus shapes
+        # (sublinear in the 10x token count)
         "x_entropy_score",
         "x_token_drift",
+        "x_corpus_filter_pipeline",
     ]
     _CLIFF = 3.0  # flag when time ratio > _CLIFF * data ratio
     sf1_block = None

@@ -271,3 +271,97 @@ def test_stream_outer_join_contract(spark, sf_dir):
     # and emission is not vacuous: the overwhelming majority of
     # unmatched views are out
     assert len(got_null) >= 0.9 * len(unmatched)
+
+
+def test_stream_upsert_kill_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-restart proof for the foreachBatch upsert: split the events
+    table into 4 source files, force one file per micro-batch, STOP the
+    query after the first batch commits, then restart from the SAME
+    checkpoint. The final state table must equal the batch QUALIFY
+    oracle exactly — no lost updates (checkpoint replays nothing it
+    committed) and no double-application damage (the max-merge is
+    idempotent)."""
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as SF
+
+    from chyme_spark.merge import latest_per_key
+
+    src = str(tmp_path / "src")
+    ev_batch = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    ev_batch.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    base = str(tmp_path / "upsert")
+    state_dir = os.path.join(base, "state")
+    os.makedirs(base, exist_ok=True)
+
+    def apply_batch(batch_df, batch_id):
+        s = batch_df.sparkSession
+        batch_df = batch_df.withColumn("__ord", SF.struct(SF.col("ts"), SF.col("event_id")))
+        merged = (
+            s.read.parquet(state_dir).unionByName(batch_df)
+            if os.path.exists(state_dir)
+            else batch_df
+        )
+        merged = latest_per_key(merged, ["user_id"], "__ord")
+        stage = os.path.join(base, f"stage_{batch_id}")
+        merged.write.mode("overwrite").parquet(stage)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.replace(stage, state_dir)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    q = start()
+    # wait for at least one batch to COMMIT, then kill mid-stream
+    for _ in range(100):
+        if os.path.exists(state_dir) and q.lastProgress and q.lastProgress["batchId"] >= 1:
+            break
+        time.sleep(0.2)
+    q.stop()
+    assert os.path.exists(state_dir), "no batch committed before the kill"
+
+    # restart from the SAME checkpoint; drain everything left
+    q2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(state_dir)
+        .select("user_id", "ts", "event_id")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in latest_per_key(
+            ev_batch.withColumn("__ord", SF.struct(SF.col("ts"), SF.col("event_id"))),
+            ["user_id"],
+            "__ord",
+        )
+        .select("user_id", "ts", "event_id")
+        .collect()
+    }
+    assert got == want
