@@ -94,3 +94,37 @@ def test_all_d_ids_register():
     names = list(load_all())
     d_ids = [n for n in names if re.match(r"^d\d\d_", n)]
     assert len(d_ids) == 50
+
+
+def test_update_ledger_green_history_semantics(tmp_path, monkeypatch):
+    """last_green_rounds() on a synthetic CORRECTNESS history: a later
+    RED row demotes an earlier green (the query must re-prove), a
+    rows-only pass (err == no_oracle, rows > 0) counts as green, and
+    the recorded round is the LATEST green — the value the refresher
+    compares against the stamped round to decide whether a new green
+    arrived (re-stamp) or not (keep prior hash/sentinel)."""
+    import importlib.util
+    import json as js
+
+    spec = importlib.util.spec_from_file_location(
+        "update_ledger", os.path.join(REPO, "tools", "update_ledger.py")
+    )
+    ul = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ul)
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(js.dumps({
+        "q1": {"hash_match": True, "spark_rows": 5},
+        "q2": {"hash_match": True, "spark_rows": 5},
+        "q3": {"hash_match": None, "spark_rows": 7, "err": "no_oracle"},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(js.dumps({
+        "q1": {"hash_match": True, "spark_rows": 5},
+        "q2": {"hash_match": False, "spark_rows": 5, "err": "hash"},
+    }))
+    monkeypatch.setattr(ul, "REPO", str(tmp_path))
+    assert ul.last_green_rounds() == {"q1": 2, "q3": 1}
+
+    (tmp_path / "CORRECTNESS_r03.json").write_text(js.dumps({
+        "q2": {"hash_match": True, "spark_rows": 5},
+    }))
+    assert ul.last_green_rounds() == {"q1": 2, "q2": 3, "q3": 1}
