@@ -3602,3 +3602,100 @@ def x_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "x_ccnet_buckets",
+    # CCNet's head/middle/tail split (Wenzek et al. 2020, public): rank
+    # every document by LM perplexity WITHIN its language and cut into
+    # terciles; training keeps head+middle and drops the gibberish
+    # tail. The LM score is x_lm_surprisal_score's whole-bit bigram
+    # surprisal (already exact cross-engine); the tercile is NTILE(3)
+    # with a doc_id tiebreak, reproduced on the Spark side by the
+    # closed-form bucket arithmetic the decile op pinned by hypothesis.
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+    bg AS (SELECT doc_id, ws[CAST(t.i AS INT)] || ' ' || ws[CAST(t.i+1 AS INT)] AS b
+           FROM docs, LATERAL unnest(range(1, len(ws))) AS t(i)),
+    cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY b),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS T FROM bg),
+    score AS (
+        SELECT bg.doc_id,
+               CAST(SUM(length(bin(T // c)) - 1) AS BIGINT) AS sum_bits,
+               CAST(count(*) AS BIGINT) AS n_bigrams
+        FROM bg JOIN cnt USING (b), tot
+        GROUP BY bg.doc_id),
+    ranked AS (
+        SELECT d.lang, s.doc_id, s.sum_bits, s.n_bigrams,
+               CAST(ntile(3) OVER (
+                   PARTITION BY d.lang
+                   ORDER BY s.sum_bits * 10000 // s.n_bigrams, s.doc_id
+               ) AS BIGINT) AS bucket
+        FROM score s JOIN documents d USING (doc_id))
+    SELECT doc_id, lang,
+           CAST(sum_bits * 10000 // n_bigrams AS BIGINT) AS surprisal_e4,
+           bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+               AS segment,
+           bucket <= 2 AS keep
+    FROM ranked
+    ORDER BY doc_id
+    """,
+    doc="CCNet head/middle/tail perplexity buckets: per-language NTILE(3) over the exact bigram surprisal (integer 1e4-scaled mean bits, doc_id tiebreak); keep = head+middle",
+)
+def x_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: the surprisal score costs its two corpus shuffles
+    (bigram counts + doc rollup, see x_lm_surprisal_score); the tercile
+    is then one lang-keyed window over the per-doc score table — a
+    KEYED partition (|langs| tasks over doc-count rows), never a
+    global window; the surprisal mean is integer 1e4-scaled floor
+    division so the ranking key is exact on both engines. Docs with
+    fewer than two tokens have no bigrams and are excluded on both
+    sides by construction."""
+    docs = load_table(spark, sf, "documents").withColumn("__ws", F.split("text", " "))
+    ws = F.col("__ws")
+    n = F.size(ws)
+    grams = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                grams,
+                lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+            )
+        ).alias("b"),
+    )
+    cnt = bg.groupBy("b").agg(F.count("*").alias("c"))
+    tot = bg.agg(F.count("*").alias("T"))
+    bits = F.length(F.bin(F.expr("T div c"))) - 1
+    score = (
+        bg.join(cnt, "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(bits).cast("long").alias("sum_bits"),
+            F.count("*").cast("long").alias("n_bigrams"),
+        )
+    )
+    lang = load_table(spark, sf, "documents").select("doc_id", "lang")
+    ranked = score.join(lang, "doc_id").withColumn(
+        "surprisal_e4", F.expr("(sum_bits * 10000L) div n_bigrams").cast("long")
+    )
+    w = Window.partitionBy("lang").orderBy("surprisal_e4", "doc_id")
+    return (
+        ranked.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+        .select(
+            "doc_id",
+            "lang",
+            "surprisal_e4",
+            "bucket",
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+            .alias("segment"),
+            (F.col("bucket") <= 2).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
