@@ -225,6 +225,11 @@ EXPECTED = {
     # dataset card: md5-window dup flag shuffle + the rollup
     # grouping-sets agg + |langs|+1-row output sort
     "x_dataset_card": (3, 0, 0, False),
+    # ccnet buckets: the surprisal pair of corpus shuffles + the
+    # lang-keyed tercile window + output sort; its SinglePartition is
+    # the 1-row bigram-total partial->merge->broadcast (the accepted
+    # global-scalar shape, identical to x_lm_surprisal_score's)
+    "x_ccnet_buckets": (5, 3, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their

@@ -63,7 +63,7 @@ AUDIT = [
     # round-7 additions: sampling, drift, entropy, audits, pHash dedup
     "x_priority_sample", "x_token_drift", "x_entropy_score",
     "x_benford", "x_skew_audit", "x_image_phash_neardup",
-    "x_corpus_filter_pipeline", "x_dataset_card",
+    "x_corpus_filter_pipeline", "x_dataset_card", "x_ccnet_buckets",
     # (x_dedup_report and x_tokenizer_fertility excluded with the other
     # iterative consumers: CC labels / BPE merge-loop lineage make the
     # one-shot exchange counts mis-state per-round work)
