@@ -111,13 +111,20 @@ def _cpu_calibration() -> float:
     has that day; round 6 measured a uniform ~1.25x drift on UNTOUCHED
     narrow-map queries (d27/d24) across runs hours apart — pure host
     speed, not plans. Dividing per-query times by this constant
-    separates real regressions from the weather."""
-    t0 = time.time()
-    acc = 0
-    for i in range(2_000_000):
-        acc = (acc + i * i) % 1_000_000_007
-    assert acc >= 0
-    return round(time.time() - t0, 4)
+    separates real regressions from the weather. MEDIAN of three
+    passes: round 7 observed single measurements wobbling 0.13-0.18 on
+    the same host minutes apart (scheduler noise), which would smear
+    the very normalization this exists for."""
+
+    def one() -> float:
+        t0 = time.time()
+        acc = 0
+        for i in range(2_000_000):
+            acc = (acc + i * i) % 1_000_000_007
+        assert acc >= 0
+        return time.time() - t0
+
+    return round(sorted(one() for _ in range(3))[1], 4)
 
 
 def main() -> None:
