@@ -39,3 +39,20 @@ def test_events_value_nonnegative(sf):
         " rewrite those quotients with explicit floor() on both engines"
         " before trusting their oracles"
     )
+
+
+@pytest.mark.parametrize("sf", _SFS)
+def test_documents_text_nonempty(sf):
+    """x_image_phash_neardup cycles byte indexes modulo the payload
+    length — an EMPTY document would divide by zero, where the two
+    engines disagree ('0x'::BIGINT errors in DuckDB; conv('', 16, 10)
+    is 0 in Spark). The fixture guarantees non-empty text; this makes
+    the precondition explicit so a regenerated fixture fails HERE."""
+    path = f"/root/testdata/{sf}/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} absent")
+    (lo,) = duckdb.sql(f"SELECT min(strlen(text)) FROM '{path}'").fetchone()
+    assert lo is not None and lo > 0, (
+        f"{sf}: empty document text — guard the phash byte-cycle (i % bl)"
+        " with a length filter on both engines before trusting its oracle"
+    )
