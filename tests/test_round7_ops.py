@@ -151,3 +151,19 @@ def test_tokenizer_fertility_contract(spark):
         expect += vocab[row.w]
     got = {r.lang: r.n_subwords for r in rows}[lang0]
     assert got == expect
+
+
+def test_dataset_card_coheres_with_filter_pipeline(spark):
+    """Two independent implementations of 'exact duplicate' (md5 text
+    key, min-doc_id survivor) must agree: the dataset card's TOTAL
+    n_dup_docs equals the filter pipeline's count of drop:duplicate
+    decisions, and the per-language card rows sum to the TOTAL row."""
+    card = {r.lang: r for r in REGISTRY["x_dataset_card"].fn(spark, SF).collect()}
+    pipe = REGISTRY["x_corpus_filter_pipeline"].fn(spark, SF).collect()
+    n_dup_pipe = sum(1 for r in pipe if r.decision == "drop:duplicate")
+    assert card["TOTAL"].n_dup_docs == n_dup_pipe
+    langs = [lang for lang in card if lang != "TOTAL"]
+    for col in ("n_docs", "n_tokens", "total_chars", "n_dup_docs"):
+        assert sum(getattr(card[lang], col) for lang in langs) == getattr(
+            card["TOTAL"], col
+        )
