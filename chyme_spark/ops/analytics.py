@@ -3664,3 +3664,85 @@ def x_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("rank_pos")
     )
+
+
+@query(
+    "x_recursive_cte",
+    # Native RECURSIVE CTE — the SQL surface Spark gained in 4.x
+    # (SPARK-24497): hop-capped multi-source BFS over the nation trade
+    # graph (customer-nation -> supplier-nation edges with >= 20
+    # lineitems). Each nation seeds a frontier; three expansion rounds
+    # of UNION ALL path enumeration, then min-hop / path-count
+    # aggregation. The hop cap bounds path enumeration at
+    # |V| * fanout^3 rows (~400k worst case on the dense 25-node
+    # graph), so the recursion is safe at ANY scale factor — unlike
+    # x_pagerank's unbounded-closure oracle, this oracle runs at sf0.1.
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY c.c_nationkey, s.s_nationkey
+        HAVING count(*) >= 20),
+    reach AS (
+        SELECT n_nationkey AS start, n_nationkey AS node, 0 AS hops
+        FROM nation
+        UNION ALL
+        SELECT r.start, e.dst AS node, r.hops + 1 AS hops
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hops < 3)
+    SELECT CAST(start AS BIGINT) AS start_nation,
+           CAST(node AS BIGINT) AS node,
+           CAST(min(hops) AS BIGINT) AS min_hops,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM reach GROUP BY start, node
+    ORDER BY start_nation, node
+    """,
+    doc="native RECURSIVE CTE (Spark 4.x): hop-capped multi-source BFS over the nation trade graph — min hops + path counts per (start, node) pair; identical WITH RECURSIVE text on both engines",
+)
+def x_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    """The declarative-iteration surface: where x_pagerank and
+    x_dedup_clusters UNROLL their iterations as DataFrame loops with
+    localCheckpoint lineage cuts, this runs the engine's own recursive
+    CTE executor on the IDENTICAL SQL text the DuckDB oracle runs —
+    the strongest cross-engine form a recursive query can take.
+
+    100 TB shape: the edge CTE is the expensive part (two fact joins +
+    a 625-row-max aggregate — dimension joins broadcast, one orderkey
+    shuffle); the recursion then iterates over aggregate-sized frontier
+    tables only. The hop cap (r.hops < 3) is load-bearing: it bounds
+    UNION ALL path enumeration on a cyclic graph, the same discipline
+    as pagerank's fixed iteration count. Spark's recursion guard
+    (spark.sql.cteRecursionLevelLimit, default 100) never triggers at
+    depth 3."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load_table(spark, sf, t).createOrReplaceTempView(f"__rc_{t}")
+    q = REGISTRY_SQL_RC
+    return spark.sql(q)
+
+
+REGISTRY_SQL_RC = """
+WITH RECURSIVE edges AS (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM __rc_lineitem l
+    JOIN __rc_orders o ON o.o_orderkey = l.l_orderkey
+    JOIN __rc_customer c ON c.c_custkey = o.o_custkey
+    JOIN __rc_supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY c.c_nationkey, s.s_nationkey
+    HAVING count(*) >= 20),
+reach AS (
+    SELECT n_nationkey AS start, n_nationkey AS node, 0 AS hops
+    FROM __rc_nation
+    UNION ALL
+    SELECT r.start, e.dst AS node, r.hops + 1 AS hops
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.hops < 3)
+SELECT CAST(start AS BIGINT) AS start_nation,
+       CAST(node AS BIGINT) AS node,
+       CAST(min(hops) AS BIGINT) AS min_hops,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY start, node
+ORDER BY start_nation, node
+"""

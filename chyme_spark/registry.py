@@ -75,7 +75,7 @@ _FRONT_50 = [
     "x_tokenizer_fertility", "x_cogroup_reconcile", "x_map_in_arrow",
     "x_observe_metrics", "x_stream_upsert", "x_stream_outer_join",
     "x_image_phash_neardup", "x_corpus_filter_pipeline", "x_dataset_card",
-    "x_ccnet_buckets",
+    "x_ccnet_buckets", "x_recursive_cte",
     # (b) changed in round 6 but slot-yielded there (VERDICT r6 #1):
     # their implementation or oracle was rewritten in r6 and the driver
     # has never re-proven the new arithmetic/plan. All seven are green
@@ -104,8 +104,8 @@ _FRONT_50 = [
     # d16/d40/d41/d43 excluded — pytest pins their contracts)
     "d22_ranking_windows", "d23_lag_lead", "d25_union",
     "d26_intersect_except", "d28_url_parse", "d29_hash_fns",
-    "d30_datetime_fns",
-    # (d31_math_fns rotated out for x_ccnet_buckets)
+    # (d31_math_fns rotated out for x_ccnet_buckets, d30_datetime_fns
+    # for x_recursive_cte)
     # (d36_pivot rotated out for x_stream_upsert, d35_json_extract for
     # x_stream_outer_join, d34_map_fns for x_image_phash_neardup,
     # d33_array_fns for x_corpus_filter_pipeline, d32_conditional_fns
