@@ -66,7 +66,9 @@ AUDIT = [
     "x_corpus_filter_pipeline", "x_dataset_card", "x_ccnet_buckets",
     # (x_dedup_report and x_tokenizer_fertility excluded with the other
     # iterative consumers: CC labels / BPE merge-loop lineage make the
-    # one-shot exchange counts mis-state per-round work)
+    # one-shot exchange counts mis-state per-round work;
+    # x_recursive_cte excluded for the same reason — the engine's
+    # recursive-CTE loop repeats the frontier join per round)
     # x_neardup_survivors / x_dedup_clusters / x_bpe_train /
     # x_pagerank excluded:
     # their iterative loops accumulate per-round subtrees, so the
