@@ -167,3 +167,56 @@ def test_dataset_card_coheres_with_filter_pipeline(spark):
         assert sum(getattr(card[lang], col) for lang in langs) == getattr(
             card["TOTAL"], col
         )
+
+
+def test_recursive_cte_matches_python_bfs(spark):
+    """x_recursive_cte runs the IDENTICAL SQL on both engines, so its
+    oracle proves engine equivalence but not logic — a shared-SQL bug
+    would pass both sides. This model check is the independent leg:
+    rebuild the edge set with DataFrame ops, enumerate <= 3-hop paths
+    with a plain Python BFS, and compare min-hops and path counts."""
+    from collections import defaultdict
+
+    rows = REGISTRY["x_recursive_cte"].fn(spark, SF).collect()
+    got = {(r.start_nation, r.node): (r.min_hops, r.n_paths) for r in rows}
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_custkey")
+    c = spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey", "c_nationkey")
+    s = spark.read.parquet(f"{SF}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("c_nationkey", "s_nationkey")
+        .count()
+        .filter(F.col("count") >= 20)
+        .collect()
+    )
+    adj = defaultdict(list)
+    for r in pairs:
+        adj[r.c_nationkey].append(r.s_nationkey)
+    nations = [r.n_nationkey for r in spark.read.parquet(f"{SF}/nation.parquet").select("n_nationkey").collect()]
+
+    want: dict[tuple[int, int], tuple[int, int]] = {}
+    for start in nations:
+        # path enumeration with hop cap 3, exactly the CTE's semantics
+        counts: dict[tuple[int, int], int] = defaultdict(int)  # (node, hops) -> paths
+        counts[(start, 0)] = 1
+        frontier = {start: 1}
+        for hop in (1, 2, 3):
+            nxt: dict[int, int] = defaultdict(int)
+            for node, npaths in frontier.items():
+                for dst in adj[node]:
+                    nxt[dst] += npaths
+            for node, npaths in nxt.items():
+                counts[(node, hop)] += npaths
+            frontier = nxt
+        per_node: dict[int, tuple[int, int]] = {}
+        for (node, hops), npaths in counts.items():
+            mh, tp = per_node.get(node, (99, 0))
+            per_node[node] = (min(mh, hops), tp + npaths)
+        for node, (mh, tp) in per_node.items():
+            want[(start, node)] = (mh, tp)
+
+    assert got == want
