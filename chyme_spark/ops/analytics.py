@@ -3746,3 +3746,47 @@ SELECT CAST(start AS BIGINT) AS start_nation,
 FROM reach GROUP BY start, node
 ORDER BY start_nation, node
 """
+
+
+@query(
+    "x_sql_pipe",
+    # SQL pipe syntax (|>) — the second SQL-language surface Spark
+    # gained in 4.x (SPARK-49555, the GoogleSQL-style pipe operators):
+    # the same logical query reads top-to-bottom as a dataflow. The
+    # oracle is the CLASSIC form — different text, same semantics —
+    # so this doubles as a parser-equivalence check, not just an
+    # engine-equivalence one.
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="SQL pipe syntax (Spark 4.x |> operators): filter |> aggregate |> order as a top-down dataflow; classic-SQL oracle makes it a parser-equivalence proof",
+)
+def x_sql_pipe(spark: SparkSession, sf: str) -> DataFrame:
+    """Surface demo with the repo's full determinism discipline riding
+    along (DECIMAL-summed revenue, rounded to cents, cast to DOUBLE).
+    The pipe text compiles to the identical logical plan as the
+    classic form — same pushed filter, same partial/final aggregate —
+    so there is no 100 TB delta to reason about; the feature's value
+    is readability of long pipelines."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("__pipe_lineitem")
+    return spark.sql(
+        """
+        FROM __pipe_lineitem
+        |> WHERE l_shipdate >= DATE '1995-01-01'
+        |> AGGREGATE count(*) AS n_items,
+                     CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                                    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                          AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_items, revenue
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
