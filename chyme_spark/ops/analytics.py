@@ -3790,3 +3790,67 @@ def x_sql_pipe(spark: SparkSession, sf: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@query(
+    "x_collation_group",
+    # String collations — the third SQL-language surface Spark gained
+    # in 4.x: UTF8_LCASE comparison/grouping without materializing a
+    # lowercased key. The fixture's segments are uniform-case, so both
+    # engines first build the SAME deterministic mixed-case rendering
+    # (initcap on odd custkeys); Spark then groups the collated column
+    # directly while the DuckDB oracle groups by lower() — equal
+    # results prove the collation semantics, not just the data.
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE WHEN c_custkey % 2 = 1
+                    THEN upper(substr(c_mktsegment, 1, 1))
+                         || lower(substr(c_mktsegment, 2))
+                    ELSE c_mktsegment END AS seg,
+               c_acctbal
+        FROM customer)
+    SELECT lower(seg) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT seg) AS BIGINT) AS n_case_variants,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_balance
+    FROM mixed GROUP BY lower(seg)
+    ORDER BY segment
+    """,
+    doc="Spark 4.x string collation: GROUP BY a UTF8_LCASE-collated column equals the lower()-keyed oracle — case variants counted to prove the data actually exercises it",
+)
+def x_collation_group(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB note: a collated group key hashes its COLLATION KEY, so
+    the aggregate stays one map-side-combined shuffle with no derived
+    lower() column materialized per row — same plan as any groupBy.
+    n_case_variants > 1 per group proves the rendering actually mixed
+    cases (a uniform-case fixture would vacuously pass)."""
+    cust = load_table(spark, sf, "customer")
+    mixed = cust.select(
+        F.when(
+            F.col("c_custkey") % 2 == 1, F.initcap(F.col("c_mktsegment"))
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        "c_acctbal",
+    )
+    collated = mixed.select(
+        F.expr("seg COLLATE UTF8_LCASE").alias("segc"), F.col("seg"), "c_acctbal"
+    )
+    return (
+        collated.groupBy("segc")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.countDistinct("seg").cast("long").alias("n_case_variants"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_balance"),
+        )
+        .select(
+            F.lower(F.col("segc").cast("string")).alias("segment"),
+            "n_customers",
+            "n_case_variants",
+            "total_balance",
+        )
+        .orderBy("segment")
+    )

@@ -76,6 +76,7 @@ _FRONT_50 = [
     "x_observe_metrics", "x_stream_upsert", "x_stream_outer_join",
     "x_image_phash_neardup", "x_corpus_filter_pipeline", "x_dataset_card",
     "x_ccnet_buckets", "x_recursive_cte", "x_sql_pipe",
+    "x_collation_group",
     # (b) changed in round 6 but slot-yielded there (VERDICT r6 #1):
     # their implementation or oracle was rewritten in r6 and the driver
     # has never re-proven the new arithmetic/plan. All seven are green
@@ -103,8 +104,9 @@ _FRONT_50 = [
     # (d) backfill: greens last driver-checked in ROUND 2 (rows-only
     # d16/d40/d41/d43 excluded — pytest pins their contracts)
     "d22_ranking_windows", "d23_lag_lead", "d25_union",
-    "d26_intersect_except", "d28_url_parse",
-    # (d29_hash_fns rotated out for x_sql_pipe)
+    "d26_intersect_except",
+    # (d29_hash_fns rotated out for x_sql_pipe, d28_url_parse for
+    # x_collation_group)
     # (d31_math_fns rotated out for x_ccnet_buckets, d30_datetime_fns
     # for x_recursive_cte)
     # (d36_pivot rotated out for x_stream_upsert, d35_json_extract for
