@@ -101,6 +101,10 @@ HEADLINE = [
     "x_entropy_score",
     "x_token_drift",
     "x_corpus_filter_pipeline",
+    # round-8: the rewritten PPJoin (r7: per-doc (df, tok) window, no
+    # global vocab rank) joins the scoreboard so its sf0.1 baseline
+    # anchors the 20x skew probe below
+    "x_ppjoin_setsim",
 ]
 
 
@@ -249,6 +253,57 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — the probe must never sink the bench line
             sf1_block = {"error": f"{type(e).__name__}: {e}"}
 
+    # --- 20x skew probe (VERDICT r7 #7) --------------------------------
+    # The two candidate-generation ops whose cost is most sensitive to
+    # key-frequency skew (LSH bucket sizes, prefix-token buckets) get a
+    # second probe at 20x: replication doubles every bucket again, so a
+    # super-linear candidate blow-up that 10x hides shows here. The
+    # scaled dirs are content-keyed caches (scaleup._src_fingerprint) —
+    # repeat runs skip generation entirely.
+    SF2_SKEW = ["d43_minhash_lsh", "x_ppjoin_setsim"]
+    _CLIFF20 = 3.0
+    sf2_block = None
+    if os.environ.get("SPARK_GRAFT_SF2", "1") != "0" and sf == "0.1":
+        try:
+            from chyme_spark.scaleup import ensure_scaled
+
+            sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/tmp/chyme_sf2")
+            t0 = time.time()
+            ensure_scaled(spark, sf_dir, sf2_dir, factor=20)
+            gen2_sec = round(time.time() - t0, 3)
+
+            def run_at2(name: str, d: str) -> float:
+                t0 = time.time()
+                df = registry[name].fn(spark, d)
+                df.write.format("noop").mode("overwrite").save()
+                return time.time() - t0
+
+            sf2_names = [n for n in SF2_SKEW if n in registry]
+            for name in sf2_names:  # warm pass
+                run_at2(name, sf2_dir)
+            sf2_passes = [
+                {n: run_at2(n, sf2_dir) for n in sf2_names} for _ in range(3)
+            ]
+            sf2_med = {
+                n: round(median([p[n] for p in sf2_passes]), 3) for n in sf2_names
+            }
+            ratio2 = {
+                n: round(sf2_med[n] / steady[n], 1) if steady.get(n) else None
+                for n in sf2_names
+            }
+            sf2_block = {
+                "dir": sf2_dir,
+                "factor": 20,
+                "gen_sec": gen2_sec,
+                "queries_median": sf2_med,
+                "ratio_vs_sf0.1": ratio2,
+                "flagged_scale_cliff": sorted(
+                    n for n, r in ratio2.items() if r is not None and r > _CLIFF20 * 20
+                ),
+            }
+        except Exception as e:  # noqa: BLE001
+            sf2_block = {"error": f"{type(e).__name__}: {e}"}
+
     calibration = _cpu_calibration()
     # calibration-normalized medians (VERDICT r6 #6): per-query median
     # divided by the host-speed constant, so cross-round comparisons are
@@ -276,7 +331,28 @@ def main() -> None:
     }
     if sf1_block is not None:
         out["sf1"] = sf1_block
+    if sf2_block is not None:
+        out["sf2"] = sf2_block
     print(json.dumps(out))
+    # Compact headline line LAST (VERDICT r7 #2): the driver records only
+    # a bounded stdout tail, and the full JSON above outgrew it in r5-r7
+    # ("parsed": null). This line is small enough to always land inside
+    # any tail window, so the headline metrics stay machine-readable.
+    summary = {
+        "steady_total": out["steady_total"],
+        "cpu_calibration_sec": out["cpu_calibration_sec"],
+        "steady_total_calibrated": out["steady_total_calibrated"],
+        "n_queries": len(names),
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+    }
+    for key, blk in (("sf1", sf1_block), ("sf2", sf2_block)):
+        if blk and "ratio_vs_sf0.1" in blk:
+            ratios = [r for r in blk["ratio_vs_sf0.1"].values() if r is not None]
+            summary[f"{key}_ratio_max"] = max(ratios) if ratios else None
+            summary[f"{key}_flagged"] = blk["flagged_scale_cliff"]
+    print("BENCH_SUMMARY " + json.dumps(summary))
 
 
 if __name__ == "__main__":

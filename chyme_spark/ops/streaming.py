@@ -36,6 +36,27 @@ _SESSION_GAP_S = 30 * 60
 _mem_counter = itertools.count()
 
 
+def _q4(v: float) -> int:
+    """Python-side mirror of the batch twin's CAST(value AS DECIMAL(18,4)).
+
+    Spark's double->decimal cast goes through the shortest decimal
+    rendering (BigDecimal.valueOf), which is what repr() gives, then
+    HALF_UP at scale 4 — so a stateful operator accumulating these
+    integer ten-thousandths sees the SAME total the batch DECIMAL sum
+    sees (integer-state discipline; no float drift across micro-batches).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(v)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP) * 10000
+    )
+
+
+def _money_q4(total_q4: int) -> float:
+    """ROUND(sum, 2) HALF_UP on a non-negative ten-thousandths total."""
+    return ((total_q4 + 50) // 100) / 100.0
+
+
 @query(
     "d37_sessionization",
     oracle=f"""
@@ -347,17 +368,24 @@ def x_stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
     ev = _events_stream(spark, sf).select("user_id", "value")
 
     def update(key, pdfs, state):
-        n, total = state.get if state.exists else (0, 0.0)
+        # integer ten-thousandths state (same discipline as
+        # x_stream_session_timeout, r7): per-row _q4 mirrors the batch
+        # twin's CAST(value AS DECIMAL(18,4)) exactly, so stream == batch
+        # to the cent regardless of micro-batch boundaries or float
+        # summation order
+        n, total = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            total += sum(_q4(float(v)) for v in pdf["value"])
         state.update((n, total))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [_money_q4(total)]}
+        )
 
     out = ev.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, total double",
+        stateStructType="n long, total long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -417,24 +445,11 @@ def x_stream_session_timeout(spark: SparkSession, sf: str) -> DataFrame:
         .select("user_id", "ts", "value")
     )
 
-    from decimal import ROUND_HALF_UP, Decimal
-
-    def q4(v: float) -> int:
-        # exact mirror of the batch twin's CAST(value AS DECIMAL(18,4)):
-        # Spark's double->decimal cast goes through the shortest decimal
-        # rendering (BigDecimal.valueOf), which is what repr() gives,
-        # then HALF_UP at scale 4 — so the state accumulates the SAME
-        # integer ten-thousandths the batch DECIMAL sum sees (ADVICE r6:
-        # the old float+banker's-round accumulator could differ from
-        # d37 by a cent)
-        return int(
-            Decimal(repr(v)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
-            * 10000
-        )
-
-    def money(total_q4: int) -> float:
-        # ROUND(sum, 2) HALF_UP on a non-negative ten-thousandths total
-        return ((total_q4 + 50) // 100) / 100.0
+    # _q4/_money_q4 (module scope): exact mirror of the batch twin's
+    # CAST(value AS DECIMAL(18,4)) accumulation — see their docstrings
+    # (ADVICE r6: the old float+banker's-round accumulator could differ
+    # from d37 by a cent)
+    q4, money = _q4, _money_q4
 
     def fn(key, pdfs, state):
         uid = key[0]

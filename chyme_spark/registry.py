@@ -67,7 +67,46 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # If the list exceeds 50, the tail (youngest backfill) rotates out and
 # returns next round.
 _FRONT_50 = [
-    # ---- Round-7 window ----
+    # ---- Round-8 window (VERDICT r7 #1: clear the ENTIRE stale-green
+    # backlog — after this round no ledger entry should predate r7) ----
+    # (a) new in round 8 — never driver-checked; the ledger guard forces
+    # them here as they are added.
+    # (b) changed in round 8 — the driver must re-prove the new
+    # arithmetic:
+    "x_stream_stateful_counts",   # integer ten-thousandths state (r7 VERDICT #4)
+    "x_stream_session_timeout",   # q4/money hoisted to shared module helpers (r8)
+    # (c) THE STALE BACKLOG: every remaining round-1/round-2 green. The
+    # usual rows-only-backfill exclusion is OVERRIDDEN this round by
+    # explicit VERDICT order (r7 #1 names d16/d40/d41/d43 and the ANN
+    # trio) — their rows>0 driver re-proof plus the r8-tightened pytest
+    # recall brackets (r7 #6) is the strongest check they can get.
+    "x_ann_lsh_topk", "x_ann_ivf_topk", "x_simhash_neardup",
+    "d16_approx_count_distinct", "d28_url_parse", "d29_hash_fns",
+    "d30_datetime_fns", "d31_math_fns", "d32_conditional_fns",
+    "d33_array_fns", "d34_map_fns", "d35_json_extract", "d36_pivot",
+    "d38_tumbling_window", "d39_sliding_window", "d40_stream_watermark",
+    "d41_stream_dedup", "d43_minhash_lsh", "d46_binary_files",
+    "d47_python_udf", "d48_pandas_udf", "d49_apply_in_pandas",
+    # (d) backfill: the seven r4-greens displaced in r7 with a promised
+    # return, then the stalest remaining r4 greens, oldest cohort first.
+    # Each new r8 op added during the round displaces one from the
+    # BOTTOM of this tail (youngest-backfill-out rule); displaced names
+    # return next round.
+    "x_bpe_pretokenize", "x_bm25_score", "x_bloom_prefilter",
+    "d01_parquet_scan", "d02_projection", "d37_sessionization",
+    "x_array_agg_sorted",
+    "x_approx_quantiles", "x_compression_ratio", "x_corr_scalar_subquery",
+    "x_cosine_topk_np", "x_decontaminate", "x_domain_stats",
+    "x_duplicate_ngram_fraction", "x_explode_outer", "x_frame_sample",
+    "x_from_json_struct", "x_gap_fill", "x_global_agg", "x_gopher_rules",
+    "x_incremental_dedup", "x_interval_join_bucketed", "x_map_fns2",
+    "x_media_resize", "x_minhash_containment", "x_mixture_sample",
+    # (x_neardup_survivors displaced by the r8-changed
+    # x_stream_session_timeout — r4-green, returns next round)
+]
+
+_FRONT_50_R7 = [
+    # ---- Round-7 window (retired; kept for the ledger audit trail) ----
     # (a) new in round 7 — never driver-checked, inserted as added; the
     # ledger guard (tests/test_registry.py) forces them here.
     "x_priority_sample", "x_token_drift", "x_entropy_score",

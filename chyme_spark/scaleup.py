@@ -39,6 +39,27 @@ TABLES = [
 _DONE_MARKER = "_CHYME_SCALEUP_DONE"
 
 
+def _src_fingerprint(src_dir: str) -> str:
+    """Content key for the cache stamp: sha256 over every source table's
+    parquet part listing (name, size). Catches a driver-regenerated
+    testdata dir (new seed/schema -> new part sizes) without reading the
+    data; path+factor alone would silently reuse a stale scale-up
+    (VERDICT r7 #7: key the cache on source content, not just path)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for name in TABLES:
+        p = os.path.join(src_dir, f"{name}.parquet")
+        entries = []
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                entries.append(f"{f}:{os.path.getsize(os.path.join(p, f))}")
+        elif os.path.exists(p):
+            entries.append(f"{name}:{os.path.getsize(p)}")
+        h.update(f"{name}=[{','.join(entries)}]\n".encode())
+    return h.hexdigest()
+
+
 def _span(df: DataFrame, col: str) -> int:
     return int(df.agg(F.max(col)).first()[0]) + 1
 
@@ -57,7 +78,7 @@ def ensure_scaled(
     """Materialize ``factor``x-scaled copies of the src tables under
     dest_dir (idempotent: a done-marker skips regeneration)."""
     marker = os.path.join(dest_dir, _DONE_MARKER)
-    stamp = f"factor={factor} src={src_dir}\n"
+    stamp = f"factor={factor} src={src_dir} fp={_src_fingerprint(src_dir)}\n"
     if os.path.exists(marker):
         # the marker records WHAT was generated; a different factor or
         # source must regenerate, not silently reuse the stale dataset

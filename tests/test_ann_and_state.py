@@ -21,16 +21,16 @@ def test_stateful_stream_counts_equal_batch(spark, sf_dir):
         for r in ev.groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).cast("double").alias("v"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("v"),
         )
         .collect()
     }
-    # counts must match exactly; sums are float-accumulated in pandas so
-    # compare counts strictly and totals within tolerance
-    assert {g[:2] for g in got} == {w[:2] for w in want}
-    want_by_user = {w[0]: w[2] for w in want}
-    for user_id, _n, total in got:
-        assert abs(total - want_by_user[user_id]) < 0.05
+    # integer ten-thousandths state (r8): stream == batch EXACTLY — the
+    # stateful op accumulates the same DECIMAL(18,4) quanta the batch
+    # sum sees, so no tolerance is needed
+    assert got == want
 
 
 def test_ivf_ann_overlaps_brute_force(spark, sf_dir):
