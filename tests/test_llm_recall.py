@@ -89,6 +89,68 @@ def test_ivf_top1_recall_monotone_in_nprobe(spark, sf_dir):
     assert r8 == len(top1)  # nprobe == k is exhaustive
 
 
+SF001 = "/root/testdata/sf0.01"
+
+
+def test_ann_recall_brackets_vs_exact_twins_sf001(spark):
+    """Recorded-constant recall brackets (VERDICT r7 #6): every piece of
+    the ANN stack is deterministic (hyperplanes from xxhash64 parity,
+    KMeans seed=42, no RNG anywhere), so its recall against the exact
+    twin at a fixed scale is a CONSTANT, not a distribution. These are
+    the measured sf0.01 values (2026-08-14, this commit's
+    implementations); any implementation change that silently degrades
+    candidate generation now fails loudly instead of hiding behind a
+    loose luck-tolerant bracket.
+
+    Measured constants at sf0.01 (exact twin: d44_cosine_topk,
+    top-3 = 30 pairs over 10 queries):
+      * IVF  k=16 nprobe=2 (defaults): top3-overlap  9/30, top1 5/10
+      * IVF  k=16 nprobe=4:            top3-overlap 14/30, top1 7/10
+      * LSH  planes=4 multiprobe=1:    top3-overlap 13/30, top1 4/10
+    Near-random 64-dim vectors are ANN's worst case (neighbors at
+    cosine ~0.5 carry no cluster structure), so absolute recall is low
+    by construction — the bracket pins the implementation, not the
+    data's friendliness.
+    """
+    from chyme_spark.ops import llm
+
+    brute = _rows(llm.d44_cosine_topk(spark, SF001))
+    pairs = {(q, v) for q, v, _ in brute}
+    top1 = _top1(brute)
+    assert len(pairs) == 30 and len(top1) == 10
+
+    def overlap(df):
+        got = {(r.qid, r.vec_id) for r in df.collect()}
+        by_q: dict[int, set[int]] = {}
+        for q, v in got:
+            by_q.setdefault(q, set()).add(v)
+        t1 = sum(1 for q, v in top1.items() if v in by_q.get(q, set()))
+        return len(got & pairs), t1
+
+    o3, o1 = overlap(llm.x_ann_ivf_topk(spark, SF001))  # k=16, nprobe=2
+    assert o3 >= 9 and o1 >= 5, (o3, o1)
+    o3, o1 = overlap(llm.x_ann_ivf_topk(spark, SF001, k=16, nprobe=4))
+    assert o3 >= 14 and o1 >= 7, (o3, o1)
+    o3, o1 = overlap(llm.x_ann_lsh_topk(spark, SF001, n_planes=4, multiprobe=1))
+    assert o3 >= 13 and o1 >= 4, (o3, o1)
+
+
+def test_simhash_recall_bracket_vs_exact_jaccard_sf001(spark):
+    """x_simhash_neardup vs its exact twin x_ngram_jaccard at sf0.01:
+    deterministic measured constants (2026-08-14) — the Hamming<=3
+    SimHash recovers 15 of the 25 exact-Jaccard near-dup pairs and
+    emits 17 candidate pairs total. Pins both recall (>=15) and
+    precision discipline (bounded emission: a regression that floods
+    candidates would trip the ceiling)."""
+    from chyme_spark.ops import llm
+
+    sim = {(r.doc_a, r.doc_b) for r in llm.x_simhash_neardup(spark, SF001).collect()}
+    jac = {(r.doc_a, r.doc_b) for r in llm.x_ngram_jaccard(spark, SF001).collect()}
+    assert len(jac) == 25
+    assert len(sim & jac) >= 15, len(sim & jac)
+    assert len(sim) <= 25, len(sim)  # bounded emission, not a candidate flood
+
+
 def test_semdedup_contract(spark, sf_dir):
     """x_semdedup: (1) pruning is monotone in tau; (2) at a tau that
     actually prunes, every pruned vec has a SENIOR (lower vec_id) in the
