@@ -396,3 +396,51 @@ def x_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
         [(int(m["n_purchases"]), int(m["total_cents"]), int(m["max_cents"]))],
         "n_purchases long, total_cents long, max_cents long",
     )
+
+
+@query(
+    "x_arrow_udf",
+    # Arrow-NATIVE scalar UDF (Spark 4.x @arrow_udf, VERDICT r7 #5):
+    # the function receives pyarrow.Array batches directly — no pandas
+    # materialization between Arrow transport and user code, C++
+    # pyarrow.compute kernels do the math. Two/three IEEE double ops per
+    # row are bit-exact vs the SQL expression, so the oracle hash proves
+    # the round-trip (same determinism argument as d48_pandas_udf).
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+    FROM lineitem
+    """,
+    doc="Arrow-native scalar UDF (@arrow_udf over pyarrow.Array): per-line charge via pyarrow.compute — the zero-pandas Python scalar hot path, bit-exact vs SQL",
+)
+def x_arrow_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: narrow map, no shuffle; Arrow batches flow
+    JVM -> Python worker -> C++ kernels -> JVM with zero per-row Python
+    and zero pandas conversion (one copy fewer than pandas_udf). The
+    complement of x_map_in_arrow: that is the mapInPandas-style
+    batch-iterator form, this is the expression-level scalar form that
+    composes inside ordinary select/filter plans."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    from chyme_spark.session import load_table
+
+    def _charge(price, discount, tax):
+        net = pc.multiply(price, pc.subtract(pa.scalar(1.0), discount))
+        return pc.multiply(net, pc.add(pa.scalar(1.0), tax))
+
+    # arrow_udf infers the UDF kind from REAL type annotations; this
+    # module's `from __future__ import annotations` stringifies inline
+    # hints into unresolvable 'pa.Array' text, so attach them explicitly
+    _charge.__annotations__ = {
+        "price": pa.Array, "discount": pa.Array, "tax": pa.Array, "return": pa.Array,
+    }
+    charge = arrow_udf(_charge, "double")
+
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )

@@ -71,6 +71,8 @@ _FRONT_50 = [
     # backlog — after this round no ledger entry should predate r7) ----
     # (a) new in round 8 — never driver-checked; the ledger guard forces
     # them here as they are added.
+    "x_datasource_stream_write",  # Python DataSource streaming writer (r7 VERDICT #5)
+    "x_arrow_udf",                # Arrow-native scalar UDF (r7 VERDICT #5)
     # (b) changed in round 8 — the driver must re-prove the new
     # arithmetic:
     "x_stream_stateful_counts",   # integer ten-thousandths state (r7 VERDICT #4)
@@ -100,9 +102,10 @@ _FRONT_50 = [
     "x_duplicate_ngram_fraction", "x_explode_outer", "x_frame_sample",
     "x_from_json_struct", "x_gap_fill", "x_global_agg", "x_gopher_rules",
     "x_incremental_dedup", "x_interval_join_bucketed", "x_map_fns2",
-    "x_media_resize", "x_minhash_containment", "x_mixture_sample",
+    "x_media_resize",
     # (x_neardup_survivors displaced by the r8-changed
-    # x_stream_session_timeout — r4-green, returns next round)
+    # x_stream_session_timeout; x_minhash_containment / x_mixture_sample
+    # by the two new r8 ops at the head — r4-green, return next round)
 ]
 
 _FRONT_50_R7 = [

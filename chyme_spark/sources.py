@@ -17,6 +17,9 @@ captures them in a ``_corrupt_record`` column and
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -498,8 +501,112 @@ try:  # Python Data Source API needs pyspark >= 4.0
     def register_listing_source(spark: SparkSession) -> None:
         spark.dataSource.register(ListingDataSource)
 
+    # -----------------------------------------------------------------
+    # chyme_jsonl_sink: Python Data Source STREAMING WRITER (Spark 4) —
+    # the foreachBatch-free custom sink surface. Parity: the reference
+    # worker's result-upload stage writes task outputs then marks the
+    # task done exactly once under at-least-once redelivery (ref
+    # internal/core/task.go:157-179, internal/worker/persistance.go:
+    # 25-69); here the same contract is expressed through Spark's own
+    # sink commit protocol instead of hand-rolled markers.
+    #
+    # Exactly-once design (the part that matters at 100 TB):
+    #   * write() (executors, one call per partition per micro-batch)
+    #     stages rows to a uniquely-named JSONL file and returns the
+    #     name in its commit message — a failed/retried task's orphan
+    #     file is never referenced again;
+    #   * commit() (driver, once per micro-batch) appends ONE manifest
+    #     line {batchId, files} — and skips if this batchId is already
+    #     present, which is precisely what makes a checkpoint-replayed
+    #     micro-batch idempotent;
+    #   * readers consume ONLY manifest-listed files, so partial output
+    #     from an aborted batch is invisible (abort() additionally
+    #     deletes the staged files).
+    # -----------------------------------------------------------------
+    from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage
+
+    @dataclass
+    class _SinkCommit(WriterCommitMessage):
+        files: list
+
+    class _JsonlSinkWriter(DataSourceStreamWriter):
+        def __init__(self, options: dict):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("chyme_jsonl_sink requires option 'path'")
+            os.makedirs(os.path.join(self.path, "staging"), exist_ok=True)
+
+        def write(self, iterator):
+            import json as _json
+            import uuid as _uuid
+
+            fname = os.path.join(
+                self.path, "staging", f"part-{_uuid.uuid4().hex}.jsonl"
+            )
+            n = 0
+            with open(fname, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                    n += 1
+            if n == 0:
+                os.remove(fname)  # no empty-file litter from idle partitions
+                return _SinkCommit(files=[])
+            return _SinkCommit(files=[fname])
+
+        def commit(self, messages, batchId):
+            import json as _json
+
+            manifest = os.path.join(self.path, "_manifest.jsonl")
+            if os.path.exists(manifest):
+                with open(manifest) as f:
+                    if any(_json.loads(ln)["batchId"] == batchId for ln in f):
+                        return  # replayed micro-batch: already committed
+            files = sorted(f for m in messages for f in m.files)
+            with open(manifest, "a") as f:
+                f.write(_json.dumps({"batchId": batchId, "files": files}) + "\n")
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                for fn in m.files:
+                    if os.path.exists(fn):
+                        os.remove(fn)
+
+    class JsonlSinkDataSource(DataSource):
+        """``df.writeStream.format("chyme_jsonl_sink").option("path", d)``
+        — exactly-once JSONL directory sink via the Python Data Source
+        writer API. Committed rows are the manifest-listed files:
+        :func:`read_jsonl_sink` reads them back."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "chyme_jsonl_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return _JsonlSinkWriter(self.options)
+
+    def register_jsonl_sink(spark: SparkSession) -> None:
+        spark.dataSource.register(JsonlSinkDataSource)
+
+    def read_jsonl_sink(spark: SparkSession, path: str, schema: str) -> DataFrame:
+        """Read back ONLY the committed (manifest-listed) sink files."""
+        import json as _json
+
+        manifest = os.path.join(path, "_manifest.jsonl")
+        files: list[str] = []
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                for ln in f:
+                    files.extend(_json.loads(ln)["files"])
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).json(files)
+
 except ImportError:  # pragma: no cover — pyspark < 4.0
     ListingDataSource = None  # type: ignore[assignment]
+    JsonlSinkDataSource = None  # type: ignore[assignment]
 
     def register_listing_source(spark: SparkSession) -> None:
         raise NotImplementedError("chyme_listing needs pyspark >= 4.0 (Python Data Source API)")
+
+    def register_jsonl_sink(spark: SparkSession) -> None:
+        raise NotImplementedError("chyme_jsonl_sink needs pyspark >= 4.0 (Python Data Source API)")

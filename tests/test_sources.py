@@ -236,3 +236,57 @@ def test_list_files_depth_bound_uri_and_plain_roots(spark, tmp_path):
             for u in (row["url"] for row in list_files(spark, r, 1).collect())
         }
         assert names1 == {"top.mov", "mid.mov"}, r
+
+
+def test_jsonl_sink_commit_idempotent_and_abort_cleans(spark, tmp_path):
+    """chyme_jsonl_sink exactly-once contract, unit level: (a) a
+    replayed commit with the same batchId appends NOTHING (manifest
+    stays one line — checkpoint-replay idempotence); (b) abort()
+    deletes staged files; (c) readback sees ONLY manifest-listed files,
+    so orphans from failed attempts are invisible."""
+    import json
+
+    from chyme_spark.sources import _JsonlSinkWriter, _SinkCommit, read_jsonl_sink
+
+    dest = str(tmp_path / "sink")
+    w = _JsonlSinkWriter({"path": dest})
+
+    staged = tmp_path / "sink" / "staging" / "part-test.jsonl"
+    staged.write_text('{"event_id": 1, "event_type": "view", "value": 1.5}\n')
+    msg = _SinkCommit(files=[str(staged)])
+
+    w.commit([msg], batchId=0)
+    w.commit([msg], batchId=0)  # replay: must be a no-op
+    manifest = tmp_path / "sink" / "_manifest.jsonl"
+    lines = manifest.read_text().splitlines()
+    assert len(lines) == 1 and json.loads(lines[0])["batchId"] == 0
+
+    # an orphan staged file (failed attempt, never committed) is invisible
+    orphan = tmp_path / "sink" / "staging" / "part-orphan.jsonl"
+    orphan.write_text('{"event_id": 99, "event_type": "x", "value": 0.0}\n')
+    back = read_jsonl_sink(
+        spark, dest, "event_id long, event_type string, value double"
+    )
+    assert [r.event_id for r in back.collect()] == [1]
+
+    # abort removes its staged files
+    w.abort([_SinkCommit(files=[str(orphan)])], batchId=1)
+    assert not orphan.exists()
+
+
+def test_jsonl_sink_stream_write_equals_source(spark, sf_dir):
+    """End-to-end through Spark's sink commit protocol: every source row
+    lands in committed files exactly once."""
+    from chyme_spark.registry import load_all
+
+    reg = load_all()
+    out = {
+        (r.event_type, r.n_events)
+        for r in reg["x_datasource_stream_write"].fn(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        (r.event_type, r.n)
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert out == want
