@@ -3854,3 +3854,204 @@ def x_collation_group(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name AS nation, t.c_custkey AS c_custkey, t.c_acctbal AS acctbal
+FROM {nation} n, LATERAL (
+    SELECT c_custkey, c_acctbal
+    FROM {customer} c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 3) t
+ORDER BY nation, acctbal DESC, c_custkey
+"""
+
+
+@query(
+    "x_lateral_topk",
+    # LATERAL correlated subquery join (Spark 4.x SQL surface,
+    # SPARK-35551 lineage): per-nation top-3 customers expressed as the
+    # SQL-standard LATERAL derived table — the IDENTICAL query text runs
+    # on both engines (same proof form as x_recursive_cte), so this is
+    # an engine-equivalence check of the correlated-decorrelation path,
+    # not a reformulation.
+    oracle=_LATERAL_SQL.format(nation="nation", customer="customer"),
+    doc="LATERAL correlated top-k join (Spark 4.x): per-nation top-3 customers by balance via a correlated LIMIT subquery; identical SQL text on both engines",
+)
+def x_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Catalyst decorrelates the LATERAL LIMIT-3 subquery into a
+    ranked window join (DecorrelateInnerQuery): the physical plan is a
+    partitioned row_number over c_nationkey — the same shape as
+    d21_topk_per_group, NOT a per-outer-row re-execution. 100 TB
+    posture: one customer shuffle on nationkey, the 25-row nation side
+    broadcasts; no correlated loop survives optimization (the trap a
+    naive LATERAL executor would hit). No arithmetic — output values
+    are raw stored columns, so cross-engine equality is exact."""
+    for t in ("nation", "customer"):
+        load_table(spark, sf, t).createOrReplaceTempView(f"__lat_{t}")
+    return spark.sql(_LATERAL_SQL.format(nation="__lat_nation", customer="__lat_customer"))
+
+
+@query(
+    "x_sql_udf",
+    # SQL-language scalar UDF (Spark 4.x CREATE FUNCTION ... RETURN):
+    # the logic lives in the catalog as SQL, so Catalyst INLINES the
+    # body into the caller's plan — unlike Python UDFs there is no
+    # serialization wall; the oracle is the hand-inlined expression,
+    # making this a proof that registration + inlining preserves
+    # semantics.
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders GROUP BY 1 ORDER BY band
+    """,
+    doc="SQL scalar UDF (Spark 4.x CREATE TEMPORARY FUNCTION ... RETURN): order-size banding function applied per row, inlined by Catalyst; oracle is the hand-inlined CASE",
+)
+def x_sql_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB posture: a SQL UDF costs NOTHING at runtime — the CASE
+    body is substituted into the plan before optimization, stays inside
+    WholeStageCodegen, and the aggregate runs as an ordinary
+    partial/final hash agg on the band key. This is the sanctioned way
+    to share business logic across queries (vs copy-pasted expressions
+    or a 100x-slower Python UDF)."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("__udf_orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION __chyme_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 50000 THEN 'small'
+                    WHEN p < 150000 THEN 'medium'
+                    ELSE 'large' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT __chyme_band(o_totalprice) AS band,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total_price
+        FROM __udf_orders GROUP BY 1 ORDER BY band
+        """
+    )
+
+
+@query(
+    "x_param_sql",
+    # Parameterized SQL (spark.sql(..., args={...}), Spark 3.4+/4.x):
+    # named :param markers bound server-side — the injection-safe query
+    # surface a multi-tenant pipeline service needs (the reference
+    # renders task templates by string substitution,
+    # internal/core/template.go — parameter binding is the engine-native
+    # replacement). Oracle is the literal-substituted text: binding must
+    # be semantically identical to inlining.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="parameterized SQL with named :param markers (spark.sql args=): date-window order rollup; oracle is the literal-inlined text — binding == inlining",
+)
+def x_param_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """Parameter markers bind typed values into the PARSED plan (no
+    string interpolation, no injection surface, plan-cache-friendly for
+    repeated windows). Same plan as the literal form: pushed date
+    filter, partial/final agg on priority."""
+    import datetime
+
+    load_table(spark, sf, "orders").createOrReplaceTempView("__par_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total_price
+        FROM __par_orders
+        WHERE o_orderdate >= :lo AND o_orderdate < :hi
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"lo": datetime.date(1995, 1, 1), "hi": datetime.date(1996, 1, 1)},
+    )
+
+
+@query(
+    "x_sql_variable",
+    # SQL session variables (Spark 4.x DECLARE VARIABLE / SET VAR):
+    # a scalar computed once into a session variable, then used as a
+    # predicate in a second statement — the multi-statement-script
+    # surface. The oracle inlines the scalar subquery, so the check
+    # proves variable capture == inline computation.
+    oracle="""
+    WITH thr AS (
+        SELECT CAST(ROUND(AVG(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS avg_bal
+        FROM customer)
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_above
+    FROM customer, thr
+    WHERE c_acctbal > thr.avg_bal
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    doc="SQL session variables (Spark 4.x DECLARE/SET VAR): corpus-average balance captured into a variable, reused as a filter threshold; oracle inlines the scalar subquery",
+)
+def x_sql_variable(spark: SparkSession, sf: str) -> DataFrame:
+    """The variable holds ONE scalar on the driver — at any data scale
+    the second statement sees it as a literal (a broadcast of size 1),
+    so the filter pushes down to the scan exactly as if hand-written.
+    Decimal-avg discipline pins the threshold bit-identically across
+    engines before the comparison."""
+    load_table(spark, sf, "customer").createOrReplaceTempView("__var_customer")
+    spark.sql("DECLARE OR REPLACE VARIABLE __chyme_avg_bal DOUBLE")
+    spark.sql(
+        """
+        SET VAR __chyme_avg_bal = (
+            SELECT CAST(ROUND(AVG(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+            FROM __var_customer)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_above
+        FROM __var_customer
+        WHERE c_acctbal > __chyme_avg_bal
+        GROUP BY c_nationkey ORDER BY c_nationkey
+        """
+    )
+
+
+_GBA_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+FROM {lineitem}
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query(
+    "x_groupby_all",
+    # GROUP BY ALL / ORDER BY ALL (Spark 4.x, DuckDB-originated SQL
+    # sugar): the resolver infers the grouping keys (every non-aggregate
+    # select item) and the total ordering. Identical text on both
+    # engines — a resolver-equivalence proof.
+    oracle=_GBA_SQL.format(lineitem="lineitem"),
+    doc="GROUP BY ALL / ORDER BY ALL (Spark 4.x resolver sugar): Q1-style rollup with inferred grouping keys; identical SQL text on both engines",
+)
+def x_groupby_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure resolver surface: after analysis the plan is byte-identical
+    to the explicit GROUP BY l_returnflag, l_linestatus form (same
+    partial/final hash agg), so there is no scale delta — the value is
+    that generated/templated SQL can't drift out of sync between its
+    select list and grouping keys."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("__gba_lineitem")
+    return spark.sql(_GBA_SQL.format(lineitem="__gba_lineitem"))

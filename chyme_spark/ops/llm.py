@@ -3699,3 +3699,122 @@ def x_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_RRF_K = 60  # Cormack/Clarke/Buettcher 2009 standard constant
+_RRF_TOPN = 50  # per-system candidate list length
+
+
+@query(
+    "x_rrf_fusion",
+    # Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    # of two retrieval systems over the same fixed query: BM25 and
+    # length-normalized TF-IDF. RRF is THE standard hybrid-retrieval
+    # merge (sparse + dense in production RAG); rank contributions are
+    # computed in exact integer parts-per-billion (1e9 // (k + rank)) so
+    # no float quotient ever crosses an engine boundary.
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, tok AS term, count(*) AS tf
+        FROM t CROSS JOIN LATERAL unnest(toks) AS u(tok)
+        WHERE tok IN {_BM25_TERMS!r}
+        GROUP BY doc_id, tok),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    joined AS (
+        SELECT tf.doc_id,
+               CAST(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                    * tf.tf * ({_BM25_K1} + 1)
+                    / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+                    AS DECIMAL(18,8)) AS sa_term,
+               CAST(CAST(tf.tf AS DOUBLE) / dl.dl * ln(CAST(stats.n AS DOUBLE) / df.df)
+                    AS DECIMAL(18,8)) AS sb_term
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+    scored AS (
+        SELECT doc_id,
+               CAST(ROUND(SUM(sa_term), 4) AS DOUBLE) AS sa,
+               CAST(ROUND(SUM(sb_term), 4) AS DOUBLE) AS sb
+        FROM joined GROUP BY doc_id),
+    ta AS (SELECT doc_id, sa FROM scored ORDER BY sa DESC, doc_id LIMIT {_RRF_TOPN}),
+    tb AS (SELECT doc_id, sb FROM scored ORDER BY sb DESC, doc_id LIMIT {_RRF_TOPN}),
+    ra AS (SELECT doc_id, row_number() OVER (ORDER BY sa DESC, doc_id) AS r FROM ta),
+    rb AS (SELECT doc_id, row_number() OVER (ORDER BY sb DESC, doc_id) AS r FROM tb)
+    SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+           CAST(ra.r AS BIGINT) AS rank_bm25,
+           CAST(rb.r AS BIGINT) AS rank_tfidf,
+           CAST(COALESCE(1000000000 // ({_RRF_K} + ra.r), 0)
+                + COALESCE(1000000000 // ({_RRF_K} + rb.r), 0) AS BIGINT) AS rrf_ppb
+    FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    ORDER BY rrf_ppb DESC, doc_id LIMIT 20
+    """,
+    doc="Reciprocal Rank Fusion (RRF, k=60) of BM25 and TF-IDF top-50 lists for a fixed query — the hybrid-retrieval merge, integer-ppb rank contributions",
+)
+def x_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: ONE token pass feeds both scorers (shared tf/df/dl
+    aggregates — the second system is a few extra columns, not a second
+    scan); each system's candidate list is a TakeOrdered top-50 (no
+    global sort), and the rank windows + fusion join run over <=50 rows
+    — aggregate-sized, single-partition by construction and by intent.
+    In production the two lists come from heterogeneous systems (BM25
+    index + ANN index); RRF needs only the ranks, which is why it
+    tolerates incomparable score scales (the reason it won out over
+    score interpolation — Cormack et al. 2009)."""
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select("doc_id", _tokens().alias("toks"))
+    dl = staged.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    tf = (
+        staged.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    sa_term = (
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * F.col("tf") * (_BM25_K1 + 1)
+        / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
+    ).cast("decimal(18,8)")
+    sb_term = (
+        F.col("tf").cast("double") / F.col("dl")
+        * F.log(F.col("n").cast("double") / F.col("df"))
+    ).cast("decimal(18,8)")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", sa_term.alias("sa_term"), sb_term.alias("sb_term"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("sa_term"), 4).cast("double").alias("sa"),
+            F.round(F.sum("sb_term"), 4).cast("double").alias("sb"),
+        )
+    )
+    ta = scored.select("doc_id", "sa").orderBy(F.desc("sa"), "doc_id").limit(_RRF_TOPN)
+    tb = scored.select("doc_id", "sb").orderBy(F.desc("sb"), "doc_id").limit(_RRF_TOPN)
+    # rank windows run over the <=50-row TakeOrdered lists only
+    ra = ta.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("sa"), "doc_id")).alias("rank_bm25"),
+    )
+    rb = tb.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("sb"), "doc_id")).alias("rank_tfidf"),
+    )
+    fused = ra.join(rb, "doc_id", "full_outer")
+    rrf = F.coalesce(F.expr(f"1000000000 div ({_RRF_K} + rank_bm25)"), F.lit(0)) + F.coalesce(
+        F.expr(f"1000000000 div ({_RRF_K} + rank_tfidf)"), F.lit(0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("rank_bm25").cast("long").alias("rank_bm25"),
+            F.col("rank_tfidf").cast("long").alias("rank_tfidf"),
+            rrf.cast("long").alias("rrf_ppb"),
+        )
+        .orderBy(F.desc("rrf_ppb"), "doc_id")
+        .limit(20)
+    )

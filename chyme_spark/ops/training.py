@@ -793,3 +793,59 @@ def x_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_SHUFFLE_EPOCHS = 3
+_SHUFFLE_SHARDS = 16
+
+
+@query(
+    "x_epoch_shuffle",
+    # Deterministic multi-epoch shuffle: the standard pretraining data
+    # order — each epoch re-permutes the corpus with a different seed,
+    # and the permutation is sharded so every data-loader worker draws
+    # from its own independently-shuffled shard (no global sort at any
+    # scale). The coin is md5(epoch ':' doc_id): engine-stable, no RNG
+    # state, resumable mid-epoch from (epoch, shard, pos).
+    oracle=f"""
+    WITH e AS (SELECT unnest(range({_SHUFFLE_EPOCHS})) AS epoch),
+    t AS (
+        SELECT e.epoch, doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % {_SHUFFLE_SHARDS} AS shard,
+               md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS coin
+        FROM documents CROSS JOIN e)
+    SELECT CAST(epoch AS BIGINT) AS epoch, shard, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY epoch, shard ORDER BY coin, doc_id) AS BIGINT) AS pos
+    FROM t
+    """,
+    doc="deterministic multi-epoch shard shuffle: per-(epoch, shard) md5-coin permutation of the corpus — the seeded data-loader order, resumable from (epoch, shard, pos)",
+)
+def x_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: shard assignment is the SAME md5_bucket coin as
+    split/mixture/pack (one definition, llm.md5_bucket), so shuffle
+    shards align with every other sampled artifact; the permutation
+    window partitions by (epoch, shard) — {_SHUFFLE_SHARDS} independent
+    streams per epoch, each a bounded local sort, never a global one.
+    At real scale shards = data-loader workers (set it to the reader
+    parallelism) and the (epoch, shard, pos) triple is the resumable
+    cursor a training job checkpoints — restart replays the identical
+    order, which is what makes loss curves reproducible across
+    restarts."""
+    from chyme_spark.ops.llm import md5_bucket
+
+    docs = load_table(spark, sf, "documents")
+    epochs = F.explode(F.sequence(F.lit(0), F.lit(_SHUFFLE_EPOCHS - 1)))
+    t = docs.select("doc_id", epochs.alias("epoch")).select(
+        F.col("epoch").cast("long").alias("epoch"),
+        md5_bucket(F.col("doc_id").cast("string"), _SHUFFLE_SHARDS).alias("shard"),
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
+        ).alias("coin"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("coin", "doc_id")
+    return t.select(
+        "epoch", "shard", "doc_id", F.row_number().over(w).cast("long").alias("pos")
+    )

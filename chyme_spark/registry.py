@@ -73,6 +73,13 @@ _FRONT_50 = [
     # them here as they are added.
     "x_datasource_stream_write",  # Python DataSource streaming writer (r7 VERDICT #5)
     "x_arrow_udf",                # Arrow-native scalar UDF (r7 VERDICT #5)
+    "x_lateral_topk",             # LATERAL correlated top-k (Spark 4.x surface)
+    "x_sql_udf",                  # SQL scalar UDF, Catalyst-inlined
+    "x_param_sql",                # named :param markers == literal inlining
+    "x_sql_variable",             # DECLARE/SET VAR session variables
+    "x_groupby_all",              # GROUP BY ALL / ORDER BY ALL resolver sugar
+    "x_rrf_fusion",               # reciprocal rank fusion (hybrid retrieval)
+    "x_epoch_shuffle",            # deterministic per-epoch shard shuffle
     # (b) changed in round 8 — the driver must re-prove the new
     # arithmetic:
     "x_stream_stateful_counts",   # integer ten-thousandths state (r7 VERDICT #4)
@@ -100,12 +107,12 @@ _FRONT_50 = [
     "x_approx_quantiles", "x_compression_ratio", "x_corr_scalar_subquery",
     "x_cosine_topk_np", "x_decontaminate", "x_domain_stats",
     "x_duplicate_ngram_fraction", "x_explode_outer", "x_frame_sample",
-    "x_from_json_struct", "x_gap_fill", "x_global_agg", "x_gopher_rules",
-    "x_incremental_dedup", "x_interval_join_bucketed", "x_map_fns2",
-    "x_media_resize",
+    "x_from_json_struct",
     # (x_neardup_survivors displaced by the r8-changed
     # x_stream_session_timeout; x_minhash_containment / x_mixture_sample
-    # by the two new r8 ops at the head — r4-green, return next round)
+    # / x_media_resize / x_map_fns2 / x_interval_join_bucketed /
+    # x_incremental_dedup / x_gopher_rules / x_global_agg / x_gap_fill
+    # by the nine new r8 ops at the head — r4-green, return next round)
 ]
 
 _FRONT_50_R7 = [
