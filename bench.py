@@ -101,10 +101,6 @@ HEADLINE = [
     "x_entropy_score",
     "x_token_drift",
     "x_corpus_filter_pipeline",
-    # round-8: the rewritten PPJoin (r7: per-doc (df, tok) window, no
-    # global vocab rank) joins the scoreboard so its sf0.1 baseline
-    # anchors the 20x skew probe below
-    "x_ppjoin_setsim",
 ]
 
 

@@ -84,6 +84,7 @@ _FRONT_50 = [
     # arithmetic:
     "x_stream_stateful_counts",   # integer ten-thousandths state (r7 VERDICT #4)
     "x_stream_session_timeout",   # q4/money hoisted to shared module helpers (r8)
+    "x_ppjoin_setsim",            # length+positional filters, array verify (r8)
     # (c) THE STALE BACKLOG: every remaining round-1/round-2 green. The
     # usual rows-only-backfill exclusion is OVERRIDDEN this round by
     # explicit VERDICT order (r7 #1 names d16/d40/d41/d43 and the ANN
@@ -107,8 +108,8 @@ _FRONT_50 = [
     "x_approx_quantiles", "x_compression_ratio", "x_corr_scalar_subquery",
     "x_cosine_topk_np", "x_decontaminate", "x_domain_stats",
     "x_duplicate_ngram_fraction", "x_explode_outer", "x_frame_sample",
-    "x_from_json_struct",
-    # (x_neardup_survivors displaced by the r8-changed
+    # (x_from_json_struct displaced by the r8-changed x_ppjoin_setsim;
+    #  x_neardup_survivors displaced by the r8-changed
     # x_stream_session_timeout; x_minhash_containment / x_mixture_sample
     # / x_media_resize / x_map_fns2 / x_interval_join_bucketed /
     # x_incremental_dedup / x_gopher_rules / x_global_agg / x_gap_fill

@@ -188,7 +188,10 @@ EXPECTED = {
     # (distinct-token, vocab-freq, doc-size, prefix-window) + the
     # candidate/verify aggs, every join un-hinted (AQE-broadcast at
     # this SF, shuffle at 100 TB), and NO SinglePartition anywhere
-    "x_ppjoin_setsim": (4, 7, 0, False),
+    # r8: length+positional filters on the candidate join and the
+    # array_intersect verify (one row per candidate, no posting
+    # explode) drop two stages vs the r7 shape (4, 7, 0, False)
+    "x_ppjoin_setsim": (3, 4, 0, False),
     # SN linkage: grp rank window + grp counts + probe-rank equi-join
     # shuffle + output sort; offsets table + AQE probe join broadcast
     "x_sorted_neighborhood": (4, 3, 0, False),
