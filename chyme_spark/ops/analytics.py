@@ -4055,3 +4055,65 @@ def x_groupby_all(spark: SparkSession, sf: str) -> DataFrame:
     select list and grouping keys."""
     load_table(spark, sf, "lineitem").createOrReplaceTempView("__gba_lineitem")
     return spark.sql(_GBA_SQL.format(lineitem="__gba_lineitem"))
+
+
+@query(
+    "x_winsorize",
+    # Per-group winsorization (robust feature cleaning): clamp each
+    # nation's balances into [P05, P95], percentiles taken as EXACT
+    # order statistics at integer ranks ceil(p*n) — no interpolating
+    # percentile() whose float blend differs across engines; the cut
+    # values are stored column values, so clamping introduces no new
+    # floats at all.
+    oracle="""
+    WITH r AS (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               row_number() OVER w AS rk,
+               count(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)),
+    cuts AS (
+        SELECT c_nationkey,
+               max(CASE WHEN rk = (5 * n + 99) // 100 THEN c_acctbal END) AS lo,
+               max(CASE WHEN rk = (95 * n + 99) // 100 THEN c_acctbal END) AS hi
+        FROM r GROUP BY c_nationkey)
+    SELECT r.c_custkey, r.c_nationkey, r.c_acctbal,
+           least(greatest(r.c_acctbal, cuts.lo), cuts.hi) AS bal_w
+    FROM r JOIN cuts USING (c_nationkey)
+    ORDER BY c_custkey
+    """,
+    doc="per-nation winsorization at exact-rank P05/P95: integer-rank order statistics as cut values, clamp via least/greatest — engine-exact robust clipping",
+)
+def x_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: one rank window per group (groups sort
+    independently — parallelism = group count), cut values collapse to
+    a |groups|-row table that broadcasts back; the clamp is a narrow
+    map. Exact-rank cuts (ceil(p*n) = (p_pct*n + 99) div 100, integer)
+    rather than interpolated percentiles are what make the op
+    hash-provable across engines AND rank-stable under re-partitioning
+    — the x_percentiles/x_decile_bins discipline applied to value
+    repair instead of bucketing."""
+    cust = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_nationkey")
+    r = cust.select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    cuts = r.groupBy("c_nationkey").agg(
+        F.max(
+            F.when(F.col("rk") == F.expr("(5 * n + 99) div 100"), F.col("c_acctbal"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(95 * n + 99) div 100"), F.col("c_acctbal"))
+        ).alias("hi"),
+    )
+    return (
+        r.join(F.broadcast(cuts), "c_nationkey")
+        .select(
+            "c_custkey", "c_nationkey", "c_acctbal",
+            F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi")).alias("bal_w"),
+        )
+        .orderBy("c_custkey")
+    )

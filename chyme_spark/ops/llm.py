@@ -3845,3 +3845,58 @@ def x_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("rrf_ppb"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "x_hard_negatives",
+    # Hard-negative mining for contrastive training (the standard
+    # retrieval-training data op, e.g. DPR, Karpukhin et al. 2020): for
+    # each query vector, the top-k most-similar vectors with a
+    # DIFFERENT label — maximally-confusing negatives, the pairs that
+    # actually move a contrastive loss. Same brute-force cosine shape
+    # as d44 plus the label exclusion.
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+               FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+        SELECT q.qid, e.vec_id, e.label,
+               list_sum(list_transform(list_zip(q.qe, e.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid AND e.label <> q.ql)
+    SELECT qid, vec_id, label, CAST(ROUND(cosine, 4) AS DOUBLE) AS cosine
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY ROUND(cosine, 4) DESC, vec_id) <= 3
+    """,
+    doc="hard-negative mining: per-query top-3 nearest vectors with a different label (contrastive-training negatives); broadcast query set, one corpus pass",
+)
+def x_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: identical to d44_cosine_topk — query set broadcast,
+    ONE corpus pass, per-query top-k via a window over the scored
+    candidates; the label exclusion rides the join condition so
+    same-label vectors never reach scoring. At production scale the
+    corpus pass is replaced by the ANN candidate paths
+    (x_ann_lsh_topk / x_ann_ivf_topk) with the label filter applied to
+    their candidates — the scoring and top-k stages are unchanged."""
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.select(
+        "vec_id", "embedding", "label", _norm(F.col("embedding")).alias("nrm")
+    )
+    q = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = corpus.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("ql")),
+    )
+    cos = _dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
+    scored = pairs.select(
+        "qid", "vec_id", "label", F.round(cos, 4).cast("double").alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")

@@ -687,3 +687,78 @@ def x_datasource_stream_write(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_events"),
         money(F.sum(dec("value"))).alias("total_value"),
     )
+
+
+def transform_with_state_supported() -> bool:
+    """Capability probe for Spark 4.x transformWithStateInPandas.
+
+    The operator's Python runner speaks protobuf to the JVM state
+    server; this container ships a broken google.protobuf namespace
+    stub (``from google.protobuf import descriptor`` raises), so the
+    driver-side init worker crashes before the first micro-batch.
+    Probe the exact missing piece instead of crashing a stream — the
+    same honest environment gate as the ffmpeg codec path
+    (ops/binary.py) and the dockerd executor (runner.py)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_running_counts_tws(spark: SparkSession, sf: str) -> DataFrame:
+    """x_stream_stateful_counts re-expressed on transformWithState —
+    Spark 4.x's successor stateful API (SPARK-46815): typed composite
+    state (ValueState/ListState/MapState), timers, TTL, and an
+    evolvable state schema, replacing applyInPandasWithState's single
+    tuple. Requires the RocksDB state store provider (changelog
+    checkpointing at scale) and a working protobuf runtime — gate with
+    :func:`transform_with_state_supported` before calling; pinned
+    ==batch by tests/test_streaming.py when the environment allows.
+
+    100 TB design: identical bounds to the applyInPandasWithState twin
+    (state is two scalars per user), but RocksDB-backed state scales
+    past executor memory and the changelog checkpoint makes restore
+    O(delta), not O(state) — the reasons this API exists."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class CountsProcessor(StatefulProcessor):
+        def init(self, handle):
+            # integer ten-thousandths discipline, same as the twin
+            self.state = handle.getValueState("acc", "n long, total long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self.state.get() if self.state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                total += sum(_q4(float(v)) for v in pdf["value"])
+            self.state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [_money_q4(total)],
+                }
+            )
+
+        def close(self):
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = _events_stream(spark, sf).select("user_id", "value")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        CountsProcessor(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    sink = _run_to_memory(out, "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )

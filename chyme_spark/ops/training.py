@@ -849,3 +849,48 @@ def x_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     return t.select(
         "epoch", "shard", "doc_id", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+@query(
+    "x_class_balance_resample",
+    # Class-balanced downsampling: every language keeps exactly the
+    # minority class's count, members chosen by the repo's one md5
+    # sampling coin — the balanced-corpus prep for classifier training
+    # (quality/langid heads train on balanced data; raw web corpora are
+    # 100:1 skewed). Deterministic: same corpus -> same kept set.
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS target FROM c),
+    r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+    SELECT doc_id, lang FROM r, m WHERE rk <= m.target
+    ORDER BY lang, doc_id
+    """,
+    doc="class-balanced resample: per-language md5-coin rank, keep minority-class count from every language — deterministic balanced-training-set prep",
+)
+def x_class_balance_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: class counts are an aggregate (|langs| rows); the
+    global minimum is a 1-row broadcast; member selection is ONE
+    per-language rank window ordered by the md5 coin — each language
+    sorts independently (no global order), and the coin is
+    content-stable so adding documents to one language never reshuffles
+    another's kept set. The same pattern balances any categorical key
+    (source, domain, topic cluster) at any cardinality."""
+    docs = load_table(spark, sf, "documents")
+    target = docs.groupBy("lang").count().agg(F.min("count").alias("target"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .filter(F.col("rk") <= F.col("target"))
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )

@@ -80,6 +80,9 @@ _FRONT_50 = [
     "x_groupby_all",              # GROUP BY ALL / ORDER BY ALL resolver sugar
     "x_rrf_fusion",               # reciprocal rank fusion (hybrid retrieval)
     "x_epoch_shuffle",            # deterministic per-epoch shard shuffle
+    "x_hard_negatives",           # contrastive hard-negative mining
+    "x_class_balance_resample",   # per-class balanced downsample
+    "x_winsorize",                # exact-rank P05/P95 per-group clamp
     # (b) changed in round 8 — the driver must re-prove the new
     # arithmetic:
     "x_stream_stateful_counts",   # integer ten-thousandths state (r7 VERDICT #4)
@@ -107,8 +110,9 @@ _FRONT_50 = [
     "x_array_agg_sorted",
     "x_approx_quantiles", "x_compression_ratio", "x_corr_scalar_subquery",
     "x_cosine_topk_np", "x_decontaminate", "x_domain_stats",
-    "x_duplicate_ngram_fraction", "x_explode_outer", "x_frame_sample",
-    # (x_from_json_struct displaced by the r8-changed x_ppjoin_setsim;
+    # (x_duplicate_ngram_fraction / x_explode_outer / x_frame_sample
+    # displaced by the three newest r8 ops at the head;
+    # x_from_json_struct displaced by the r8-changed x_ppjoin_setsim;
     #  x_neardup_survivors displaced by the r8-changed
     # x_stream_session_timeout; x_minhash_containment / x_mixture_sample
     # / x_media_resize / x_map_fns2 / x_interval_join_bucketed /

@@ -365,3 +365,38 @@ def test_stream_upsert_kill_restart_exactly_once(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_counts_equal_batch(spark, sf_dir):
+    """transformWithStateInPandas twin of x_stream_stateful_counts must
+    equal the batch aggregate exactly (integer ten-thousandths state).
+    Environment-gated: the operator's Python runner needs a working
+    protobuf (this container ships a broken namespace stub) — the same
+    honest skip as the ffmpeg codec gate."""
+    import pytest
+
+    from chyme_spark.ops.streaming import (
+        stateful_running_counts_tws,
+        transform_with_state_supported,
+    )
+
+    if not transform_with_state_supported():
+        pytest.skip("google.protobuf broken in container: transformWithState runner cannot start")
+
+    got = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in stateful_running_counts_tws(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        (r.user_id, r.n, r.v)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("v"),
+        )
+        .collect()
+    }
+    assert got == want
