@@ -4117,3 +4117,192 @@ def x_winsorize(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "x_spearman_corr",
+    # Exact Spearman rank correlation between two document signals
+    # (length vs lexical diversity proxy), per language: rho = 1 -
+    # 6*sum(d^2)/(n(n^2-1)) over integer ranks — every term is an exact
+    # integer until ONE final division, surfaced in parts-per-million
+    # via integer floor division (no float statistics anywhere). Ranks
+    # use row_number with doc_id tiebreaks, so ties are broken
+    # identically on both engines.
+    oracle="""
+    WITH sig AS (
+        SELECT doc_id, lang,
+               n_chars AS a,
+               len(list_distinct(string_split(lower(text), ' '))) AS b
+        FROM documents),
+    r AS (
+        SELECT lang,
+               row_number() OVER (PARTITION BY lang ORDER BY a, doc_id) AS ra,
+               row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rb
+        FROM sig),
+    s AS (
+        SELECT lang, count(*) AS n,
+               SUM((ra - rb) * (ra - rb)) AS d2
+        FROM r GROUP BY lang)
+    SELECT lang, CAST(n AS BIGINT) AS n,
+           CAST(1000000 - (6000000 * d2) // (n * (n * n - 1)) AS BIGINT)
+               AS spearman_ppm
+    FROM s WHERE n > 1 ORDER BY lang
+    """,
+    doc="exact Spearman rank correlation (length vs distinct-token count) per language, integer-ppm — no float statistics, deterministic tiebreaks",
+)
+def x_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: two rank windows per language partition (groups
+    sort independently), one aggregate row per language. The rank
+    difference formula needs no mean/stddev pass — the reason Spearman
+    (unlike Pearson) can be exact in integers. Production use: monotone
+    dependence between any two quality signals decides whether one is
+    redundant in a filter ensemble."""
+    docs = load_table(spark, sf, "documents")
+    sig = docs.select(
+        "doc_id", "lang",
+        F.col("n_chars").alias("a"),
+        F.size(F.array_distinct(F.split(F.lower("text"), " "))).alias("b"),
+    )
+    wa = Window.partitionBy("lang").orderBy("a", "doc_id")
+    wb = Window.partitionBy("lang").orderBy("b", "doc_id")
+    r = sig.select(
+        "lang",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    s = r.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))).alias("d2"),
+    )
+    return (
+        s.filter(F.col("n") > 1)
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n"),
+            F.expr("1000000 - (6000000 * d2) div (n * (n * n - 1))")
+            .cast("long")
+            .alias("spearman_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "x_ks_test",
+    # Exact two-sample Kolmogorov-Smirnov statistic between the 'en'
+    # and non-'en' document-length distributions: D = max |F_a - F_b|
+    # over the pooled sample, computed as an integer maximum of
+    # |ca*nb - cb*na| (cross-multiplied CDF numerators — no float CDFs),
+    # surfaced in ppm by ONE final integer division. The distribution-
+    # drift gate a corpus refresh runs before shipping.
+    oracle="""
+    WITH lab AS (
+        SELECT n_chars AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_a
+        FROM documents),
+    tot AS (
+        SELECT SUM(is_a) AS na, SUM(1 - is_a) AS nb FROM lab),
+    cum AS (
+        SELECT v,
+               SUM(SUM(is_a)) OVER (ORDER BY v) AS ca,
+               SUM(SUM(1 - is_a)) OVER (ORDER BY v) AS cb
+        FROM lab GROUP BY v),
+    d AS (
+        SELECT max(abs(ca * tot.nb - cb * tot.na)) AS dmax
+        FROM cum CROSS JOIN tot)
+    SELECT CAST(tot.na AS BIGINT) AS n_en,
+           CAST(tot.nb AS BIGINT) AS n_rest,
+           CAST(d.dmax // (tot.na * tot.nb // 1000000 + 1) AS BIGINT) AS ks_scaled
+    FROM d CROSS JOIN tot
+    """,
+    doc="exact two-sample KS statistic (en vs rest doc-length distributions): integer cross-multiplied CDF gap maximum, one final scaled division — distribution-drift gate",
+)
+def x_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: group by the value first (one shuffle to |distinct
+    values| rows), then ONE cumulative window over the value-level
+    aggregate — the window runs over distinct lengths, not documents
+    (n_chars cardinality is bounded by max doc length, thousands not
+    billions; for a truly unbounded metric, pre-bucket to fixed-width
+    bins first). Integer cross-multiplication |ca*nb - cb*na| keeps the
+    CDF comparison exact at any sample imbalance."""
+    docs = load_table(spark, sf, "documents")
+    lab = docs.select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_a"),
+    )
+    tot = lab.agg(
+        F.sum("is_a").alias("na"), F.sum(F.lit(1) - F.col("is_a")).alias("nb")
+    )
+    grouped = lab.groupBy("v").agg(
+        F.sum("is_a").alias("ga"), F.sum(F.lit(1) - F.col("is_a")).alias("gb")
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grouped.select(
+        "v",
+        F.sum("ga").over(wcum).alias("ca"),
+        F.sum("gb").over(wcum).alias("cb"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))).alias("dmax"))
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        F.col("na").cast("long").alias("n_en"),
+        F.col("nb").cast("long").alias("n_rest"),
+        F.expr("dmax div (na * nb div 1000000 + 1)").cast("long").alias("ks_scaled"),
+    )
+
+
+@query(
+    "x_gini_concentration",
+    # Gini concentration of token mass across domains (sources): the
+    # inequality index a mixture designer watches — Gini ~ 0 means
+    # sources contribute evenly, ~ 1 means one source dominates.
+    # Exact integer form of the sorted formula:
+    # G = (2*sum(i*w_i) - (n+1)*W) / (n*W) over ascending-sorted
+    # weights, in ppm by one final integer division.
+    oracle="""
+    WITH w AS (
+        SELECT source, SUM(len(string_split(lower(text), ' '))) AS tokens
+        FROM documents GROUP BY source),
+    r AS (
+        SELECT tokens,
+               row_number() OVER (ORDER BY tokens, source) AS i,
+               count(*) OVER () AS n,
+               SUM(tokens) OVER () AS tot
+        FROM w)
+    SELECT CAST(max(n) AS BIGINT) AS n_sources,
+           CAST(max(tot) AS BIGINT) AS total_tokens,
+           CAST((2000000 * SUM(i * tokens) - 1000000 * (max(n) + 1) * max(tot))
+                // (max(n) * max(tot)) AS BIGINT) AS gini_ppm
+    FROM r
+    """,
+    doc="Gini concentration of token mass across sources (exact integer sorted formula, ppm) — the mixture-imbalance index",
+)
+def x_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: token mass collapses to |sources| rows before any
+    window — the rank/total windows run over the aggregate, not the
+    corpus (the x_benford discipline). The corpus-sized work is one
+    map-side-combined token count per source."""
+    docs = load_table(spark, sf, "documents")
+    w = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower("text"), " "))).alias("tokens")
+    )
+    wr = Window.orderBy("tokens", "source")
+    wall = Window.partitionBy()
+    r = w.select(
+        "tokens",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("tokens").over(wall).alias("tot"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_sources"),
+        F.max("tot").cast("long").alias("total_tokens"),
+        F.expr(
+            "(2000000 * SUM(i * tokens) - 1000000 * (max(n) + 1) * max(tot))"
+            " div (max(n) * max(tot))"
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )

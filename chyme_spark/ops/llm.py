@@ -3900,3 +3900,161 @@ def x_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+
+
+@query(
+    "x_cross_source_leakage",
+    # Cross-source n-gram leakage audit: for every ordered source pair,
+    # how many distinct 3-grams they share — the contamination matrix a
+    # corpus release publishes (did crawl A leak into curated set B?),
+    # and the source-level generalization of x_decontaminate's
+    # train-vs-eval check. Output is |sources|^2-bounded.
+    oracle=f"""
+    WITH {_NG_SQL.replace("doc_id", "doc_id").replace("FROM documents", "FROM documents")},
+    sg AS (
+        SELECT DISTINCT d.source, n.g
+        FROM ng n JOIN documents d USING (doc_id)),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_grams
+        FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2),
+    tot AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY source)
+    SELECT p.source_a, p.source_b,
+           CAST(p.shared_grams AS BIGINT) AS shared_grams,
+           CAST(p.shared_grams * 1000000 // least(ta.n_grams, tb.n_grams) AS BIGINT)
+               AS containment_ppm
+    FROM pairs p
+    JOIN tot ta ON ta.source = p.source_a
+    JOIN tot tb ON tb.source = p.source_b
+    ORDER BY source_a, source_b
+    """,
+    doc="cross-source 3-gram leakage matrix: shared distinct grams per source pair + containment ppm vs the smaller side — corpus contamination audit",
+)
+def x_cross_source_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: the (source, gram) table is the only fact-sized
+    artifact (distinct-collapsed before any join — one gram shuffle);
+    the pair join keys on the gram hash, so shared grams co-locate, and
+    the output aggregate is |sources|^2 rows. Hot grams (boilerplate
+    shared by every source) fan out only |sources| ways — bounded by
+    the source count, not the corpus. Containment denominators use the
+    SMALLER side (the x_minhash_containment convention): a tiny curated
+    set fully swallowed by a crawl reads 1e6 ppm, not a diluted
+    fraction."""
+    grams = doc_ngrams(spark, sf, n=3)  # _NG_SQL oracle CTE is the trigram form
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    sg = grams.join(docs, "doc_id").select("source", "g").distinct()
+    a = sg.alias("a")
+    b = sg.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    tot = sg.groupBy("source").agg(F.count("*").alias("n_grams"))
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n_grams").alias("na"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n_grams").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared_grams").cast("long").alias("shared_grams"),
+            F.expr("shared_grams * 1000000 div least(na, nb)").cast("long").alias(
+                "containment_ppm"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_MRL_DIMS = (8, 16, 32)
+
+
+@query(
+    "x_matryoshka_eval",
+    # Matryoshka-truncation retrieval audit (Kusupati et al. 2022, MRL):
+    # how much of the full-dimension top-3 neighbor set survives when
+    # embeddings are truncated to a prefix of 8/16/32 dims — the exact
+    # measurement that decides how small a production index can go.
+    # Overlap counts are integers; both rankings are decimal-rounded
+    # cosines with doc_id tiebreaks, so the whole audit is hash-exact.
+    oracle=f"""
+    WITH dims AS (SELECT unnest({list(_MRL_DIMS)!r}) AS dim),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    full_pairs AS (
+        SELECT q.qid, e.vec_id,
+               list_sum(list_transform(list_zip(q.qe, e.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+    full_top AS (
+        SELECT qid, vec_id FROM full_pairs
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY ROUND(cosine, 4) DESC, vec_id) <= 3),
+    trunc_pairs AS (
+        SELECT d.dim, q.qid, e.vec_id,
+               list_sum(list_transform(list_zip(q.qe[1:d.dim], e.embedding[1:d.dim]),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qe[1:d.dim], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding[1:d.dim], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid CROSS JOIN dims d),
+    trunc_top AS (
+        SELECT dim, qid, vec_id FROM trunc_pairs
+        QUALIFY row_number() OVER (PARTITION BY dim, qid ORDER BY ROUND(cosine, 4) DESC, vec_id) <= 3)
+    SELECT t.dim AS dim, t.qid AS qid,
+           CAST(count(f.vec_id) AS BIGINT) AS n_kept
+    FROM trunc_top t
+    LEFT JOIN full_top f ON f.qid = t.qid AND f.vec_id = t.vec_id
+    GROUP BY t.dim, t.qid
+    ORDER BY t.dim, t.qid
+    """,
+    doc="Matryoshka truncation audit: per-query overlap of truncated-dim (8/16/32) top-3 vs full-dim top-3 — the dim-vs-recall curve for index sizing",
+)
+def x_matryoshka_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: one corpus pass scores ALL truncation dims at once
+    (the dims table is a 3-row broadcast riding the same pair join as
+    d44 — slicing is free relative to the pair fan-out); per-(dim, qid)
+    top-3 via bounded rank windows; the overlap join touches 3*k rows
+    per query. The production use: pick the smallest dim whose n_kept
+    histogram clears the recall bar, then build the ANN index at THAT
+    dim — 8x memory saved if dim 8 holds."""
+    emb = load_table(spark, sf, "embeddings")
+    dims = spark.createDataFrame([(d,) for d in _MRL_DIMS], "dim int")
+    corpus = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    q = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    full_pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    fcos = _dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
+    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    full_top = (
+        full_pairs.select("qid", "vec_id", F.round(fcos, 4).cast("double").alias("cosine"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 3)
+        .select("qid", F.col("vec_id").alias("f_vec"))
+    )
+    tq = F.slice(F.col("qe"), 1, F.col("dim"))
+    te = F.slice(F.col("embedding"), 1, F.col("dim"))
+    tcos = _dot(tq, te) / (_norm(tq) * _norm(te))
+    wdq = Window.partitionBy("dim", "qid").orderBy(F.desc("cosine"), "vec_id")
+    trunc_top = (
+        full_pairs.crossJoin(F.broadcast(dims))
+        .select("dim", "qid", "vec_id", F.round(tcos, 4).cast("double").alias("cosine"))
+        .withColumn("rn", F.row_number().over(wdq))
+        .filter(F.col("rn") <= 3)
+        .select("dim", "qid", "vec_id")
+    )
+    return (
+        trunc_top.join(
+            full_top,
+            (trunc_top.qid == full_top.qid) & (trunc_top.vec_id == full_top.f_vec),
+            "left",
+        )
+        .groupBy(trunc_top.dim, trunc_top.qid)
+        .agg(F.count(full_top.f_vec).cast("long").alias("n_kept"))
+        .orderBy("dim", "qid")
+    )

@@ -83,6 +83,11 @@ _FRONT_50 = [
     "x_hard_negatives",           # contrastive hard-negative mining
     "x_class_balance_resample",   # per-class balanced downsample
     "x_winsorize",                # exact-rank P05/P95 per-group clamp
+    "x_cross_source_leakage",     # cross-source n-gram contamination matrix
+    "x_matryoshka_eval",          # truncated-dim top-k overlap audit
+    "x_spearman_corr",            # exact integer-ppm rank correlation
+    "x_ks_test",                  # exact two-sample KS drift gate
+    "x_gini_concentration",       # token-mass inequality index
     # (b) changed in round 8 — the driver must re-prove the new
     # arithmetic:
     "x_stream_stateful_counts",   # integer ten-thousandths state (r7 VERDICT #4)
@@ -107,11 +112,12 @@ _FRONT_50 = [
     # return next round.
     "x_bpe_pretokenize", "x_bm25_score", "x_bloom_prefilter",
     "d01_parquet_scan", "d02_projection", "d37_sessionization",
-    "x_array_agg_sorted",
-    "x_approx_quantiles", "x_compression_ratio", "x_corr_scalar_subquery",
-    "x_cosine_topk_np", "x_decontaminate", "x_domain_stats",
-    # (x_duplicate_ngram_fraction / x_explode_outer / x_frame_sample
-    # displaced by the three newest r8 ops at the head;
+    "x_array_agg_sorted", "x_approx_quantiles",
+    # (x_compression_ratio / x_corr_scalar_subquery / x_cosine_topk_np
+    # / x_decontaminate / x_domain_stats displaced by the five stats
+    # ops at the head;
+    # x_duplicate_ngram_fraction / x_explode_outer / x_frame_sample
+    # displaced by the three data ops before them;
     # x_from_json_struct displaced by the r8-changed x_ppjoin_setsim;
     #  x_neardup_survivors displaced by the r8-changed
     # x_stream_session_timeout; x_minhash_containment / x_mixture_sample
