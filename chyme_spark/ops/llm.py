@@ -4058,3 +4058,128 @@ def x_matryoshka_eval(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(full_top.f_vec).cast("long").alias("n_kept"))
         .orderBy("dim", "qid")
     )
+
+
+_SWEEP_TAUS = (50, 70, 80, 90, 95)  # Jaccard thresholds in percent
+
+
+@query(
+    "x_dedup_threshold_sweep",
+    # Threshold-sensitivity report for near-dup removal: qualifying
+    # pair counts at five Jaccard cutoffs from ONE inverted-index pass
+    # — the curve a pipeline owner reads before picking tau (too low:
+    # false merges; too high: missed dups). Comparisons are exact
+    # integer cross-products i*100 >= tau*(union), never float
+    # thresholds.
+    oracle=f"""
+    WITH {_NG_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT i, sa.n + sb.n - i AS u
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b),
+    taus AS (SELECT unnest({list(_SWEEP_TAUS)!r}) AS tau_pct)
+    SELECT tau_pct,
+           CAST(count(*) FILTER (WHERE i * 100 >= tau_pct * u) AS BIGINT)
+               AS n_pairs
+    FROM pairs CROSS JOIN taus
+    GROUP BY tau_pct ORDER BY tau_pct
+    """,
+    doc="dedup threshold sweep: near-dup pair counts at Jaccard 0.5/0.7/0.8/0.9/0.95 from one inverted-index pass — the tau-selection curve, exact integer comparisons",
+)
+def x_dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: identical cost to ONE x_ngram_jaccard run — the
+    pair intersection table is computed once and the five thresholds
+    are conditional counts over it (a 5-row broadcast cross join), not
+    five passes. The same sweep at production scale runs over MinHash
+    estimates instead of exact grams; the report shape is unchanged."""
+    ng = doc_ngrams(spark, sf).select("doc_id", F.xxhash64("g").alias("g"))
+    sizes = ng.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ng.alias("a")
+    b = ng.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    pairs = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("i", (F.col("sa.n") + F.col("sb.n") - F.col("i")).alias("u"))
+    )
+    taus = spark.createDataFrame([(t,) for t in _SWEEP_TAUS], "tau_pct int")
+    return (
+        pairs.crossJoin(F.broadcast(taus))
+        .groupBy("tau_pct")
+        .agg(
+            F.count(F.when(F.col("i") * 100 >= F.col("tau_pct") * F.col("u"), 1))
+            .cast("long")
+            .alias("n_pairs")
+        )
+        .orderBy("tau_pct")
+    )
+
+
+@query(
+    "x_ngram_novelty_curve",
+    # Corpus novelty curve: scanning documents in doc_id order, what
+    # fraction of each decile's distinct 3-grams is NEW (first seen in
+    # that decile)? The curve that says when a crawl stops adding
+    # information — flat tail = stop collecting, pure dedup ROI ahead.
+    oracle=f"""
+    WITH {_NG_SQL},
+    mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM ng GROUP BY g),
+    per_doc AS (
+        SELECT n.doc_id, count(*) AS n_grams,
+               count(*) FILTER (WHERE f.first_doc = n.doc_id) AS n_first
+        FROM ng n JOIN firsts f ON f.g = n.g
+        GROUP BY n.doc_id)
+    SELECT CAST(p.doc_id * 10 // mx.m AS BIGINT) AS decile,
+           CAST(SUM(p.n_grams) AS BIGINT) AS n_grams,
+           CAST(SUM(p.n_first) AS BIGINT) AS n_novel,
+           CAST(SUM(p.n_first) * 1000000 // SUM(p.n_grams) AS BIGINT) AS novelty_ppm
+    FROM per_doc p CROSS JOIN mx
+    GROUP BY 1 ORDER BY decile
+    """,
+    doc="corpus novelty curve: per doc_id-decile share of 3-grams first seen there (integer ppm) — the marginal-information audit for crawl sizing",
+)
+def x_ngram_novelty_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: one gram shuffle builds first-occurrence owners
+    (min doc_id per gram — map-side combined), a second joins them back
+    to per-doc gram counts; the decile rollup is 10 rows. 'First seen'
+    is defined by the stable doc_id order, so the curve is deterministic
+    and incremental refreshes (new docs get higher ids) only APPEND
+    deciles — no historical bucket ever changes."""
+    ng = doc_ngrams(spark, sf)  # distinct (doc_id, g), 3-grams
+    docs = load_table(spark, sf, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    firsts = ng.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        ng.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias("n_first"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(mx))
+        .groupBy(F.expr("doc_id * 10 div m").cast("long").alias("decile"))
+        .agg(
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_first").cast("long").alias("n_novel"),
+        )
+        .select(
+            "decile", "n_grams", "n_novel",
+            F.expr("n_novel * 1000000 div n_grams").cast("long").alias("novelty_ppm"),
+        )
+        .orderBy("decile")
+    )

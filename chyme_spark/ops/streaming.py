@@ -762,3 +762,42 @@ def stateful_running_counts_tws(spark: SparkSession, sf: str) -> DataFrame:
     return (
         sink.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     )
+
+
+@query(
+    "x_datasource_batch_write",
+    # Batch form of the Python Data Source writer (DataSourceWriter):
+    # same staged-files + manifest commit as the streaming sink, one
+    # commit for the whole job — closes the DataSource matrix (batch
+    # read chyme_listing, stream read, stream write, batch write). The
+    # round-trip aggregate is hash-checked against the source table.
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_balance
+    FROM customer GROUP BY c_nationkey
+    """,
+    doc="Python DataSource BATCH writer: customer table written through chyme_jsonl_sink (staged files + one manifest commit), committed-files readback aggregated per nation",
+)
+def x_datasource_batch_write(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: write() stages one file per partition in parallel
+    with zero coordination; commit() is one driver append. A failed
+    job's staged files never enter the manifest, so a re-run starts
+    from a consistent (empty or previous) committed view — the batch
+    analog of the stream writer's replay idempotence."""
+    from chyme_spark.sources import read_jsonl_sink, register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    dest = tempfile.mkdtemp(prefix="chyme_dsink_batch_")
+    cust.write.format("chyme_jsonl_sink").option("path", dest).mode("append").save()
+    back = read_jsonl_sink(
+        spark, dest, "c_custkey long, c_nationkey int, c_acctbal double"
+    )
+    return back.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        money(F.sum(dec("c_acctbal"))).alias("total_balance"),
+    )

@@ -444,3 +444,57 @@ def x_arrow_udf(spark: SparkSession, sf: str) -> DataFrame:
         "l_linenumber",
         charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
     )
+
+
+@query(
+    "x_arrow_udtf",
+    # Arrow-native UDTF (Spark 4.x @arrow_udtf) consuming a TABLE()
+    # argument: whole RecordBatches in, a pyarrow Table out — the
+    # batch-relational Python extension kind (vs x_python_udtf's
+    # row-lateral form; Arrow UDTFs are explicitly NOT allowed in
+    # lateral joins, the polars-style table-in/table-out shape is the
+    # point). Oracle is the positional-unnest SQL.
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS INT) AS pos,
+           unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents WHERE doc_id < 20
+    """,
+    doc="Arrow UDTF over a TABLE() argument (Spark 4.x): batch tokenizer emitting (doc_id, pos, tok) via pyarrow — the table-in/table-out Python surface",
+)
+def x_arrow_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: the TABLE() argument streams to the UDTF in Arrow
+    batches per partition — no shuffle is introduced by the call
+    itself, and the filter on the view is pushed to the scan before
+    batches ever reach Python. The doc_id < 20 slice bounds the demo;
+    the identical class tokenizes any corpus size partition-parallel."""
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udtf
+
+    from chyme_spark.session import load_table
+
+    @arrow_udtf(returnType="doc_id bigint, pos int, tok string")
+    class Tokenize:
+        def eval(self, batch):
+            tbl = batch if isinstance(batch, pa.Table) else pa.Table.from_batches([batch])
+            ids, poss, toks = [], [], []
+            for doc_id, text in zip(
+                tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+            ):
+                for i, w in enumerate(text.lower().split(" ")):
+                    ids.append(doc_id)
+                    poss.append(i)
+                    toks.append(w)
+            yield pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "pos": pa.array(poss, pa.int32()),
+                    "tok": pa.array(toks, pa.string()),
+                }
+            )
+
+    load_table(spark, sf, "documents").filter(F.col("doc_id") < 20).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("__audtf_docs")
+    spark.udtf.register("__chyme_tokenize", Tokenize)
+    return spark.sql("SELECT * FROM __chyme_tokenize(TABLE(__audtf_docs))")

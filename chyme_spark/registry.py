@@ -88,6 +88,10 @@ _FRONT_50 = [
     "x_spearman_corr",            # exact integer-ppm rank correlation
     "x_ks_test",                  # exact two-sample KS drift gate
     "x_gini_concentration",       # token-mass inequality index
+    "x_arrow_udtf",               # Arrow UDTF over a TABLE() argument
+    "x_datasource_batch_write",   # Python DataSource batch writer
+    "x_dedup_threshold_sweep",    # tau-selection curve, one index pass
+    "x_ngram_novelty_curve",      # marginal-information decile audit
     # (b) changed in round 8 — the driver must re-prove the new
     # arithmetic:
     "x_stream_stateful_counts",   # integer ten-thousandths state (r7 VERDICT #4)
@@ -111,9 +115,10 @@ _FRONT_50 = [
     # BOTTOM of this tail (youngest-backfill-out rule); displaced names
     # return next round.
     "x_bpe_pretokenize", "x_bm25_score", "x_bloom_prefilter",
-    "d01_parquet_scan", "d02_projection", "d37_sessionization",
-    "x_array_agg_sorted", "x_approx_quantiles",
-    # (x_compression_ratio / x_corr_scalar_subquery / x_cosine_topk_np
+    "d01_parquet_scan",
+    # (d02_projection / d37_sessionization / x_array_agg_sorted /
+    # x_approx_quantiles displaced by the four batch-C r8 ops;
+    # x_compression_ratio / x_corr_scalar_subquery / x_cosine_topk_np
     # / x_decontaminate / x_domain_stats displaced by the five stats
     # ops at the head;
     # x_duplicate_ngram_fraction / x_explode_outer / x_frame_sample

@@ -571,11 +571,33 @@ try:  # Python Data Source API needs pyspark >= 4.0
                     if os.path.exists(fn):
                         os.remove(fn)
 
+    from pyspark.sql.datasource import DataSourceWriter
+
+    class _JsonlBatchWriter(DataSourceWriter):
+        """Batch form of the same sink: write() stages per-partition
+        files exactly like the stream writer; commit() runs once for
+        the whole job and writes one manifest line (batchId -1 marks a
+        batch job). Completes the Python Data Source matrix — batch
+        read, stream read, stream write, batch write — on one format."""
+
+        def __init__(self, options: dict):
+            self._w = _JsonlSinkWriter(options)
+
+        def write(self, iterator):
+            return self._w.write(iterator)
+
+        def commit(self, messages):
+            self._w.commit(messages, batchId=-1)
+
+        def abort(self, messages):
+            self._w.abort(messages, batchId=-1)
+
     class JsonlSinkDataSource(DataSource):
         """``df.writeStream.format("chyme_jsonl_sink").option("path", d)``
-        — exactly-once JSONL directory sink via the Python Data Source
-        writer API. Committed rows are the manifest-listed files:
-        :func:`read_jsonl_sink` reads them back."""
+        (or ``df.write`` for the batch form) — exactly-once JSONL
+        directory sink via the Python Data Source writer API. Committed
+        rows are the manifest-listed files: :func:`read_jsonl_sink`
+        reads them back."""
 
         @classmethod
         def name(cls) -> str:
@@ -583,6 +605,9 @@ try:  # Python Data Source API needs pyspark >= 4.0
 
         def streamWriter(self, schema, overwrite):
             return _JsonlSinkWriter(self.options)
+
+        def writer(self, schema, overwrite):
+            return _JsonlBatchWriter(self.options)
 
     def register_jsonl_sink(spark: SparkSession) -> None:
         spark.dataSource.register(JsonlSinkDataSource)
