@@ -250,13 +250,22 @@ def main() -> None:
             sf1_block = {"error": f"{type(e).__name__}: {e}"}
 
     # --- 20x skew probe (VERDICT r7 #7) --------------------------------
-    # The two candidate-generation ops whose cost is most sensitive to
-    # key-frequency skew (LSH bucket sizes, prefix-token buckets) get a
+    # The candidate-generation ops whose cost is most sensitive to
+    # key-frequency skew (LSH bucket sizes, hot-gram postings) get a
     # second probe at 20x: replication doubles every bucket again, so a
     # super-linear candidate blow-up that 10x hides shows here. The
     # scaled dirs are content-keyed caches (scaleup._src_fingerprint) —
     # repeat runs skip generation entirely.
-    SF2_SKEW = ["d43_minhash_lsh", "x_ppjoin_setsim"]
+    #
+    # x_ppjoin_setsim is deliberately NOT probed here: scaleup's
+    # replicated copies are J >= 0.95 near-dups of each other (the
+    # " copyseqN" suffix shifts one token in ~25), so the op's TRUE
+    # output grows quadratically with the factor (~190k pairs at sf0.1
+    # -> ~76M at 20x) — the probe would measure mandatory output
+    # explosion on pathological data, not operator scaling. Its scale
+    # story is pinned instead by the sf0.1 timing (35 s, r8 rewrite)
+    # and the plan gate (no SinglePartition, candidate-linear stages).
+    SF2_SKEW = ["d43_minhash_lsh", "x_duplicate_ngram_fraction"]
     _CLIFF20 = 3.0
     sf2_block = None
     if os.environ.get("SPARK_GRAFT_SF2", "1") != "0" and sf == "0.1":
@@ -275,17 +284,26 @@ def main() -> None:
                 return time.time() - t0
 
             sf2_names = [n for n in SF2_SKEW if n in registry]
+            # fault-isolate per query: one OOM/regression must surface as
+            # that query's error, not sink the whole probe block (r8: the
+            # first sf2 run died wholesale and hid the working queries)
+            sf2_errors: dict[str, str] = {}
+            ok_names = []
             for name in sf2_names:  # warm pass
-                run_at2(name, sf2_dir)
+                try:
+                    run_at2(name, sf2_dir)
+                    ok_names.append(name)
+                except Exception as e:  # noqa: BLE001
+                    sf2_errors[name] = f"{type(e).__name__}: {e}"[:300]
             sf2_passes = [
-                {n: run_at2(n, sf2_dir) for n in sf2_names} for _ in range(3)
+                {n: run_at2(n, sf2_dir) for n in ok_names} for _ in range(3)
             ]
             sf2_med = {
-                n: round(median([p[n] for p in sf2_passes]), 3) for n in sf2_names
+                n: round(median([p[n] for p in sf2_passes]), 3) for n in ok_names
             }
             ratio2 = {
                 n: round(sf2_med[n] / steady[n], 1) if steady.get(n) else None
-                for n in sf2_names
+                for n in ok_names
             }
             sf2_block = {
                 "dir": sf2_dir,
@@ -297,6 +315,8 @@ def main() -> None:
                     n for n, r in ratio2.items() if r is not None and r > _CLIFF20 * 20
                 ),
             }
+            if sf2_errors:
+                sf2_block["errors"] = sf2_errors
         except Exception as e:  # noqa: BLE001
             sf2_block = {"error": f"{type(e).__name__}: {e}"}
 
