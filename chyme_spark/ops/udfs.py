@@ -498,3 +498,56 @@ def x_arrow_udtf(spark: SparkSession, sf: str) -> DataFrame:
     ).createOrReplaceTempView("__audtf_docs")
     spark.udtf.register("__chyme_tokenize", Tokenize)
     return spark.sql("SELECT * FROM __chyme_tokenize(TABLE(__audtf_docs))")
+
+
+@query(
+    "x_apply_in_arrow",
+    # GroupedData.applyInArrow (Spark 4.x): the grouped-map extension
+    # kind with pyarrow Tables instead of pandas DataFrames — D-49's
+    # semantics through C++ kernels, no pandas materialization. Same
+    # window-SQL oracle shape as d49: min-max normalize within nation.
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CASE WHEN max(c_acctbal) OVER w > min(c_acctbal) OVER w
+                THEN (c_acctbal - min(c_acctbal) OVER w)
+                     / (max(c_acctbal) OVER w - min(c_acctbal) OVER w)
+                ELSE 0.5 END AS bal_norm
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey)
+    """,
+    doc="grouped-map applyInArrow (Spark 4.x): per-nation min-max normalization over pyarrow Tables — the zero-pandas grouped Python surface, window-SQL oracle",
+)
+def x_apply_in_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: identical to d49 (one shuffle on the grouping key,
+    whole group per call — bound group sizes or pre-aggregate), minus
+    the Arrow->pandas->Arrow conversion d49 pays on every group. The
+    arithmetic ((x-min)/(max-min), single IEEE ops via pyarrow.compute)
+    is bit-exact vs the window SQL, so the oracle hash proves the whole
+    round-trip."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chyme_spark.session import load_table
+
+    def normalize(tbl: pa.Table) -> pa.Table:
+        bal = tbl.column("c_acctbal")
+        lo = pc.min(bal)
+        hi = pc.max(bal)
+        if pc.greater(hi, lo).as_py():
+            norm = pc.divide(pc.subtract(bal, lo), pc.subtract(hi, lo))
+        else:
+            norm = pa.array([0.5] * len(tbl), pa.float64())
+        return pa.table(
+            {
+                "c_custkey": tbl.column("c_custkey"),
+                "c_nationkey": tbl.column("c_nationkey"),
+                "c_acctbal": bal,
+                "bal_norm": norm,
+            }
+        )
+
+    cust = load_table(spark, sf, "customer")
+    return cust.groupBy("c_nationkey").applyInArrow(
+        normalize,
+        schema="c_custkey long, c_nationkey int, c_acctbal double, bal_norm double",
+    )

@@ -89,6 +89,7 @@ _FRONT_50 = [
     "x_ks_test",                  # exact two-sample KS drift gate
     "x_gini_concentration",       # token-mass inequality index
     "x_arrow_udtf",               # Arrow UDTF over a TABLE() argument
+    "x_apply_in_arrow",           # grouped-map applyInArrow (zero-pandas)
     "x_datasource_batch_write",   # Python DataSource batch writer
     "x_dedup_threshold_sweep",    # tau-selection curve, one index pass
     "x_ngram_novelty_curve",      # marginal-information decile audit
@@ -115,8 +116,8 @@ _FRONT_50 = [
     # BOTTOM of this tail (youngest-backfill-out rule); displaced names
     # return next round.
     "x_bpe_pretokenize", "x_bm25_score", "x_bloom_prefilter",
-    "d01_parquet_scan",
-    # (d02_projection / d37_sessionization / x_array_agg_sorted /
+    # (d01_parquet_scan displaced by x_apply_in_arrow;
+    # d02_projection / d37_sessionization / x_array_agg_sorted /
     # x_approx_quantiles displaced by the four batch-C r8 ops;
     # x_compression_ratio / x_corr_scalar_subquery / x_cosine_topk_np
     # / x_decontaminate / x_domain_stats displaced by the five stats

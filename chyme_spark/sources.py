@@ -178,6 +178,36 @@ try:  # Python Data Source API needs pyspark >= 4.0
                 raise ValueError("chyme_listing requires option 'path'")
             self.max_depth = int(options["depth"]) if options.get("depth") else None
             self.s3_opts = _s3_opts_from(options)
+            self.url_prefixes: list[str] = []
+
+        def pushFilters(self, filters):
+            """Filter pushdown (Spark 4.1 Python DS API): URL-prefix
+            predicates (``col("url").startswith(p)``) are the lister's
+            native filter — a prefix IS an object-store list key, the
+            reference's ``--prefix`` argument (ref pkg/aws/s3.go:63-80).
+            Accepted prefixes prune whole subtree partitions in
+            partitions() and are re-enforced exactly per url in read(),
+            so they are CONSUMED here (not returned to Spark). At 100 TB
+            of bucket metadata this is the difference between listing
+            one subtree and listing everything to filter later.
+            Everything else (other columns, other operators) is yielded
+            back for Spark to evaluate post-scan."""
+            from pyspark.sql.datasource import StringStartsWith
+
+            for f in filters:
+                if isinstance(f, StringStartsWith) and tuple(f.attribute) == ("url",):
+                    self.url_prefixes.append(f.value)
+                else:
+                    yield f
+
+        def _subtree_may_match(self, url: str, is_file: bool) -> bool:
+            # pushed prefixes are ANDed: every prefix must be compatible
+            # with this entry's subtree (entry under prefix, or prefix
+            # deeper inside this directory's subtree)
+            for p in self.url_prefixes:
+                if not (url.startswith(p) or (not is_file and p.startswith(url))):
+                    return False
+            return True
 
         def partitions(self):
             # driver touches ONE non-recursive page (the reference's
@@ -193,8 +223,14 @@ try:  # Python Data Source API needs pyspark >= 4.0
                 _PrefixPartition(f"{scheme}://{i.path}", i.type == pafs.FileType.File)
                 for i in infos
                 if i.type in (pafs.FileType.File, pafs.FileType.Directory)
+                and self._subtree_may_match(
+                    f"{scheme}://{i.path}", i.type == pafs.FileType.File
+                )
             ]
             return parts or [_PrefixPartition(root, False)]
+
+        def _url_passes(self, url: str) -> bool:
+            return all(url.startswith(p) for p in self.url_prefixes)
 
         def read(self, partition):
             from pyarrow import fs as pafs
@@ -208,8 +244,9 @@ try:  # Python Data Source API needs pyspark >= 4.0
 
             fs, path = _fs_for(partition.prefix, self.s3_opts)
             if partition.is_file:
-                info = fs.get_file_info(path)
-                yield (partition.prefix, info.size, mtime_ms(info))
+                if self._url_passes(partition.prefix):
+                    info = fs.get_file_info(path)
+                    yield (partition.prefix, info.size, mtime_ms(info))
                 return
             for i in fs.get_file_info(pafs.FileSelector(path, recursive=True)):
                 if i.type != pafs.FileType.File:
@@ -217,7 +254,9 @@ try:  # Python Data Source API needs pyspark >= 4.0
                 depth = i.path.count("/") - base_depth - 1
                 if self.max_depth is not None and depth > self.max_depth:
                     continue
-                yield (f"{scheme}://{i.path}", i.size, mtime_ms(i))
+                url = f"{scheme}://{i.path}"
+                if self._url_passes(url):
+                    yield (url, i.size, mtime_ms(i))
 
     class ListingStreamReader(SimpleDataSourceStreamReader):
         """Streaming face of the lister: each micro-batch emits the
@@ -499,6 +538,9 @@ try:  # Python Data Source API needs pyspark >= 4.0
             return ListingStreamReader(self.options)
 
     def register_listing_source(spark: SparkSession) -> None:
+        # the Python-DS pushdown planner path is opt-in (Spark 4.1);
+        # without it a reader implementing pushFilters() is rejected
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(ListingDataSource)
 
     # -----------------------------------------------------------------

@@ -290,3 +290,46 @@ def test_jsonl_sink_stream_write_equals_source(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert out == want
+
+
+def test_listing_pushdown_prunes_subtrees_and_matches(spark, tmp_path):
+    """pushFilters (Spark 4.1 Python DS API): a url-startswith predicate
+    must (a) prune sibling subtree partitions at planning time and
+    (b) return exactly the same rows as post-hoc filtering."""
+    from chyme_spark.sources import ListingReader, register_listing_source
+    from pyspark.sql.datasource import EqualTo, StringStartsWith
+
+    root = tmp_path / "data"
+    for sub, n in (("a", 3), ("b", 2), ("c", 4)):
+        d = root / sub
+        d.mkdir(parents=True)
+        for i in range(n):
+            (d / f"f{i}.bin").write_bytes(b"x" * (i + 1))
+
+    # unit level: partitions prune to the matching subtree only
+    r = ListingReader({"path": str(root)})
+    prefix = f"file://{root}/a"
+    leftover = list(r.pushFilters([StringStartsWith(("url",), prefix)]))
+    assert leftover == []  # consumed: enforced natively
+    assert [p.prefix for p in r.partitions()] == [prefix]
+
+    # unsupported filters are yielded back to Spark untouched
+    r2 = ListingReader({"path": str(root)})
+    eq = EqualTo(("size",), 2)
+    assert list(r2.pushFilters([eq])) == [eq]
+    assert len(r2.partitions()) == 3
+
+    # end-to-end: pushed plan returns the same rows as the unfiltered
+    # scan filtered post-hoc
+    register_listing_source(spark)
+    df = spark.read.format("chyme_listing").option("path", str(root)).load()
+    pushed = {
+        (row.url, row.size)
+        for row in df.filter(F.col("url").startswith(prefix)).collect()
+    }
+    want = {
+        (row.url, row.size)
+        for row in df.collect()
+        if row.url.startswith(prefix)
+    }
+    assert pushed == want and len(pushed) == 3
