@@ -64,6 +64,14 @@ AUDIT = [
     "x_priority_sample", "x_token_drift", "x_entropy_score",
     "x_benford", "x_skew_audit", "x_image_phash_neardup",
     "x_corpus_filter_pipeline", "x_dataset_card", "x_ccnet_buckets",
+    # round-8 additions: retrieval fusion, training-set prep, exact
+    # statistics, corpus audits, SQL/Arrow surfaces
+    "x_rrf_fusion", "x_epoch_shuffle", "x_hard_negatives",
+    "x_class_balance_resample", "x_winsorize", "x_cross_source_leakage",
+    "x_matryoshka_eval", "x_spearman_corr", "x_ks_test",
+    "x_gini_concentration", "x_dedup_threshold_sweep",
+    "x_ngram_novelty_curve", "x_lateral_topk", "x_sql_udf",
+    "x_groupby_all", "x_apply_in_arrow",
     # (x_dedup_report and x_tokenizer_fertility excluded with the other
     # iterative consumers: CC labels / BPE merge-loop lineage make the
     # one-shot exchange counts mis-state per-round work;
