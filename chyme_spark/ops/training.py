@@ -894,3 +894,115 @@ def x_class_balance_resample(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
     )
+
+
+_BUDGET_TOKENS = 30_000  # per-source token budget
+
+
+@query(
+    "x_token_budget_select",
+    # Quality-first data selection under a token budget: within each
+    # source, keep the highest-quality documents until the source's
+    # token budget is exhausted — the selection step every mixture
+    # executes after weights are decided (budgets come from
+    # x_mixture_temperature-style allocations). Quality is lexical
+    # diversity in exact integer ppm (distinct/total tokens); the
+    # budget cut is an exact cumulative-sum window comparison.
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, source,
+               len(string_split(lower(text), ' ')) AS toks,
+               len(list_distinct(string_split(lower(text), ' '))) * 1000000
+                   // len(string_split(lower(text), ' ')) AS quality_ppm
+        FROM documents),
+    c AS (
+        SELECT doc_id, source, toks, quality_ppm,
+               SUM(toks) OVER (
+                   PARTITION BY source
+                   ORDER BY quality_ppm DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM q)
+    SELECT doc_id, source, CAST(toks AS BIGINT) AS toks,
+           CAST(quality_ppm AS BIGINT) AS quality_ppm,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= {_BUDGET_TOKENS}
+    ORDER BY source, quality_ppm DESC, doc_id
+    """,
+    doc="token-budget data selection: per-source quality-ranked (lexical-diversity ppm) cumulative cut at 30k tokens — the mixture-execution step, exact integer arithmetic",
+)
+def x_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: one rank+cumsum window PER SOURCE (sources sort
+    independently — the parallelism unit is the mixture component, and
+    a component too large to sort in one partition takes the
+    x_stratified_split salted two-level prefix-sum form with no change
+    to semantics). Quality and budget comparisons are exact integers,
+    so the kept set is engine-reproducible — the property that lets a
+    data card state 'top-N tokens by diversity' and be audited."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.size(F.split(F.lower("text"), " "))
+    q = docs.select(
+        "doc_id", "source",
+        toks.alias("toks"),
+        F.expr(
+            "size(array_distinct(split(lower(text), ' '))) * 1000000"
+            " div size(split(lower(text), ' '))"
+        ).alias("quality_ppm"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality_ppm"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = q.withColumn("cum", F.sum("toks").over(w))
+    return (
+        c.filter(F.col("cum") <= _BUDGET_TOKENS)
+        .select(
+            "doc_id", "source",
+            F.col("toks").cast("long").alias("toks"),
+            F.col("quality_ppm").cast("long").alias("quality_ppm"),
+            F.col("cum").cast("long").alias("cum_tokens"),
+        )
+        .orderBy("source", F.desc("quality_ppm"), "doc_id")
+    )
+
+
+@query(
+    "x_quantile_normalize",
+    # Rank-based quantile normalization (the ML feature transform):
+    # each document's length maps to its within-language uniform
+    # quantile, as exact integer ppm of the rank — no interpolated
+    # percentile floats, reproducible across engines and partitions.
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents)
+    SELECT doc_id, lang, n_chars,
+           CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000000 // (n - 1)
+                     ELSE 500000 END AS BIGINT) AS quantile_ppm
+    FROM r ORDER BY doc_id
+    """,
+    doc="rank-based quantile normalization per language: (rank-1)/(n-1) in exact integer ppm — the reproducible feature-scaling transform",
+)
+def x_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: one rank window per language partition plus a
+    per-language count — groups transform independently. Integer-ppm
+    quantiles mean a model trained on these features can be re-fed
+    bit-identical inputs from any engine that reproduces the ranks
+    (tiebreak by doc_id makes them total)."""
+    docs = load_table(spark, sf, "documents")
+    wr = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return r.select(
+        "doc_id", "lang", "n_chars",
+        F.when(F.col("n") > 1, F.expr("(rk - 1) * 1000000 div (n - 1)"))
+        .otherwise(500000)
+        .cast("long")
+        .alias("quantile_ppm"),
+    ).orderBy("doc_id")

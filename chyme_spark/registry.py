@@ -93,6 +93,8 @@ _FRONT_50 = [
     "x_datasource_batch_write",   # Python DataSource batch writer
     "x_dedup_threshold_sweep",    # tau-selection curve, one index pass
     "x_ngram_novelty_curve",      # marginal-information decile audit
+    "x_token_budget_select",      # per-source quality-ranked budget cut
+    "x_quantile_normalize",       # rank-quantile feature transform
     # (b) changed in round 8 — the driver must re-prove the new
     # arithmetic:
     "x_stream_stateful_counts",   # integer ten-thousandths state (r7 VERDICT #4)
@@ -115,8 +117,10 @@ _FRONT_50 = [
     # Each new r8 op added during the round displaces one from the
     # BOTTOM of this tail (youngest-backfill-out rule); displaced names
     # return next round.
-    "x_bpe_pretokenize", "x_bm25_score", "x_bloom_prefilter",
-    # (d01_parquet_scan displaced by x_apply_in_arrow;
+    "x_bpe_pretokenize",
+    # (x_bm25_score / x_bloom_prefilter displaced by
+    # x_token_budget_select / x_quantile_normalize;
+    # d01_parquet_scan displaced by x_apply_in_arrow;
     # d02_projection / d37_sessionization / x_array_agg_sorted /
     # x_approx_quantiles displaced by the four batch-C r8 ops;
     # x_compression_ratio / x_corr_scalar_subquery / x_cosine_topk_np
