@@ -618,21 +618,52 @@ try:  # Python Data Source API needs pyspark >= 4.0
     class _JsonlBatchWriter(DataSourceWriter):
         """Batch form of the same sink: write() stages per-partition
         files exactly like the stream writer; commit() runs once for
-        the whole job and writes one manifest line (batchId -1 marks a
-        batch job). Completes the Python Data Source matrix — batch
-        read, stream read, stream write, batch write — on one format."""
+        the whole job and writes one manifest line. Completes the
+        Python Data Source matrix — batch read, stream read, stream
+        write, batch write — on one format.
 
-        def __init__(self, options: dict):
+        Each JOB gets a unique manifest id (minted on the driver at
+        plan time), so a retried commit of the same job is idempotent
+        while a second intentional append job accumulates — the batchId
+        analog for jobs. ``mode("overwrite")`` truncates the manifest
+        (and deletes previously committed files) inside commit(), i.e.
+        atomically with publishing the new files: readers never observe
+        a half-replaced directory."""
+
+        def __init__(self, options: dict, overwrite: bool):
+            import uuid as _uuid
+
             self._w = _JsonlSinkWriter(options)
+            self.overwrite = overwrite
+            self.job_id = f"job-{_uuid.uuid4().hex}"
 
         def write(self, iterator):
             return self._w.write(iterator)
 
         def commit(self, messages):
-            self._w.commit(messages, batchId=-1)
+            import json as _json
+
+            manifest = os.path.join(self._w.path, "_manifest.jsonl")
+            prior = []
+            if os.path.exists(manifest):
+                with open(manifest) as f:
+                    prior = [_json.loads(ln) for ln in f]
+            if any(e["batchId"] == self.job_id for e in prior):
+                return  # retried commit of this job: already published
+            files = sorted(f for m in messages for f in m.files)
+            if self.overwrite:
+                for e in prior:
+                    for fn in e["files"]:
+                        if os.path.exists(fn):
+                            os.remove(fn)
+                with open(manifest, "w") as f:
+                    f.write(_json.dumps({"batchId": self.job_id, "files": files}) + "\n")
+            else:
+                with open(manifest, "a") as f:
+                    f.write(_json.dumps({"batchId": self.job_id, "files": files}) + "\n")
 
         def abort(self, messages):
-            self._w.abort(messages, batchId=-1)
+            self._w.abort(messages, batchId=self.job_id)
 
     class JsonlSinkDataSource(DataSource):
         """``df.writeStream.format("chyme_jsonl_sink").option("path", d)``
@@ -649,7 +680,7 @@ try:  # Python Data Source API needs pyspark >= 4.0
             return _JsonlSinkWriter(self.options)
 
         def writer(self, schema, overwrite):
-            return _JsonlBatchWriter(self.options)
+            return _JsonlBatchWriter(self.options, overwrite)
 
     def register_jsonl_sink(spark: SparkSession) -> None:
         spark.dataSource.register(JsonlSinkDataSource)

@@ -333,3 +333,33 @@ def test_listing_pushdown_prunes_subtrees_and_matches(spark, tmp_path):
         if row.url.startswith(prefix)
     }
     assert pushed == want and len(pushed) == 3
+
+
+def test_jsonl_sink_batch_append_accumulates_overwrite_replaces(spark, tmp_path):
+    """Batch-writer job semantics: two append jobs accumulate rows;
+    an overwrite job atomically replaces everything committed before
+    it (manifest truncated, prior files deleted)."""
+    from chyme_spark.sources import read_jsonl_sink, register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    dest = str(tmp_path / "bsink")
+    a = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    b = spark.createDataFrame([(2, 20.0)], "k long, v double")
+    c = spark.createDataFrame([(3, 30.0)], "k long, v double")
+
+    a.write.format("chyme_jsonl_sink").option("path", dest).mode("append").save()
+    b.write.format("chyme_jsonl_sink").option("path", dest).mode("append").save()
+    got = {r.k for r in read_jsonl_sink(spark, dest, "k long, v double").collect()}
+    assert got == {1, 2}
+
+    c.write.format("chyme_jsonl_sink").option("path", dest).mode("overwrite").save()
+    got = {r.k for r in read_jsonl_sink(spark, dest, "k long, v double").collect()}
+    assert got == {3}
+    # prior committed files physically gone (no orphan litter)
+    import json as _json
+
+    manifest = tmp_path / "bsink" / "_manifest.jsonl"
+    lines = [_json.loads(ln) for ln in manifest.read_text().splitlines()]
+    assert len(lines) == 1
+    staged = list((tmp_path / "bsink" / "staging").iterdir())
+    assert {str(p) for p in staged} == set(lines[0]["files"])
