@@ -476,20 +476,25 @@ def x_arrow_udtf(spark: SparkSession, sf: str) -> DataFrame:
     @arrow_udtf(returnType="doc_id bigint, pos int, tok string")
     class Tokenize:
         def eval(self, batch):
+            # Fully vectorized inside the batch (r8 VERDICT #2): lower +
+            # split + flatten run in Arrow C++ kernels; the only Python
+            # per batch is kernel dispatch, never per row.  Positions
+            # are flat-index minus the parent list's offset.
+            import numpy as np
+            import pyarrow.compute as pc
+
             tbl = batch if isinstance(batch, pa.Table) else pa.Table.from_batches([batch])
-            ids, poss, toks = [], [], []
-            for doc_id, text in zip(
-                tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
-            ):
-                for i, w in enumerate(text.lower().split(" ")):
-                    ids.append(doc_id)
-                    poss.append(i)
-                    toks.append(w)
+            toks = pc.split_pattern(pc.utf8_lower(tbl.column("text")), " ")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            parent = pc.list_parent_indices(toks)
+            offsets = toks.offsets.to_numpy()
+            pos = np.arange(len(parent), dtype=np.int64) - offsets[parent.to_numpy()]
             yield pa.table(
                 {
-                    "doc_id": pa.array(ids, pa.int64()),
-                    "pos": pa.array(poss, pa.int32()),
-                    "tok": pa.array(toks, pa.string()),
+                    "doc_id": pc.take(tbl.column("doc_id"), parent).cast(pa.int64()),
+                    "pos": pa.array(pos, pa.int32()),
+                    "tok": pc.list_flatten(toks),
                 }
             )
 

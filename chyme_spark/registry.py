@@ -67,8 +67,43 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # If the list exceeds 50, the tail (youngest backfill) rotates out and
 # returns next round.
 _FRONT_50 = [
-    # ---- Round-8 window (VERDICT r7 #1: clear the ENTIRE stale-green
-    # backlog — after this round no ledger entry should predate r7) ----
+    # ---- Round-9 window (VERDICT r8 #1: rotate to the displaced-r4
+    # cohort — after this round the ledger minimum stamp must be r5,
+    # with the named r4 greens all re-proven) ----
+    # (a) new in round 9 — never driver-checked; the ledger guard forces
+    # them here as they are added. Each addition displaces one name from
+    # the BOTTOM of the backfill tail (youngest-backfill-out rule).
+    # (b) changed in round 9 — the driver must re-prove the new code:
+    "x_arrow_udtf",               # tokenizer vectorized to pure pyarrow.compute (r8 VERDICT #2)
+    # (c) backfill: the ENTIRE r4-stamped cohort (47 names,
+    # tools/oracle_ledger.json round==4), oldest cohort first. The
+    # rows-only members ride along — their rows>0 re-proof plus pinned
+    # pytest contracts is the strongest driver check they can get.
+    "d01_parquet_scan", "d02_projection", "d37_sessionization",
+    "x_approx_quantiles", "x_array_agg_sorted", "x_bloom_prefilter",
+    "x_bm25_score", "x_compression_ratio", "x_corr_scalar_subquery",
+    "x_cosine_topk_np", "x_decontaminate", "x_domain_stats",
+    "x_duplicate_ngram_fraction", "x_explode_outer", "x_frame_sample",
+    "x_from_json_struct", "x_gap_fill", "x_global_agg",
+    "x_gopher_rules", "x_incremental_dedup", "x_interval_join_bucketed",
+    "x_map_fns2", "x_media_resize", "x_minhash_containment",
+    "x_mixture_sample", "x_neardup_survivors", "x_nullsafe_join",
+    "x_percentiles", "x_pii_scrub", "x_python_udtf",
+    "x_repetition_filter", "x_semdedup", "x_sequence_pack",
+    "x_session_window", "x_skew_salted_agg", "x_skew_salted_join",
+    "x_stats_moments", "x_stream_static_join", "x_stream_stream_join",
+    "x_string_fns2", "x_text_normalize", "x_time_rollup",
+    "x_tpch_q3_shipping", "x_tpch_q5_local_supplier", "x_unpivot",
+    "x_url_canonicalize", "x_variant_json",
+    # (d) then the two stalest r5 greens to fill the window; more r5
+    # names return in round 10.
+    "d03_filter", "d04_regex_ext_filter",
+]
+
+_FRONT_50_R8 = [
+    # ---- Round-8 window (retired; kept for the ledger audit trail) ----
+    # (VERDICT r7 #1: clear the ENTIRE stale-green backlog — after that
+    # round no ledger entry should predate r7.)
     # (a) new in round 8 — never driver-checked; the ledger guard forces
     # them here as they are added.
     "x_datasource_stream_write",  # Python DataSource streaming writer (r7 VERDICT #5)
