@@ -698,15 +698,38 @@ def transform_with_state_supported() -> bool:
     driver-side init worker crashes before the first micro-batch.
     Probe the exact missing piece instead of crashing a stream — the
     same honest environment gate as the ffmpeg codec path
-    (ops/binary.py) and the dockerd executor (runner.py)."""
+    (ops/binary.py) and the dockerd executor (runner.py).
+
+    Round 9: the probe now also consults :mod:`chyme_spark.pbcompat`,
+    which can activate a pure-Python protobuf runtime bundled by other
+    publicly-distributed SDKs on the host (found: App Engine platform's
+    protobuf 6.32.0), un-gating the operator on this container."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
-        return False
+        from chyme_spark import pbcompat
+
+        return pbcompat.find_protobuf_runtime() is not None
 
 
+@query(
+    "x_stream_tws_counts",
+    # Unlike the applyInPandasWithState twin (rows-only), this entry
+    # carries the full batch-aggregate oracle: the final per-user state
+    # is deterministic under AvailableNow regardless of micro-batch
+    # boundaries (integer ten-thousandths state), so the driver's hash
+    # compare proves stream == batch == DuckDB in one shot.
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="transformWithStateInPandas running counts (Spark 4.x typed ValueState, RocksDB state store): per-user event count + value sum — un-gated in r9 via pbcompat's host protobuf runtime probe",
+)
 def stateful_running_counts_tws(spark: SparkSession, sf: str) -> DataFrame:
     """x_stream_stateful_counts re-expressed on transformWithState —
     Spark 4.x's successor stateful API (SPARK-46815): typed composite
@@ -722,6 +745,14 @@ def stateful_running_counts_tws(spark: SparkSession, sf: str) -> DataFrame:
     past executor memory and the changelog checkpoint makes restore
     O(delta), not O(state) — the reasons this API exists."""
     import pandas as pd
+
+    from chyme_spark import pbcompat
+
+    if not pbcompat.enable(spark):
+        raise RuntimeError(
+            "no protobuf runtime on this host — gate with "
+            "transform_with_state_supported() before calling"
+        )
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     class CountsProcessor(StatefulProcessor):
@@ -746,18 +777,26 @@ def stateful_running_counts_tws(spark: SparkSession, sf: str) -> DataFrame:
         def close(self):
             pass
 
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        provider_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    ev = _events_stream(spark, sf).select("user_id", "value")
-    out = ev.groupBy("user_id").transformWithStateInPandas(
-        CountsProcessor(),
-        outputStructType="user_id long, n_events long, total_value double",
-        outputMode="Update",
-        timeMode="None",
-    )
-    sink = _run_to_memory(out, "update")
+    try:
+        ev = _events_stream(spark, sf).select("user_id", "value")
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            CountsProcessor(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        sink = _run_to_memory(out, "update")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         sink.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")

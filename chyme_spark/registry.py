@@ -73,6 +73,7 @@ _FRONT_50 = [
     # (a) new in round 9 — never driver-checked; the ledger guard forces
     # them here as they are added. Each addition displaces one name from
     # the BOTTOM of the backfill tail (youngest-backfill-out rule).
+    "x_stream_tws_counts",        # transformWithStateInPandas un-gated via pbcompat (r8 VERDICT #3)
     # (b) changed in round 9 — the driver must re-prove the new code:
     "x_arrow_udtf",               # tokenizer vectorized to pure pyarrow.compute (r8 VERDICT #2)
     # (c) backfill: the ENTIRE r4-stamped cohort (47 names,
@@ -95,9 +96,11 @@ _FRONT_50 = [
     "x_string_fns2", "x_text_normalize", "x_time_rollup",
     "x_tpch_q3_shipping", "x_tpch_q5_local_supplier", "x_unpivot",
     "x_url_canonicalize", "x_variant_json",
-    # (d) then the two stalest r5 greens to fill the window; more r5
-    # names return in round 10.
-    "d03_filter", "d04_regex_ext_filter",
+    # (d) then the stalest r5 green to fill the window; more r5 names
+    # return in round 10.
+    # (d04_regex_ext_filter displaced by x_stream_tws_counts — r5-green,
+    # returns next round)
+    "d03_filter",
 ]
 
 _FRONT_50_R8 = [
