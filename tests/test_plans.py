@@ -233,6 +233,16 @@ EXPECTED = {
     # the 1-row bigram-total partial->merge->broadcast (the accepted
     # global-scalar shape, identical to x_lm_surprisal_score's)
     "x_ccnet_buckets": (5, 3, 0, False),
+    # round-9: the four SQL surfaces (r8 VERDICT #6). All must keep the
+    # literal-equivalent shape — agg shuffle + output range sort, no
+    # joins: parameter binding, the SET VAR literal, the inlined SQL
+    # UDF, and the GROUP BY ALL resolver may not add plan nodes vs the
+    # hand-written form (a Catalyst upgrade that stops inlining the SQL
+    # UDF or materializes the variable as a subquery would show here)
+    "x_param_sql": (2, 0, 0, False),
+    "x_sql_variable": (2, 0, 0, False),
+    "x_sql_udf": (2, 0, 0, False),
+    "x_groupby_all": (2, 0, 0, False),
 }
 
 # queries that must never contain a SinglePartition exchange: their
@@ -243,6 +253,12 @@ NO_SINGLE_PARTITION = (
     "x_skyline",
     # r7: the vocab global-rank window is gone (VERDICT r6 #2)
     "x_ppjoin_setsim",
+    # r9: the SQL surfaces — a variable/param materialized as a scalar
+    # subquery instead of a literal would surface as a SinglePartition
+    "x_param_sql",
+    "x_sql_variable",
+    "x_sql_udf",
+    "x_groupby_all",
 )
 
 

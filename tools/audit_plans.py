@@ -72,6 +72,8 @@ AUDIT = [
     "x_gini_concentration", "x_dedup_threshold_sweep",
     "x_ngram_novelty_curve", "x_lateral_topk", "x_sql_udf",
     "x_groupby_all", "x_apply_in_arrow",
+    # round-9 additions: the remaining SQL surfaces (r8 VERDICT #6)
+    "x_param_sql", "x_sql_variable",
     # (x_dedup_report and x_tokenizer_fertility excluded with the other
     # iterative consumers: CC labels / BPE merge-loop lineage make the
     # one-shot exchange counts mis-state per-round work;
