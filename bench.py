@@ -265,7 +265,17 @@ def main() -> None:
     # explosion on pathological data, not operator scaling. Its scale
     # story is pinned instead by the sf0.1 timing (35 s, r8 rewrite)
     # and the plan gate (no SinglePartition, candidate-linear stages).
-    SF2_SKEW = ["d43_minhash_lsh", "x_duplicate_ngram_fraction"]
+    # r9 (VERDICT r8 #4): membership grown from 2 to 6 — the next most
+    # skew/shuffle-sensitive ops whose TRUE output stays corpus-linear
+    # under replication (unlike ppjoin, excluded above): the ExactSubstr
+    # span scrub (hot-gram postings), the salted exact-rank split, the
+    # explode-heavy DSIR pipeline, and the keyed dedup (replicated keys
+    # double every group).
+    SF2_SKEW = [
+        "d43_minhash_lsh", "x_duplicate_ngram_fraction",
+        "x_dup_span_scrub", "x_stratified_split", "x_dsir_resample",
+        "d06_keyed_dedup",
+    ]
     _CLIFF20 = 3.0
     sf2_block = None
     if os.environ.get("SPARK_GRAFT_SF2", "1") != "0" and sf == "0.1":
@@ -320,6 +330,58 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             sf2_block = {"error": f"{type(e).__name__}: {e}"}
 
+    # --- bench-battery rotation (VERDICT r8 #5) -------------------------
+    # HEADLINE is fixed for round-over-round comparability (it contains
+    # the 13-query round-1 baseline core), but the registry holds ~5x
+    # more queries than the battery — a slow regression in the other ~196
+    # was invisible. Mirror the correctness-window policy: ~10 rotation
+    # slots per round through the never/stalest-benched registry members,
+    # stamped in tools/bench_ledger.json (name -> last-benched round).
+    # Rotated members get 1 warm + 3 timed passes (median) — enough to
+    # spot a regression, cheap enough not to bloat driver wall-clock.
+    ROTATION = [
+        # round-9 cohort: never-benched join/shuffle-heavy members —
+        # hybrid-retrieval fusion, the gram-containment matrix, per-shard
+        # shuffle, budget cut, cluster-prune dedup, the token inverted
+        # index + TF-IDF pair, iterative PageRank, windowed-dedup and
+        # blocking-based linkage
+        "x_rrf_fusion", "x_cross_source_leakage", "x_epoch_shuffle",
+        "x_token_budget_select", "x_semdedup", "x_inverted_index",
+        "x_tfidf", "x_pagerank", "x_sorted_neighborhood",
+        "x_record_linkage",
+    ]
+    rot_block = None
+    if os.environ.get("SPARK_GRAFT_ROTATION", "1") != "0":
+        try:
+            rot_names = [n for n in ROTATION if n in registry]
+            rot_errors: dict[str, str] = {}
+            rot_ok = []
+            for name in rot_names:  # warm pass (footers, codegen)
+                try:
+                    run(name)
+                    rot_ok.append(name)
+                except Exception as e:  # noqa: BLE001 — fault-isolate per query
+                    rot_errors[name] = f"{type(e).__name__}: {e}"[:300]
+            rot_passes = []
+            for _ in range(3):
+                p = {}
+                for name in rot_ok:
+                    t0 = time.time()
+                    run(name)
+                    p[name] = time.time() - t0
+                rot_passes.append(p)
+            rot_block = {
+                "members": rot_names,
+                "ledger": "tools/bench_ledger.json",
+                "queries_median": {
+                    n: round(median([p[n] for p in rot_passes]), 3) for n in rot_ok
+                },
+            }
+            if rot_errors:
+                rot_block["errors"] = rot_errors
+        except Exception as e:  # noqa: BLE001
+            rot_block = {"error": f"{type(e).__name__}: {e}"}
+
     calibration = _cpu_calibration()
     # calibration-normalized medians (VERDICT r6 #6): per-query median
     # divided by the host-speed constant, so cross-round comparisons are
@@ -349,6 +411,8 @@ def main() -> None:
         out["sf1"] = sf1_block
     if sf2_block is not None:
         out["sf2"] = sf2_block
+    if rot_block is not None:
+        out["rotation"] = rot_block
     print(json.dumps(out))
     # Compact headline line LAST (VERDICT r7 #2): the driver records only
     # a bounded stdout tail, and the full JSON above outgrew it in r5-r7
@@ -368,6 +432,9 @@ def main() -> None:
             ratios = [r for r in blk["ratio_vs_sf0.1"].values() if r is not None]
             summary[f"{key}_ratio_max"] = max(ratios) if ratios else None
             summary[f"{key}_flagged"] = blk["flagged_scale_cliff"]
+    if rot_block and "queries_median" in rot_block:
+        summary["rotation_n"] = len(rot_block["queries_median"])
+        summary["rotation_total"] = round(sum(rot_block["queries_median"].values()), 3)
     print("BENCH_SUMMARY " + json.dumps(summary))
 
 
