@@ -179,6 +179,86 @@ def main() -> None:
         n: round(max(p[n] for p in passes) - min(p[n] for p in passes), 3) for n in names
     }
 
+    # --- shared probe machinery -----------------------------------------
+    # An OOM inside one probe member must cost exactly that member: in
+    # local mode an executor-thread OOM stops the whole SparkContext, so
+    # every later block (r9: the entire rotation battery) died with it.
+    # revive_if_dead() rebuilds the session after a fatal member and the
+    # per-member try/except keeps the block's other numbers.
+    def revive_if_dead() -> bool:
+        nonlocal spark
+        try:
+            dead = spark.sparkContext._jsc.sc().isStopped()
+        except Exception:  # noqa: BLE001 — a dead gateway counts as dead
+            dead = True
+        if dead:
+            spark = get_spark("chyme_bench")
+        return dead
+
+    def run_at(name: str, d: str) -> float:
+        t0 = time.time()
+        df = registry[name].fn(spark, d)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    def probe_block(block_names: list[str], d: str, n_passes: int = 3):
+        """Warm + n timed passes per member, fault-isolated: a member
+        that throws (or kills the context) is recorded in errors and
+        dropped; the survivors' medians are still reported."""
+        errors: dict[str, str] = {}
+        ok: list[str] = []
+        for name in block_names:  # warm pass (footers, codegen)
+            try:
+                run_at(name, d)
+                ok.append(name)
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                revive_if_dead()
+        times: dict[str, list[float]] = {n: [] for n in ok}
+        for _ in range(n_passes):
+            for name in list(ok):
+                try:
+                    times[name].append(run_at(name, d))
+                except Exception as e:  # noqa: BLE001
+                    errors[name] = f"{type(e).__name__}: {e}"[:300]
+                    ok.remove(name)
+                    times.pop(name, None)
+                    revive_if_dead()
+        meds = {n: round(median(ts), 3) for n, ts in times.items() if ts}
+        return meds, errors
+
+    # --- bench-battery rotation (VERDICT r8 #5) -------------------------
+    # HEADLINE is fixed for round-over-round comparability (it contains
+    # the 13-query round-1 baseline core), but the registry holds ~5x
+    # more queries than the battery — a slow regression in the other ~196
+    # was invisible. Mirror the correctness-window policy: ~10 rotation
+    # slots per round through the never/stalest-benched registry members,
+    # stamped in tools/bench_ledger.json (name -> last-benched round).
+    # Runs BEFORE the scale probes so a probe OOM cannot sink it (r9).
+    ROTATION = [
+        # round-9 cohort: never-benched join/shuffle-heavy members —
+        # hybrid-retrieval fusion, the gram-containment matrix, per-shard
+        # shuffle, budget cut, cluster-prune dedup, the token inverted
+        # index + TF-IDF pair, iterative PageRank, windowed-dedup and
+        # blocking-based linkage
+        "x_rrf_fusion", "x_cross_source_leakage", "x_epoch_shuffle",
+        "x_token_budget_select", "x_semdedup", "x_inverted_index",
+        "x_tfidf", "x_pagerank", "x_sorted_neighborhood",
+        "x_record_linkage",
+    ]
+    rot_block = None
+    if os.environ.get("SPARK_GRAFT_ROTATION", "1") != "0":
+        rot_med, rot_errors = probe_block(
+            [n for n in ROTATION if n in registry], sf_dir
+        )
+        rot_block = {
+            "members": [n for n in ROTATION if n in registry],
+            "ledger": "tools/bench_ledger.json",
+            "queries_median": rot_med,
+        }
+        if rot_errors:
+            rot_block["errors"] = rot_errors
+
     # --- scale-cliff probe (VERDICT r5 item 6) --------------------------
     # The 2x gate at sf0.1 cannot see a cost curve that bends far above
     # the data ratio. Run the heaviest ops once more at a deterministic
@@ -217,24 +297,12 @@ def main() -> None:
             ensure_scaled(spark, sf_dir, sf1_dir, factor=10)
             gen_sec = round(time.time() - t0, 3)
 
-            def run_at(name: str, d: str) -> float:
-                t0 = time.time()
-                df = registry[name].fn(spark, d)
-                df.write.format("noop").mode("overwrite").save()
-                return time.time() - t0
-
-            sf1_names = [n for n in SF1_HEAVY if n in registry]
-            for name in sf1_names:  # warm pass (footers, codegen)
-                run_at(name, sf1_dir)
-            sf1_passes = [
-                {n: run_at(n, sf1_dir) for n in sf1_names} for _ in range(3)
-            ]
-            sf1_med = {
-                n: round(median([p[n] for p in sf1_passes]), 3) for n in sf1_names
-            }
+            sf1_med, sf1_errors = probe_block(
+                [n for n in SF1_HEAVY if n in registry], sf1_dir
+            )
             ratio = {
-                n: round(sf1_med[n] / steady[n], 1) if steady.get(n) else None
-                for n in sf1_names
+                n: round(v / steady[n], 1) if steady.get(n) else None
+                for n, v in sf1_med.items()
             }
             sf1_block = {
                 "dir": sf1_dir,
@@ -246,8 +314,11 @@ def main() -> None:
                     n for n, r in ratio.items() if r is not None and r > _CLIFF * 10
                 ),
             }
+            if sf1_errors:
+                sf1_block["errors"] = sf1_errors
         except Exception as e:  # noqa: BLE001 — the probe must never sink the bench line
             sf1_block = {"error": f"{type(e).__name__}: {e}"}
+            revive_if_dead()
 
     # --- 20x skew probe (VERDICT r7 #7) --------------------------------
     # The candidate-generation ops whose cost is most sensitive to
@@ -287,33 +358,15 @@ def main() -> None:
             ensure_scaled(spark, sf_dir, sf2_dir, factor=20)
             gen2_sec = round(time.time() - t0, 3)
 
-            def run_at2(name: str, d: str) -> float:
-                t0 = time.time()
-                df = registry[name].fn(spark, d)
-                df.write.format("noop").mode("overwrite").save()
-                return time.time() - t0
-
-            sf2_names = [n for n in SF2_SKEW if n in registry]
             # fault-isolate per query: one OOM/regression must surface as
             # that query's error, not sink the whole probe block (r8: the
             # first sf2 run died wholesale and hid the working queries)
-            sf2_errors: dict[str, str] = {}
-            ok_names = []
-            for name in sf2_names:  # warm pass
-                try:
-                    run_at2(name, sf2_dir)
-                    ok_names.append(name)
-                except Exception as e:  # noqa: BLE001
-                    sf2_errors[name] = f"{type(e).__name__}: {e}"[:300]
-            sf2_passes = [
-                {n: run_at2(n, sf2_dir) for n in ok_names} for _ in range(3)
-            ]
-            sf2_med = {
-                n: round(median([p[n] for p in sf2_passes]), 3) for n in ok_names
-            }
+            sf2_med, sf2_errors = probe_block(
+                [n for n in SF2_SKEW if n in registry], sf2_dir
+            )
             ratio2 = {
-                n: round(sf2_med[n] / steady[n], 1) if steady.get(n) else None
-                for n in ok_names
+                n: round(v / steady[n], 1) if steady.get(n) else None
+                for n, v in sf2_med.items()
             }
             sf2_block = {
                 "dir": sf2_dir,
@@ -329,58 +382,7 @@ def main() -> None:
                 sf2_block["errors"] = sf2_errors
         except Exception as e:  # noqa: BLE001
             sf2_block = {"error": f"{type(e).__name__}: {e}"}
-
-    # --- bench-battery rotation (VERDICT r8 #5) -------------------------
-    # HEADLINE is fixed for round-over-round comparability (it contains
-    # the 13-query round-1 baseline core), but the registry holds ~5x
-    # more queries than the battery — a slow regression in the other ~196
-    # was invisible. Mirror the correctness-window policy: ~10 rotation
-    # slots per round through the never/stalest-benched registry members,
-    # stamped in tools/bench_ledger.json (name -> last-benched round).
-    # Rotated members get 1 warm + 3 timed passes (median) — enough to
-    # spot a regression, cheap enough not to bloat driver wall-clock.
-    ROTATION = [
-        # round-9 cohort: never-benched join/shuffle-heavy members —
-        # hybrid-retrieval fusion, the gram-containment matrix, per-shard
-        # shuffle, budget cut, cluster-prune dedup, the token inverted
-        # index + TF-IDF pair, iterative PageRank, windowed-dedup and
-        # blocking-based linkage
-        "x_rrf_fusion", "x_cross_source_leakage", "x_epoch_shuffle",
-        "x_token_budget_select", "x_semdedup", "x_inverted_index",
-        "x_tfidf", "x_pagerank", "x_sorted_neighborhood",
-        "x_record_linkage",
-    ]
-    rot_block = None
-    if os.environ.get("SPARK_GRAFT_ROTATION", "1") != "0":
-        try:
-            rot_names = [n for n in ROTATION if n in registry]
-            rot_errors: dict[str, str] = {}
-            rot_ok = []
-            for name in rot_names:  # warm pass (footers, codegen)
-                try:
-                    run(name)
-                    rot_ok.append(name)
-                except Exception as e:  # noqa: BLE001 — fault-isolate per query
-                    rot_errors[name] = f"{type(e).__name__}: {e}"[:300]
-            rot_passes = []
-            for _ in range(3):
-                p = {}
-                for name in rot_ok:
-                    t0 = time.time()
-                    run(name)
-                    p[name] = time.time() - t0
-                rot_passes.append(p)
-            rot_block = {
-                "members": rot_names,
-                "ledger": "tools/bench_ledger.json",
-                "queries_median": {
-                    n: round(median([p[n] for p in rot_passes]), 3) for n in rot_ok
-                },
-            }
-            if rot_errors:
-                rot_block["errors"] = rot_errors
-        except Exception as e:  # noqa: BLE001
-            rot_block = {"error": f"{type(e).__name__}: {e}"}
+            revive_if_dead()
 
     calibration = _cpu_calibration()
     # calibration-normalized medians (VERDICT r6 #6): per-query median

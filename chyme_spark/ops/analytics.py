@@ -4306,3 +4306,199 @@ def x_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("gini_ppm"),
     )
+
+
+@query(
+    "x_auc_score",
+    # Exact ROC-AUC of a score signal (n_chars) as a predictor of a
+    # binary label (lang='en'), per source, via the pair-counting
+    # (Mann-Whitney) identity with exact tie handling:
+    #   AUC = (#concordant + #tied/2) / (n_pos * n_neg)
+    # computed entirely in integers as numer2 / (2*np*nn), where
+    # numer2 = SUM over distinct score values of
+    #   2*pos_v*neg_below_v  (concordant pairs, doubled)
+    #   +  pos_v*neg_v       (tied pairs, i.e. halved after the *2).
+    # One final bigint division surfaces ppm. Both divisions operate on
+    # non-negative integers (DuckDB's // floors, Spark's div truncates —
+    # they only agree above zero, so no signed division is allowed here).
+    oracle="""
+    WITH lab AS (
+        SELECT source, n_chars AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+        FROM documents),
+    pv AS (
+        SELECT source, v,
+               SUM(is_pos)::BIGINT AS pos, SUM(1 - is_pos)::BIGINT AS neg
+        FROM lab GROUP BY source, v),
+    cum AS (
+        SELECT source, pos, neg,
+               COALESCE(SUM(neg) OVER (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM pv),
+    agg AS (
+        SELECT source, SUM(pos) AS np, SUM(neg) AS nn,
+               SUM(2 * pos * below + pos * neg) AS numer2
+        FROM cum GROUP BY source)
+    SELECT source,
+           CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           CAST(numer2 * 1000000 // (2 * np * nn) AS BIGINT) AS auc_ppm
+    FROM agg WHERE np > 0 AND nn > 0 ORDER BY source
+    """,
+    doc="exact per-source ROC-AUC (Mann-Whitney pair counting, integer tie handling, ppm) — the quality-classifier eval gate over a scored corpus",
+)
+def x_auc_score(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: the corpus collapses to one row per (source,
+    distinct score value) in a single map-side-combined groupBy before
+    any window runs — the cumulative-negatives window and the final
+    aggregate operate on the value histogram (|sources| x |distinct
+    scores| rows), not the corpus. No per-row ranks over the full data,
+    which is what makes exact AUC (unlike naive rank-sum) feasible at
+    scale. Overflow headroom: numer2*1e6 needs np*nn < 4.6e12 per
+    source (~2M docs/side); beyond that promote the one final multiply
+    to DECIMAL(38,0) — the x_dup_span_scrub escape-hatch pattern."""
+    docs = load_table(spark, sf, "documents")
+    pv = (
+        docs.select(
+            "source",
+            F.col("n_chars").alias("v"),
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("is_pos"),
+        )
+        .groupBy("source", "v")
+        .agg(
+            F.sum("is_pos").cast("long").alias("pos"),
+            F.sum(F.lit(1) - F.col("is_pos")).cast("long").alias("neg"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = pv.select(
+        "source", "pos", "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("below"),
+    )
+    agg = cum.groupBy("source").agg(
+        F.sum("pos").alias("np"),
+        F.sum("neg").alias("nn"),
+        F.sum(
+            F.lit(2) * F.col("pos") * F.col("below") + F.col("pos") * F.col("neg")
+        ).alias("numer2"),
+    )
+    return (
+        agg.filter((F.col("np") > 0) & (F.col("nn") > 0))
+        .select(
+            "source",
+            F.col("np").cast("long").alias("n_pos"),
+            F.col("nn").cast("long").alias("n_neg"),
+            F.expr("numer2 * 1000000 div (2 * np * nn)").cast("long").alias("auc_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "x_calibration_bins",
+    # Reliability diagram for a [0,1]-scaled score (ppm fixed-point):
+    # decile bins, per-bin count, integer mean score, empirical positive
+    # rate, and the |mean - rate| calibration gap. The per-bin gap is
+    # what an Expected Calibration Error weights and sums; emitting the
+    # bins keeps the op composable (ECE, MCE, or a reliability plot are
+    # one trivial aggregate away).
+    oracle="""
+    WITH s AS (
+        SELECT LEAST(n_chars, 2000)::BIGINT * 500 AS score_ppm,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+        FROM documents),
+    b AS (
+        SELECT LEAST(score_ppm // 100000, 9) AS bin,
+               COUNT(*)::BIGINT AS n,
+               SUM(score_ppm)::BIGINT AS s, SUM(is_pos)::BIGINT AS p
+        FROM s GROUP BY 1)
+    SELECT CAST(bin AS BIGINT) AS bin, n,
+           CAST(s // n AS BIGINT) AS mean_score_ppm,
+           CAST(p * 1000000 // n AS BIGINT) AS pos_rate_ppm,
+           CAST(ABS(s // n - p * 1000000 // n) AS BIGINT) AS gap_ppm
+    FROM b ORDER BY bin
+    """,
+    doc="reliability-diagram decile bins for a ppm-scaled score vs a binary label (count, integer mean score, positive rate, calibration gap) — the classifier-calibration audit",
+)
+def x_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: one map-side-combined groupBy into at most 10
+    rows — each executor emits 10 partial (n, sum_score, sum_pos)
+    triples and the exchange carries tens of rows total. All integer
+    arithmetic (score is ppm fixed-point), so the bin means are
+    partition-order-independent."""
+    docs = load_table(spark, sf, "documents")
+    s = docs.select(
+        (F.least(F.col("n_chars"), F.lit(2000)).cast("long") * 500).alias("score_ppm"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_pos"),
+    )
+    b = s.groupBy(
+        F.least(F.expr("score_ppm div 100000"), F.lit(9).cast("long")).alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("score_ppm").alias("s"),
+        F.sum("is_pos").alias("p"),
+    )
+    return b.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n",
+        F.expr("s div n").cast("long").alias("mean_score_ppm"),
+        F.expr("p * 1000000 div n").cast("long").alias("pos_rate_ppm"),
+        F.expr("abs(s div n - p * 1000000 div n)").cast("long").alias("gap_ppm"),
+    ).orderBy("bin")
+
+
+@query(
+    "x_transpose_stats",
+    # DataFrame.transpose (Spark 4.0+): per-language corpus stats
+    # flipped so each language becomes a column and each metric a row —
+    # the "wide summary card" shape reports want. The oracle mirrors the
+    # pivot by hand; the language set is a fixture invariant
+    # (de/en/es/fr/zh at every sf, tests/test_fixture_invariants.py).
+    oracle="""
+    WITH s AS (
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               SUM(n_chars)::BIGINT AS sum_chars,
+               COUNT(DISTINCT source)::BIGINT AS n_sources
+        FROM documents GROUP BY lang)
+    SELECT 'n_docs' AS key,
+           MAX(CASE WHEN lang='de' THEN n_docs END) AS de,
+           MAX(CASE WHEN lang='en' THEN n_docs END) AS en,
+           MAX(CASE WHEN lang='es' THEN n_docs END) AS es,
+           MAX(CASE WHEN lang='fr' THEN n_docs END) AS fr,
+           MAX(CASE WHEN lang='zh' THEN n_docs END) AS zh
+    FROM s
+    UNION ALL
+    SELECT 'sum_chars',
+           MAX(CASE WHEN lang='de' THEN sum_chars END),
+           MAX(CASE WHEN lang='en' THEN sum_chars END),
+           MAX(CASE WHEN lang='es' THEN sum_chars END),
+           MAX(CASE WHEN lang='fr' THEN sum_chars END),
+           MAX(CASE WHEN lang='zh' THEN sum_chars END)
+    FROM s
+    UNION ALL
+    SELECT 'n_sources',
+           MAX(CASE WHEN lang='de' THEN n_sources END),
+           MAX(CASE WHEN lang='en' THEN n_sources END),
+           MAX(CASE WHEN lang='es' THEN n_sources END),
+           MAX(CASE WHEN lang='fr' THEN n_sources END),
+           MAX(CASE WHEN lang='zh' THEN n_sources END)
+    FROM s
+    """,
+    doc="DataFrame.transpose over per-language corpus stats: languages become columns, metrics become rows — the wide summary-card shape (Spark 4 surface)",
+)
+def x_transpose_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: transpose is strictly an aggregate-sized surface —
+    it collects the index column to name the output columns, so it must
+    NEVER see the corpus. Here the corpus collapses to |langs| rows in
+    one map-side-combined groupBy first; transpose then flips a 5-row
+    frame on the driver. The scan is the only distributed stage."""
+    docs = load_table(spark, sf, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return stats.transpose()

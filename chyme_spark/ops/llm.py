@@ -4183,3 +4183,78 @@ def x_ngram_novelty_curve(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "x_keyness_tokens",
+    # Label-discriminative vocabulary (keyness): for each token, the
+    # difference between its document frequency RATE inside the target
+    # label (lang='en') and outside it, in ppm; top 20 by keyness with
+    # the token as the unique tie-breaker. Document-distinct tokens
+    # (each doc votes once per token) so a single repetitive document
+    # cannot dominate — the same discipline as the containment ops. A
+    # minimum pooled document frequency of 5 drops the long noise tail
+    # before ranking. Both ppm divisions run over non-negative integers
+    # (DuckDB // floors, Spark div truncates — they agree only above
+    # zero), and the subtraction happens after both divisions.
+    oracle="""
+    WITH tok AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+               UNNEST(list_distinct(list_filter(
+                   string_split(lower(text), ' '), t -> length(t) >= 3))) AS token
+        FROM documents),
+    tot AS (
+        SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+               SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS n_rest
+        FROM documents),
+    c AS (
+        SELECT token, SUM(is_en)::BIGINT AS df_en,
+               SUM(1 - is_en)::BIGINT AS df_rest
+        FROM tok GROUP BY token
+        HAVING SUM(is_en) + SUM(1 - is_en) >= 5)
+    SELECT token, df_en, df_rest,
+           CAST(df_en * 1000000 // tot.n_en
+                - df_rest * 1000000 // tot.n_rest AS BIGINT) AS keyness_ppm
+    FROM c CROSS JOIN tot
+    ORDER BY keyness_ppm DESC, token LIMIT 20
+    """,
+    doc="top-20 label-discriminative tokens by doc-frequency-rate difference (keyness, ppm, doc-distinct votes, min pooled df 5) — the feature-selection pass a quality/label classifier starts from",
+)
+def x_keyness_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB shape: one token explode into a map-side-combined groupBy
+    (vocabulary-sized output, corpus-sized input read once), the two
+    label totals broadcast as a 1-row frame, and a TakeOrdered(20) —
+    no window over the corpus, no join bigger than the vocabulary.
+    Keyness via rate difference stays in exact integers; a chi-squared
+    variant would need N*(ad-bc)^2 products that overflow bigint at
+    corpus scale (int128 territory) for the same ranking on this data."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_en"),
+        F.explode(
+            F.expr("array_distinct(filter(split(lower(text), ' '), t -> length(t) >= 3))")
+        ).alias("token"),
+    )
+    totals = docs.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("n_en"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).cast("long").alias("n_rest"),
+    )
+    counts = (
+        toks.groupBy("token")
+        .agg(
+            F.sum("is_en").cast("long").alias("df_en"),
+            F.sum(F.lit(1) - F.col("is_en")).cast("long").alias("df_rest"),
+        )
+        .filter(F.col("df_en") + F.col("df_rest") >= 5)
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "token", "df_en", "df_rest",
+            F.expr("df_en * 1000000 div n_en - df_rest * 1000000 div n_rest")
+            .cast("long")
+            .alias("keyness_ppm"),
+        )
+        .orderBy(F.desc("keyness_ppm"), "token")
+        .limit(20)
+    )

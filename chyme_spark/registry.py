@@ -74,6 +74,10 @@ _FRONT_50 = [
     # them here as they are added. Each addition displaces one name from
     # the BOTTOM of the backfill tail (youngest-backfill-out rule).
     "x_stream_tws_counts",        # transformWithStateInPandas un-gated via pbcompat (r8 VERDICT #3)
+    "x_auc_score",                # new r9: exact per-source ROC-AUC (Mann-Whitney, integer ties)
+    "x_calibration_bins",         # new r9: reliability-diagram decile bins + calibration gap
+    "x_transpose_stats",          # new r9: DataFrame.transpose surface (Spark 4) over per-lang stats
+    "x_keyness_tokens",           # new r9: label-discriminative vocabulary by df-rate difference
     # (b) changed in round 9 — the driver must re-prove the new code:
     "x_arrow_udtf",               # tokenizer vectorized to pure pyarrow.compute (r8 VERDICT #2)
     # (c) backfill: the ENTIRE r4-stamped cohort (47 names,
@@ -94,13 +98,13 @@ _FRONT_50 = [
     "x_session_window", "x_skew_salted_agg", "x_skew_salted_join",
     "x_stats_moments", "x_stream_static_join", "x_stream_stream_join",
     "x_string_fns2", "x_text_normalize", "x_time_rollup",
-    "x_tpch_q3_shipping", "x_tpch_q5_local_supplier", "x_unpivot",
-    "x_url_canonicalize", "x_variant_json",
-    # (d) then the stalest r5 green to fill the window; more r5 names
-    # return in round 10.
-    # (d04_regex_ext_filter displaced by x_stream_tws_counts — r5-green,
-    # returns next round)
-    "d03_filter",
+    "x_tpch_q3_shipping", "x_tpch_q5_local_supplier",
+    # (d) displaced by the four new r9 ops (youngest-backfill-out rule):
+    # d03_filter (r5-green) plus the three youngest r4-cohort names
+    # x_unpivot / x_url_canonicalize / x_variant_json — all green in the
+    # local 241-query sweep, they return at the head of round 10's
+    # backfill. (d04_regex_ext_filter was already displaced by
+    # x_stream_tws_counts — r5-green, also returns next round.)
 ]
 
 _FRONT_50_R8 = [

@@ -44,6 +44,12 @@ _DEFAULTS: dict[str, str] = {
     # Quiet the UI for headless runs.
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
+    # Local-mode heap: the JVM default is 1g, which starves local[32]
+    # (32 concurrent tasks sharing one tiny unified-memory pool — the
+    # r9 20x scale probe OOM'd the whole context on exploded grams).
+    # A real deployment sizes executor memory to the host; do the same
+    # here. Applies only at first JVM launch; env-overridable.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 

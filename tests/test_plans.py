@@ -243,6 +243,15 @@ EXPECTED = {
     "x_sql_variable": (2, 0, 0, False),
     "x_sql_udf": (2, 0, 0, False),
     "x_groupby_all": (2, 0, 0, False),
+    # round-9 eval/statistics batch. AUC: (source,v) histogram partial
+    # agg + source window shuffle + output range sort — the window runs
+    # over the value histogram, never the corpus. Calibration: one
+    # 10-row agg shuffle + output sort. Keyness: ONE token shuffle +
+    # the 1-row totals broadcast + TakeOrdered(20). (x_transpose_stats
+    # has no pin: transpose materializes eagerly to a LocalRelation.)
+    "x_auc_score": (3, 0, 0, False),
+    "x_calibration_bins": (2, 0, 0, False),
+    "x_keyness_tokens": (2, 1, 0, True),
 }
 
 # queries that must never contain a SinglePartition exchange: their

@@ -72,8 +72,12 @@ AUDIT = [
     "x_gini_concentration", "x_dedup_threshold_sweep",
     "x_ngram_novelty_curve", "x_lateral_topk", "x_sql_udf",
     "x_groupby_all", "x_apply_in_arrow",
-    # round-9 additions: the remaining SQL surfaces (r8 VERDICT #6)
+    # round-9 additions: the remaining SQL surfaces (r8 VERDICT #6),
+    # then the eval/statistics batch (AUC, calibration, keyness;
+    # x_transpose_stats excluded — transpose materializes its 5-row
+    # input eagerly, so the audited df is a LocalRelation with no plan)
     "x_param_sql", "x_sql_variable",
+    "x_auc_score", "x_calibration_bins", "x_keyness_tokens",
     # (x_dedup_report and x_tokenizer_fertility excluded with the other
     # iterative consumers: CC labels / BPE merge-loop lineage make the
     # one-shot exchange counts mis-state per-round work;
