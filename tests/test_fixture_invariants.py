@@ -56,3 +56,24 @@ def test_documents_text_nonempty(sf):
         f"{sf}: empty document text — guard the phash byte-cycle (i % bl)"
         " with a length filter on both engines before trusting its oracle"
     )
+
+
+@pytest.mark.parametrize("sf", _SFS)
+def test_documents_lang_set_is_the_five_fixture_languages(sf):
+    """x_transpose_stats' oracle hardcodes the five language columns
+    (de/en/es/fr/zh) because DataFrame.transpose derives column names
+    from the DATA — a regenerated fixture with a different language set
+    would make the Spark side grow/lose a column while the oracle kept
+    the old five, an opaque schema mismatch. Fail HERE with the real
+    reason instead. (x_auc_score / x_calibration_bins / x_keyness_tokens
+    only need 'en' to exist, which this also guarantees.)"""
+    path = f"/root/testdata/{sf}/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} absent")
+    langs = [r[0] for r in duckdb.sql(
+        f"SELECT DISTINCT lang FROM '{path}' ORDER BY lang").fetchall()]
+    assert langs == ["de", "en", "es", "fr", "zh"], (
+        f"{sf}: documents.lang = {langs} — x_transpose_stats' oracle"
+        " hardcodes columns de/en/es/fr/zh and must be regenerated to"
+        " match before its hash check can pass"
+    )
