@@ -804,6 +804,126 @@ def stateful_running_counts_tws(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_stream_tws_sessions",
+    oracle=None,  # rows-only: timer-driven closure emission is not
+    # SQL-expressible; the contract (output IDENTICAL to the
+    # applyInPandasWithState twin x_stream_session_timeout, which is
+    # itself pinned ==batch-d37-minus-trailing-open) is asserted by
+    # tests/test_streaming.py::test_tws_sessions_match_apply_in_pandas_twin
+    doc="transformWithStateInPandas sessionization with TIMERS: event-time timers (registerTimer/handleExpiredTimer) close idle sessions past the watermark — the TWS capability the counts op does not exercise; emission contract identical to the applyInPandasWithState twin",
+)
+def stream_tws_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """x_stream_session_timeout re-expressed on transformWithState to
+    exercise the API's genuinely new surface: REGISTERED TIMERS.
+    applyInPandasWithState allows one implicit timeout per key
+    (setTimeoutTimestamp); transformWithState exposes explicit timer
+    management (registerTimer / deleteTimer / listTimers +
+    handleExpiredTimer), which is what multi-deadline operators (e.g.
+    per-key SLA ladders) need. Here the single session-gap deadline is
+    re-registered on every event — delete stale, register last+gap —
+    and handleExpiredTimer emits the trailing session and clears state.
+
+    100 TB design: identical bounds to the twin (state = four scalars
+    per ACTIVE user, timers one per active user, both RocksDB-backed
+    past executor memory); closure keeps state size proportional to
+    active — not historical — users."""
+    import pandas as pd
+
+    from chyme_spark import pbcompat
+
+    if not pbcompat.enable(spark):
+        raise RuntimeError(
+            "no protobuf runtime on this host — gate with "
+            "transform_with_state_supported() before calling"
+        )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    gap_us = _SESSION_GAP_S * 1_000_000
+    cols = ["user_id", "start_us", "end_us", "n_events", "session_value"]
+    q4, money = _q4, _money_q4
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+            # integer ten-thousandths total: the twin's exact-cents
+            # discipline, so both emit byte-identical session_value
+            self.state = handle.getValueState(
+                "sess", "s0 long, last long, n long, total long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            uid = key[0]
+            out = []
+            batch = pd.concat(list(rows))
+            if len(batch):
+                batch = batch.sort_values("ts")
+                us = (batch["ts"].astype("int64") // 1000).tolist()  # ns -> us
+                vals = batch["value"].tolist()
+                if self.state.exists():
+                    s0, last, n, total = self.state.get()
+                else:
+                    s0, last, n, total = us[0], us[0], 0, 0
+                for t, v in zip(us, vals):
+                    if n and t - last > gap_us:
+                        out.append((uid, s0, last, n, money(total)))
+                        s0, n, total = t, 0, 0
+                    last, n, total = t, n + 1, total + q4(float(v))
+                self.state.update((s0, last, n, total))
+                # explicit timer discipline: one live deadline per key —
+                # drop the stale one(s), arm last_seen + gap
+                for t_ms in self.handle.listTimers():
+                    self.handle.deleteTimer(t_ms)
+                self.handle.registerTimer((last + gap_us) // 1000)
+            yield pd.DataFrame(out, columns=cols)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            out = []
+            if self.state.exists():
+                s0, last, n, total = self.state.get()
+                out.append((key[0], s0, last, n, money(total)))
+                self.state.clear()
+            yield pd.DataFrame(out, columns=cols)
+
+        def close(self):
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = (
+            _events_stream(spark, sf)
+            .withWatermark("ts", "10 minutes")
+            .select("user_id", "ts", "value")
+        )
+        closed = ev.groupBy("user_id").transformWithStateInPandas(
+            SessionProcessor(),
+            outputStructType=(
+                "user_id long, start_us long, end_us long, "
+                "n_events long, session_value double"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+        sink = _run_to_memory(closed, "append")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+    return sink.select(
+        "user_id",
+        ts_str(F.timestamp_micros(F.col("start_us"))).alias("session_start"),
+        ts_str(F.timestamp_micros(F.col("end_us"))).alias("session_end"),
+        "n_events",
+        "session_value",
+    ).orderBy("user_id", "session_start")
+
+
+@query(
     "x_datasource_batch_write",
     # Batch form of the Python Data Source writer (DataSourceWriter):
     # same staged-files + manifest commit as the streaming sink, one

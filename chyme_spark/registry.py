@@ -78,6 +78,7 @@ _FRONT_50 = [
     "x_calibration_bins",         # new r9: reliability-diagram decile bins + calibration gap
     "x_transpose_stats",          # new r9: DataFrame.transpose surface (Spark 4) over per-lang stats
     "x_keyness_tokens",           # new r9: label-discriminative vocabulary by df-rate difference
+    "x_stream_tws_sessions",      # new r9: TWS timer API (registerTimer/handleExpiredTimer) sessionizer
     # (b) changed in round 9 — the driver must re-prove the new code:
     "x_arrow_udtf",               # tokenizer vectorized to pure pyarrow.compute (r8 VERDICT #2)
     # (c) backfill: the ENTIRE r4-stamped cohort (47 names,
@@ -98,13 +99,14 @@ _FRONT_50 = [
     "x_session_window", "x_skew_salted_agg", "x_skew_salted_join",
     "x_stats_moments", "x_stream_static_join", "x_stream_stream_join",
     "x_string_fns2", "x_text_normalize", "x_time_rollup",
-    "x_tpch_q3_shipping", "x_tpch_q5_local_supplier",
-    # (d) displaced by the four new r9 ops (youngest-backfill-out rule):
-    # d03_filter (r5-green) plus the three youngest r4-cohort names
-    # x_unpivot / x_url_canonicalize / x_variant_json — all green in the
-    # local 241-query sweep, they return at the head of round 10's
-    # backfill. (d04_regex_ext_filter was already displaced by
-    # x_stream_tws_counts — r5-green, also returns next round.)
+    "x_tpch_q3_shipping",
+    # (d) displaced by the five new r9 ops (youngest-backfill-out rule):
+    # d03_filter (r5-green) plus the four youngest r4-cohort names
+    # x_tpch_q5_local_supplier / x_unpivot / x_url_canonicalize /
+    # x_variant_json — all green in the local 242-query sweep, they
+    # return at the head of round 10's backfill. (d04_regex_ext_filter
+    # was already displaced by x_stream_tws_counts — r5-green, also
+    # returns next round.)
 ]
 
 _FRONT_50_R8 = [

@@ -400,3 +400,30 @@ def test_transform_with_state_counts_equal_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_tws_sessions_match_apply_in_pandas_twin(spark, sf_dir):
+    """The transformWithState TIMER sessionizer must emit the byte-
+    identical closed-session set as the applyInPandasWithState twin
+    (x_stream_session_timeout), which is itself pinned ==batch-d37-
+    minus-trailing-open by tests/test_ann_and_state.py. Transitivity
+    gives the timer path the full batch contract. Environment-gated on
+    the protobuf runtime, same as the TWS counts test."""
+    import pytest
+
+    from chyme_spark.ops.streaming import (
+        stream_tws_sessions,
+        transform_with_state_supported,
+    )
+
+    if not transform_with_state_supported():
+        pytest.skip("google.protobuf broken in container: transformWithState runner cannot start")
+
+    from chyme_spark.registry import load_all
+
+    reg = load_all()
+    tws = sorted(map(tuple, stream_tws_sessions(spark, sf_dir).collect()))
+    twin = sorted(
+        map(tuple, reg["x_stream_session_timeout"].fn(spark, sf_dir).collect())
+    )
+    assert tws == twin
