@@ -103,6 +103,49 @@ HEADLINE = [
     "x_corpus_filter_pipeline",
 ]
 
+# 10x scale-cliff probe membership (VERDICT r5 item 6) — the heaviest
+# shuffle/explode ops, probed once per bench run at a deterministic 10x
+# scale-up of sf0.1. Module-scope so tests can guard that every member
+# is a registered query (a rename would otherwise be silently dropped
+# by the `in registry` filter).
+SF1_HEAVY = [
+    "d06_keyed_dedup", "d12_star_join", "x_duplicate_ngram_fraction",
+    "x_tpch_q18_big_orders", "d50_pipeline_flagship",
+    "x_segment_dedup_scrub", "d43_minhash_lsh",
+    "x_boilerplate_scrub",
+    "x_dsir_resample", "x_stratified_split",
+    "x_dup_span_scrub",
+    "x_entropy_score",
+    "x_token_drift",
+    "x_corpus_filter_pipeline",
+]
+
+# 20x skew probe membership (VERDICT r7 #7, grown r9 per VERDICT r8 #4):
+# the candidate-generation ops most sensitive to key-frequency skew,
+# whose TRUE output stays corpus-linear under replication (x_ppjoin is
+# deliberately excluded — see the sf2 block comment).
+SF2_SKEW = [
+    "d43_minhash_lsh", "x_duplicate_ngram_fraction",
+    "x_dup_span_scrub", "x_stratified_split", "x_dsir_resample",
+    "d06_keyed_dedup",
+]
+
+# Bench-battery rotation (VERDICT r8 #5): ~10 slots per round through
+# the never/stalest-benched registry members. MUST match the current
+# round's entry in tools/bench_ledger.json (tests/test_bench_battery.py
+# asserts the two stay in sync and every member is registered).
+ROTATION = [
+    # round-9 cohort: never-benched join/shuffle-heavy members —
+    # hybrid-retrieval fusion, the gram-containment matrix, per-shard
+    # shuffle, budget cut, cluster-prune dedup, the token inverted
+    # index + TF-IDF pair, iterative PageRank, windowed-dedup and
+    # blocking-based linkage
+    "x_rrf_fusion", "x_cross_source_leakage", "x_epoch_shuffle",
+    "x_token_budget_select", "x_semdedup", "x_inverted_index",
+    "x_tfidf", "x_pagerank", "x_sorted_neighborhood",
+    "x_record_linkage",
+]
+
 
 def _cpu_calibration() -> float:
     """Fixed single-thread workload, timed: a host-speed constant.
@@ -192,6 +235,18 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — a dead gateway counts as dead
             dead = True
         if dead:
+            # A JVM-side stop (executor OOM) leaves the PYTHON-side
+            # singletons (SparkSession._instantiatedSession /
+            # SparkContext._active_spark_context) pointing at the dead
+            # session, and getOrCreate then returns/patches THAT instead
+            # of building a new one ("LiveListenerBus is stopped").
+            # spark.stop() clears the Python singletons even when the
+            # JVM context is already gone; only then can get_spark
+            # actually rebuild (r9 review finding, verified empirically).
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001 — best-effort teardown of a corpse
+                pass
             spark = get_spark("chyme_bench")
         return dead
 
@@ -235,17 +290,7 @@ def main() -> None:
     # slots per round through the never/stalest-benched registry members,
     # stamped in tools/bench_ledger.json (name -> last-benched round).
     # Runs BEFORE the scale probes so a probe OOM cannot sink it (r9).
-    ROTATION = [
-        # round-9 cohort: never-benched join/shuffle-heavy members —
-        # hybrid-retrieval fusion, the gram-containment matrix, per-shard
-        # shuffle, budget cut, cluster-prune dedup, the token inverted
-        # index + TF-IDF pair, iterative PageRank, windowed-dedup and
-        # blocking-based linkage
-        "x_rrf_fusion", "x_cross_source_leakage", "x_epoch_shuffle",
-        "x_token_budget_select", "x_semdedup", "x_inverted_index",
-        "x_tfidf", "x_pagerank", "x_sorted_neighborhood",
-        "x_record_linkage",
-    ]
+    # Membership: module-scope ROTATION (guarded by test_bench_battery).
     rot_block = None
     if os.environ.get("SPARK_GRAFT_ROTATION", "1") != "0":
         rot_med, rot_errors = probe_block(
@@ -265,26 +310,7 @@ def main() -> None:
     # 10x scale-up of sf0.1 (chyme_spark.scaleup — replicated key
     # spaces, no RNG) and flag any query whose sf1/sf0.1 median ratio
     # exceeds _CLIFF x the 10x data ratio. Disable: SPARK_GRAFT_SF1=0.
-    SF1_HEAVY = [
-        "d06_keyed_dedup", "d12_star_join", "x_duplicate_ngram_fraction",
-        "x_tpch_q18_big_orders", "d50_pipeline_flagship",
-        "x_segment_dedup_scrub", "d43_minhash_lsh",
-        # round-6 continuation: the second corpus-rewrite op
-        "x_boilerplate_scrub",
-        # continuation II: the explode-heavy DSIR pipeline and the
-        # salted exact-rank split — both must scale sublinearly in the
-        # token count like the scrubs do
-        "x_dsir_resample", "x_stratified_split",
-        # continuation III: the positional-gram span scrub — the
-        # newest explode-heavy pipeline
-        "x_dup_span_scrub",
-        # round-7: the token-explode entropy/drift pair and the composed
-        # filter flagship must scale like the other corpus shapes
-        # (sublinear in the 10x token count)
-        "x_entropy_score",
-        "x_token_drift",
-        "x_corpus_filter_pipeline",
-    ]
+    # membership: module-scope SF1_HEAVY (guarded by test_bench_battery)
     _CLIFF = 3.0  # flag when time ratio > _CLIFF * data ratio
     sf1_block = None
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -342,11 +368,7 @@ def main() -> None:
     # span scrub (hot-gram postings), the salted exact-rank split, the
     # explode-heavy DSIR pipeline, and the keyed dedup (replicated keys
     # double every group).
-    SF2_SKEW = [
-        "d43_minhash_lsh", "x_duplicate_ngram_fraction",
-        "x_dup_span_scrub", "x_stratified_split", "x_dsir_resample",
-        "d06_keyed_dedup",
-    ]
+    # membership: module-scope SF2_SKEW (guarded by test_bench_battery)
     _CLIFF20 = 3.0
     sf2_block = None
     if os.environ.get("SPARK_GRAFT_SF2", "1") != "0" and sf == "0.1":

@@ -86,6 +86,30 @@ def find_protobuf_runtime() -> str | None:
     return None
 
 
+def _shim_dir(runtime_dir: str) -> str:
+    """Build (idempotently) a path entry exposing ONLY google/protobuf.
+
+    Putting the whole SDK platform dir on sys.path would also shadow
+    google.auth / google.oauth2 / google.appengine and a handful of
+    top-level modules (api_server, wrapper_util, ...) with the bundle's
+    ancient copies for the entire session — and would mask a later
+    properly-installed protobuf (r9 review finding #2). The shim is a
+    namespace-package portion containing one symlink, so import
+    resolution merges it with any real ``google`` package and ONLY
+    ``google.protobuf`` resolves here."""
+    shim = os.path.join("/tmp", "chyme_pbshim")
+    pkg = os.path.join(shim, "google")
+    os.makedirs(pkg, exist_ok=True)
+    link = os.path.join(pkg, "protobuf")
+    target = os.path.join(runtime_dir, "google", "protobuf")
+    if os.path.islink(link):
+        if os.readlink(link) != target:
+            os.unlink(link)
+    if not os.path.exists(link):
+        os.symlink(target, link)
+    return shim
+
+
 def enable(spark) -> bool:
     """Activate the protobuf runtime for the driver and for every Python
     worker subsequently created by ``spark``. Idempotent. Returns False
@@ -93,16 +117,17 @@ def enable(spark) -> bool:
     runtime_dir = find_protobuf_runtime()
     if runtime_dir is None:
         return False
-    if runtime_dir and runtime_dir not in sys.path:
-        sys.path.insert(0, runtime_dir)
+    shim = _shim_dir(runtime_dir) if runtime_dir else ""
+    if shim and shim not in sys.path:
+        sys.path.insert(0, shim)
     os.environ[_DISABLE_FLAG] = "true"
 
     env = spark.sparkContext.environment
     env[_DISABLE_FLAG] = "true"
-    if runtime_dir:
+    if shim:
         old = env.get("PYTHONPATH") or os.environ.get("PYTHONPATH") or ""
-        parts = [runtime_dir] + ([old] if old else [])
+        parts = [shim] + ([old] if old else [])
         new_path = os.pathsep.join(parts)
-        if runtime_dir not in old.split(os.pathsep):
+        if shim not in old.split(os.pathsep):
             env["PYTHONPATH"] = new_path
     return True

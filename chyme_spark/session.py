@@ -44,13 +44,32 @@ _DEFAULTS: dict[str, str] = {
     # Quiet the UI for headless runs.
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
-    # Local-mode heap: the JVM default is 1g, which starves local[32]
-    # (32 concurrent tasks sharing one tiny unified-memory pool — the
-    # r9 20x scale probe OOM'd the whole context on exploded grams).
-    # A real deployment sizes executor memory to the host; do the same
-    # here. Applies only at first JVM launch; env-overridable.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
+
+
+def _driver_memory() -> str | None:
+    """Local-mode heap sizing: the JVM default is 1g, which starves
+    local[32] (32 concurrent tasks sharing one tiny unified-memory pool
+    — the r9 20x scale probe OOM'd the whole context on exploded
+    grams). A real deployment sizes executor memory to the host; do the
+    same here: a quarter of MemTotal, clamped to [2g, 16g], so a small
+    CI container is never handed an -Xmx above its cgroup limit (r9
+    review finding #4 — the kernel OOM-kills that, a hard process death
+    where the 1g default at least kept failures inside Spark). Env
+    SPARK_GRAFT_DRIVER_MEM overrides; unreadable /proc/meminfo leaves
+    the conf unset (JVM default, the pre-r9 behavior)."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    gib = int(line.split()[1]) // (1024 * 1024)  # kB -> GiB
+                    return f"{max(2, min(16, gib // 4))}g"
+    except OSError:
+        pass
+    return None
 
 
 def default_parallelism() -> int:
@@ -88,6 +107,9 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(default_parallelism())
+    mem = _driver_memory()
+    if mem:
+        conf["spark.driver.memory"] = mem
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -1,0 +1,71 @@
+"""Bench-battery membership guards (r9 review finding #3).
+
+bench.py's ROTATION cohort and tools/bench_ledger.json's current-round
+entry are two hand-maintained copies of the same list; and every probe
+membership list filters with `in registry`, which silently drops a
+renamed/deleted query. Both failure modes would quietly corrupt the
+never/stalest-benched targeting the rotation policy depends on — fail
+HERE instead.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_spec = importlib.util.spec_from_file_location("bench", os.path.join(ROOT, "bench.py"))
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def _ledger() -> dict:
+    return json.load(open(os.path.join(ROOT, "tools", "bench_ledger.json")))
+
+
+def test_rotation_matches_current_ledger_entry():
+    led = _ledger()
+    current = max(led["rotations"], key=int)
+    assert led["rotations"][current] == bench.ROTATION, (
+        "bench.py ROTATION and tools/bench_ledger.json rotations"
+        f"[{current!r}] diverged — update BOTH in the same commit"
+    )
+
+
+def test_ledger_core13_is_a_headline_prefix_subset():
+    led = _ledger()
+    missing = [n for n in led["core_13"] if n not in bench.HEADLINE]
+    assert not missing, f"core_13 members missing from HEADLINE: {missing}"
+
+
+def test_every_battery_member_is_a_registered_query():
+    from chyme_spark.registry import load_all
+
+    registry = load_all()
+    for list_name in ("HEADLINE", "ROTATION", "SF1_HEAVY", "SF2_SKEW"):
+        members = getattr(bench, list_name)
+        missing = [n for n in members if n not in registry]
+        assert not missing, (
+            f"bench.{list_name} names unregistered queries {missing} — "
+            "the `in registry` filter would silently drop them from the "
+            "battery while the ledger still claims they were benched"
+        )
+
+
+def test_rotation_does_not_overlap_the_fixed_battery():
+    overlap = set(bench.ROTATION) & set(bench.HEADLINE)
+    assert not overlap, (
+        f"rotation members already in HEADLINE: {sorted(overlap)} — "
+        "a rotation slot spent on an always-benched query is wasted"
+    )
+
+
+def test_all_ledger_rotation_rounds_name_registered_queries():
+    from chyme_spark.registry import load_all
+
+    registry = load_all()
+    for rnd, members in _ledger()["rotations"].items():
+        missing = [n for n in members if n not in registry]
+        assert not missing, f"ledger round {rnd} names unknown queries: {missing}"
