@@ -136,3 +136,47 @@ def test_keyness_finds_a_label_exclusive_token(spark, sf_dir):
     by_tok = {r.token: r.keyness_ppm for r in out}
     # tokens present in every doc of both labels have keyness exactly 0
     assert by_tok.get("common") == 0 and by_tok.get("filler") == 0
+
+
+# ------------------------------------------------- AUC property check
+
+
+def _exact_auc_ppm(pairs):
+    """Reference AUC in exact integers: (conc + ties/2) / (np*nn), ppm.
+
+    O(n^2) pair enumeration — fine at property-test sizes, and an
+    implementation as different as possible from the op's histogram +
+    cumulative-window formulation (the point of the cross-check)."""
+    pos = [v for v, y in pairs if y]
+    neg = [v for v, y in pairs if not y]
+    if not pos or not neg:
+        return None
+    num2 = 0  # doubled: +2 concordant, +1 tied
+    for p in pos:
+        for q in neg:
+            if p > q:
+                num2 += 2
+            elif p == q:
+                num2 += 1
+    return num2 * 1_000_000 // (2 * len(pos) * len(neg))
+
+
+def test_auc_matches_pairwise_reference_on_random_data(spark):
+    """Cross-check the histogram/window AUC against brute-force pair
+    counting on deterministic pseudo-random datasets with heavy ties
+    (score domain 0..6 forces tie handling to matter)."""
+    import hashlib
+
+    def h(i, salt):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+
+    for salt in ("a", "b", "c"):
+        rows, pairs = [], []
+        for i in range(60):
+            v = h(i, salt) % 7          # heavy ties
+            y = h(i, salt + "y") % 3 == 0
+            rows.append((i, "t", "en" if y else "de", "s", v))
+            pairs.append((v, y))
+        want = _exact_auc_ppm(pairs)
+        out = _auc_of(spark, rows)
+        assert out["s"].auc_ppm == want, (salt, out["s"].auc_ppm, want)
