@@ -2676,7 +2676,13 @@ def x_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     oracle stays the plain same-nation form). A name-prefix second key
     would have been lossy — a dist-2 pair can differ in its first
     character. AQE's skew split still handles a hot (nation, length)
-    block. Cited behavior: the reference dedups records by exact
+    block. Negative result (r9, measured): the classic bag-of-chars
+    count filter (L1 over per-digit counts <= 2*dist, Gravano et al.
+    2001) pruned pairs correctly but ran 3x SLOWER end-to-end (8.5s ->
+    24s at sf0.1) — Spark evaluates higher-order array lambdas
+    (transform/zip_with/aggregate) interpreted per element, while
+    levenshtein(a, b, 2) is an early-exit JVM intrinsic; don't re-add
+    it without re-measuring. Cited behavior: the reference dedups records by exact
     groupBy only (internal/core/catalog.go); near-duplicate linkage is
     the documents-pipeline generalization of that to fuzzy keys."""
     cust = load_table(spark, sf, "customer").select(

@@ -81,6 +81,7 @@ _FRONT_50 = [
     "x_stream_tws_sessions",      # new r9: TWS timer API (registerTimer/handleExpiredTimer) sessionizer
     # (b) changed in round 9 — the driver must re-prove the new code:
     "x_arrow_udtf",               # tokenizer vectorized to pure pyarrow.compute (r8 VERDICT #2)
+    "x_record_linkage",           # docstring records the measured count-filter negative result
     # (c) backfill: the ENTIRE r4-stamped cohort (47 names,
     # tools/oracle_ledger.json round==4), oldest cohort first. The
     # rows-only members ride along — their rows>0 re-proof plus pinned
@@ -99,14 +100,14 @@ _FRONT_50 = [
     "x_session_window", "x_skew_salted_agg", "x_skew_salted_join",
     "x_stats_moments", "x_stream_static_join", "x_stream_stream_join",
     "x_string_fns2", "x_text_normalize", "x_time_rollup",
-    "x_tpch_q3_shipping",
-    # (d) displaced by the five new r9 ops (youngest-backfill-out rule):
-    # d03_filter (r5-green) plus the four youngest r4-cohort names
-    # x_tpch_q5_local_supplier / x_unpivot / x_url_canonicalize /
-    # x_variant_json — all green in the local 242-query sweep, they
-    # return at the head of round 10's backfill. (d04_regex_ext_filter
-    # was already displaced by x_stream_tws_counts — r5-green, also
-    # returns next round.)
+    # (d) displaced by the five new r9 ops + the r9-changed
+    # x_record_linkage (youngest-backfill-out rule): d03_filter
+    # (r5-green) plus the five youngest r4-cohort names
+    # x_tpch_q3_shipping / x_tpch_q5_local_supplier / x_unpivot /
+    # x_url_canonicalize / x_variant_json — all green in the local
+    # 242-query sweep, they return at the head of round 10's backfill.
+    # (d04_regex_ext_filter was already displaced by
+    # x_stream_tws_counts — r5-green, also returns next round.)
 ]
 
 _FRONT_50_R8 = [
