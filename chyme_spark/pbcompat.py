@@ -52,6 +52,10 @@ _MIN_MAJOR = 5  # runtime_version module (and editions support) exist from 5.x
 
 _DISABLE_FLAG = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
 
+# where the protobuf-only namespace shim lives (module-level so tests can
+# redirect it; /tmp so local-mode workers on the same host see it too)
+_SHIM_ROOT = os.path.join("/tmp", "chyme_pbshim")
+
 
 def find_protobuf_runtime() -> str | None:
     """Return a dir whose ``google/protobuf`` subtree is a usable modern
@@ -97,7 +101,7 @@ def _shim_dir(runtime_dir: str) -> str:
     namespace-package portion containing one symlink, so import
     resolution merges it with any real ``google`` package and ONLY
     ``google.protobuf`` resolves here."""
-    shim = os.path.join("/tmp", "chyme_pbshim")
+    shim = _SHIM_ROOT
     pkg = os.path.join(shim, "google")
     os.makedirs(pkg, exist_ok=True)
     link = os.path.join(pkg, "protobuf")
