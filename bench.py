@@ -124,6 +124,14 @@ SF1_HEAVY = [
 # the candidate-generation ops most sensitive to key-frequency skew,
 # whose TRUE output stays corpus-linear under replication (x_ppjoin is
 # deliberately excluded — see the sf2 block comment).
+#
+# One-off 50x spot check (r9, manual, not wired into the per-round run
+# to keep driver wall-clock bounded): at factor=50 (~5 GB scan-side)
+# the heaviest members stayed sublinear — d43_minhash_lsh 12.3s
+# (~12x time at 50x data; 5.4x at 20x), x_dup_span_scrub 4.1s (~2.7x),
+# d06_keyed_dedup 4.1s (~2.9x). The cost curves keep bending DOWN as
+# the fixed per-query overhead amortizes, which is the shape a
+# 1000-executor run needs.
 SF2_SKEW = [
     "d43_minhash_lsh", "x_duplicate_ngram_fraction",
     "x_dup_span_scrub", "x_stratified_split", "x_dsir_resample",
