@@ -82,6 +82,7 @@ _FRONT_50 = [
     # (b) changed in round 9 — the driver must re-prove the new code:
     "x_arrow_udtf",               # tokenizer vectorized to pure pyarrow.compute (r8 VERDICT #2)
     "x_record_linkage",           # docstring records the measured count-filter negative result
+    "x_semdedup",                 # norms precomputed per row before the pair join (measured 1.6x)
     # (c) backfill: the ENTIRE r4-stamped cohort (47 names,
     # tools/oracle_ledger.json round==4), oldest cohort first. The
     # rows-only members ride along — their rows>0 re-proof plus pinned
@@ -96,7 +97,8 @@ _FRONT_50 = [
     "x_map_fns2", "x_media_resize", "x_minhash_containment",
     "x_mixture_sample", "x_neardup_survivors", "x_nullsafe_join",
     "x_percentiles", "x_pii_scrub", "x_python_udtf",
-    "x_repetition_filter", "x_semdedup", "x_sequence_pack",
+    "x_repetition_filter", "x_sequence_pack",
+    # (x_semdedup moved up to the changed-in-r9 section)
     "x_session_window", "x_skew_salted_agg", "x_skew_salted_join",
     "x_stats_moments", "x_stream_static_join", "x_stream_stream_join",
     "x_string_fns2", "x_text_normalize", "x_time_rollup",
