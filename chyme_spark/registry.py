@@ -83,6 +83,7 @@ _FRONT_50 = [
     "x_arrow_udtf",               # tokenizer vectorized to pure pyarrow.compute (r8 VERDICT #2)
     "x_record_linkage",           # docstring records the measured count-filter negative result
     "x_semdedup",                 # norms precomputed per row before the pair join (measured 1.6x)
+    "x_embedding_neardup",        # same fix on the exact blocked pair join (measured 2.0x)
     # (c) backfill: the ENTIRE r4-stamped cohort (47 names,
     # tools/oracle_ledger.json round==4), oldest cohort first. The
     # rows-only members ride along — their rows>0 re-proof plus pinned
@@ -101,7 +102,9 @@ _FRONT_50 = [
     # (x_semdedup moved up to the changed-in-r9 section)
     "x_session_window", "x_skew_salted_agg", "x_skew_salted_join",
     "x_stats_moments", "x_stream_static_join", "x_stream_stream_join",
-    "x_string_fns2", "x_text_normalize", "x_time_rollup",
+    "x_string_fns2", "x_text_normalize",
+    # (x_time_rollup displaced by the r9-changed x_embedding_neardup —
+    # r4-green, returns next round)
     # (d) displaced by the five new r9 ops + the r9-changed
     # x_record_linkage (youngest-backfill-out rule): d03_filter
     # (r5-green) plus the five youngest r4-cohort names
