@@ -267,26 +267,51 @@ def main() -> None:
     def probe_block(block_names: list[str], d: str, n_passes: int = 3):
         """Warm + n timed passes per member, fault-isolated: a member
         that throws (or kills the context) is recorded in errors and
-        dropped; the survivors' medians are still reported."""
+        dropped; the survivors' medians are still reported.
+
+        A mid-block context death loses the SURVIVORS' warm state too
+        (JIT, parquet footers live in the replaced JVM), so timed passes
+        taken on the fresh session would run cold and silently inflate
+        innocent medians — possibly tripping the 3x scale-cliff flag
+        (r10 review finding). After any revive, the still-ok members get
+        an untimed re-warm run, and timings already taken in the
+        interrupted pass are kept (they were warm when taken)."""
         errors: dict[str, str] = {}
         ok: list[str] = []
+
+        def rewarm(members: list[str]) -> None:
+            for m in list(members):
+                try:
+                    run_at(m, d)
+                except Exception as e:  # noqa: BLE001
+                    errors[m] = f"{type(e).__name__}: {e}"[:300]
+                    members.remove(m)
+                    revive_if_dead()
+
+        revived_in_warm = False
         for name in block_names:  # warm pass (footers, codegen)
             try:
                 run_at(name, d)
                 ok.append(name)
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
-                revive_if_dead()
+                revived_in_warm |= revive_if_dead()
+        if revived_in_warm:
+            rewarm(ok)  # members warmed before the death lost that warmth
         times: dict[str, list[float]] = {n: [] for n in ok}
         for _ in range(n_passes):
             for name in list(ok):
+                if name not in times:
+                    continue  # dropped by a rewarm failure mid-pass
                 try:
                     times[name].append(run_at(name, d))
                 except Exception as e:  # noqa: BLE001
                     errors[name] = f"{type(e).__name__}: {e}"[:300]
                     ok.remove(name)
                     times.pop(name, None)
-                    revive_if_dead()
+                    if revive_if_dead():
+                        rewarm(ok)
+                        times = {n: ts for n, ts in times.items() if n in ok}
         meds = {n: round(median(ts), 3) for n, ts in times.items() if ts}
         return meds, errors
 

@@ -4341,7 +4341,7 @@ def x_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
         FROM cum GROUP BY source)
     SELECT source,
            CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-           CAST(numer2 * 1000000 // (2 * np * nn) AS BIGINT) AS auc_ppm
+           CAST(CAST(numer2 AS HUGEINT) * 1000000 // (2 * np * nn) AS BIGINT) AS auc_ppm
     FROM agg WHERE np > 0 AND nn > 0 ORDER BY source
     """,
     doc="exact per-source ROC-AUC (Mann-Whitney pair counting, integer tie handling, ppm) — the quality-classifier eval gate over a scored corpus",
@@ -4353,9 +4353,12 @@ def x_auc_score(spark: SparkSession, sf: str) -> DataFrame:
     aggregate operate on the value histogram (|sources| x |distinct
     scores| rows), not the corpus. No per-row ranks over the full data,
     which is what makes exact AUC (unlike naive rank-sum) feasible at
-    scale. Overflow headroom: numer2*1e6 needs np*nn < 4.6e12 per
-    source (~2M docs/side); beyond that promote the one final multiply
-    to DECIMAL(38,0) — the x_dup_span_scrub escape-hatch pattern."""
+    scale. Overflow: the final numer2*1e6 runs in DECIMAL(38,0) on the
+    Spark side / HUGEINT in the oracle (the x_dup_span_scrub pattern),
+    so np*nn per source is safe to ~1.3e16 docs-squared — wrap-around
+    under ansi=false (which would silently corrupt auc_ppm at large
+    SF while the oracle errored) is off the table. numer2 itself sums
+    BIGINT products of per-value histogram counts and stays exact."""
     docs = load_table(spark, sf, "documents")
     pv = (
         docs.select(
@@ -4391,7 +4394,9 @@ def x_auc_score(spark: SparkSession, sf: str) -> DataFrame:
             "source",
             F.col("np").cast("long").alias("n_pos"),
             F.col("nn").cast("long").alias("n_neg"),
-            F.expr("numer2 * 1000000 div (2 * np * nn)").cast("long").alias("auc_ppm"),
+            F.expr("CAST(numer2 AS DECIMAL(38,0)) * 1000000 div (2 * np * nn)")
+            .cast("long")
+            .alias("auc_ppm"),
         )
         .orderBy("source")
     )

@@ -870,8 +870,11 @@ def stream_tws_sessions(spark: SparkSession, sf: str) -> DataFrame:
                     last, n, total = t, n + 1, total + q4(float(v))
                 self.state.update((s0, last, n, total))
                 # explicit timer discipline: one live deadline per key —
-                # drop the stale one(s), arm last_seen + gap
-                for t_ms in self.handle.listTimers():
+                # drop the stale one(s), arm last_seen + gap. listTimers
+                # is a lazy state-backed iterator: materialize before
+                # deleting, or the mutation mid-scan can skip/error once
+                # more than one timer is live.
+                for t_ms in list(self.handle.listTimers()):
                     self.handle.deleteTimer(t_ms)
                 self.handle.registerTimer((last + gap_us) // 1000)
             yield pd.DataFrame(out, columns=cols)

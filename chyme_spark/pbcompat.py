@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 
 # Publicly-distributed SDK locations that bundle a modern pure-Python
 # google.protobuf runtime. Overridable for other hosts.
@@ -52,9 +53,13 @@ _MIN_MAJOR = 5  # runtime_version module (and editions support) exist from 5.x
 
 _DISABLE_FLAG = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
 
-# where the protobuf-only namespace shim lives (module-level so tests can
-# redirect it; /tmp so local-mode workers on the same host see it too)
-_SHIM_ROOT = os.path.join("/tmp", "chyme_pbshim")
+# Where the protobuf-only namespace shim lives (module-level so tests can
+# redirect it; under the tmp dir so local-mode workers on the same host see
+# it too). Per-uid name + 0o700 + ownership checks: a fixed world-readable
+# /tmp path is pre-creatable by any local user, and the sticky bit stops us
+# unlinking their planted dir — their code would ride into the driver and
+# every worker's PYTHONPATH (r9 review finding #2).
+_SHIM_ROOT = os.path.join(tempfile.gettempdir(), f"chyme_pbshim-{os.getuid()}")
 
 
 def find_protobuf_runtime() -> str | None:
@@ -100,8 +105,21 @@ def _shim_dir(runtime_dir: str) -> str:
     properly-installed protobuf (r9 review finding #2). The shim is a
     namespace-package portion containing one symlink, so import
     resolution merges it with any real ``google`` package and ONLY
-    ``google.protobuf`` resolves here."""
+    ``google.protobuf`` resolves here.
+
+    Trust model: every node on the path must be owned by this uid.
+    A shim root we don't own (pre-planted by another local user — we
+    can't unlink it under /tmp's sticky bit) aborts to a fresh private
+    mkdtemp; a ``protobuf`` entry that exists but is NOT our symlink
+    (a planted real dir would silently bypass the stale-link healing)
+    is likewise abandoned rather than imported."""
     shim = _SHIM_ROOT
+    try:
+        os.makedirs(shim, mode=0o700, exist_ok=True)
+        if os.lstat(shim).st_uid != os.getuid() or os.path.islink(shim):
+            raise OSError("shim root not owned by current uid")
+    except OSError:
+        shim = tempfile.mkdtemp(prefix="chyme_pbshim-")  # 0o700, always ours
     pkg = os.path.join(shim, "google")
     os.makedirs(pkg, exist_ok=True)
     link = os.path.join(pkg, "protobuf")
@@ -109,6 +127,10 @@ def _shim_dir(runtime_dir: str) -> str:
     if os.path.islink(link):
         if os.readlink(link) != target:
             os.unlink(link)
+    elif os.path.exists(link):  # real dir/file where our symlink belongs
+        import shutil
+
+        shutil.rmtree(link, ignore_errors=True)
     if not os.path.exists(link):
         os.symlink(target, link)
     return shim

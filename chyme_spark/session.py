@@ -52,24 +52,55 @@ def _driver_memory() -> str | None:
     local[32] (32 concurrent tasks sharing one tiny unified-memory pool
     — the r9 20x scale probe OOM'd the whole context on exploded
     grams). A real deployment sizes executor memory to the host; do the
-    same here: a quarter of MemTotal, clamped to [2g, 16g], so a small
-    CI container is never handed an -Xmx above its cgroup limit (r9
-    review finding #4 — the kernel OOM-kills that, a hard process death
-    where the 1g default at least kept failures inside Spark). Env
+    same here: a quarter of available memory, clamped to [2g, 16g].
+    "Available" is min(MemTotal, cgroup limit): inside a memory-limited
+    container /proc/meminfo reports the HOST total, so sizing from it
+    alone hands the JVM an -Xmx above the cgroup ceiling and the kernel
+    OOM-kills the process — a hard death, where the 1g JVM default at
+    least kept failures inside Spark (r10 review finding). A cgroup
+    limit under ~3 GiB is too small for the [2g,...] floor plus Python
+    overhead, so there the conf is left unset (JVM 1g default). Env
     SPARK_GRAFT_DRIVER_MEM overrides; unreadable /proc/meminfo leaves
-    the conf unset (JVM default, the pre-r9 behavior)."""
+    the conf unset."""
     env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if env:
         return env
+    limit = _memory_limit_bytes()
+    if limit is None:
+        return None
+    gib = limit // (1024**3)
+    if gib < 3:  # floor(2g) + PySpark driver overhead would exceed the cgroup
+        return None
+    return f"{max(2, min(16, gib // 4))}g"
+
+
+def _memory_limit_bytes() -> int | None:
+    """min(/proc/meminfo MemTotal, cgroup v2/v1 memory limit), bytes.
+
+    cgroup files report "max" (v2) or a huge sentinel (v1) when
+    unlimited; both are ignored in favor of MemTotal."""
+    total = None
     try:
         with open("/proc/meminfo") as f:
             for line in f:
                 if line.startswith("MemTotal:"):
-                    gib = int(line.split()[1]) // (1024 * 1024)  # kB -> GiB
-                    return f"{max(2, min(16, gib // 4))}g"
+                    total = int(line.split()[1]) * 1024  # kB -> bytes
+                    break
     except OSError:
         pass
-    return None
+    if total is None:
+        return None
+    for path in ("/sys/fs/cgroup/memory.max", "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            raw = open(path).read().strip()
+        except OSError:
+            continue
+        if raw.isdigit():
+            cg = int(raw)
+            if 0 < cg < total:
+                return cg
+        break  # v2 file present ("max") => don't consult the v1 path
+    return total
 
 
 def default_parallelism() -> int:
