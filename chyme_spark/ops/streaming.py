@@ -805,12 +805,49 @@ def stateful_running_counts_tws(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "x_stream_tws_sessions",
-    oracle=None,  # rows-only: timer-driven closure emission is not
-    # SQL-expressible; the contract (output IDENTICAL to the
-    # applyInPandasWithState twin x_stream_session_timeout, which is
-    # itself pinned ==batch-d37-minus-trailing-open) is asserted by
-    # tests/test_streaming.py::test_tws_sessions_match_apply_in_pandas_twin
-    doc="transformWithStateInPandas sessionization with TIMERS: event-time timers (registerTimer/handleExpiredTimer) close idle sessions past the watermark — the TWS capability the counts op does not exercise; emission contract identical to the applyInPandasWithState twin",
+    # Graduated from rows-only in r10 (VERDICT r9 #3): under
+    # AvailableNow the closed-session set IS deterministic, so it
+    # admits a full batch-SQL oracle. The single-file source delivers
+    # all events in micro-batch 1 (watermark still at zero), so
+    # handleInputRows closes every NON-trailing session on the next
+    # event's arrival; the final watermark then advances to
+    # max(ts) - 10min and the no-data batch fires exactly the timers
+    # with deadline (end+gap, ms-floored) <= that watermark — i.e. the
+    # trailing sessions old enough to time out. The oracle is D-37's
+    # sessionization CTE filtered to that closed set; the twin-equality
+    # pytest contract (== x_stream_session_timeout) remains in force.
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, CAST(SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        FROM flagged
+    ),
+    agg AS (
+        SELECT user_id, session_seq, COUNT(*)::BIGINT AS n_events,
+               min(ts) AS t0, max(ts) AS t1,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS session_value,
+               MAX(session_seq) OVER (PARTITION BY user_id) AS max_seq
+        FROM sessions GROUP BY user_id, session_seq
+    ),
+    wm AS (SELECT epoch_ms(max(ts)) - 600000 AS wm_ms FROM events)
+    SELECT user_id,
+           strftime(t0, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(t1, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events, session_value
+    FROM agg, wm
+    WHERE session_seq < max_seq
+       OR (epoch_us(t1) + {_SESSION_GAP_S} * 1000000) // 1000 <= wm_ms
+    """,
+    doc="transformWithStateInPandas sessionization with TIMERS: event-time timers (registerTimer/handleExpiredTimer) close idle sessions past the watermark — the TWS capability the counts op does not exercise; closed set hash-proven against the d37 CTE filtered by the final-watermark timer rule",
 )
 def stream_tws_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """x_stream_session_timeout re-expressed on transformWithState to
