@@ -2674,52 +2674,92 @@ def x_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
     doc="blocked entity resolution: same-nation customer-name pairs at levenshtein <= 2, threshold-capped JVM edit distance",
 )
 def x_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
-    """Scale shape: the self-join is an EQUI-join on the blocking key
-    (nationkey), so Spark shuffles each side once and compares only
-    within blocks; the threshold form levenshtein(a, b, 2) runs the
-    banded O(t*n) algorithm and bails at distance 3 instead of filling
-    the full DP matrix (it returns -1 above the cap, hence the
-    BETWEEN). Block sizes bound the quadratic term, and blocking on
-    nationkey alone leaves candidates O(n^2/25) — effectively quadratic
-    at scale (ADVICE r6). The r7 fix adds a SECOND, LOSSLESS blocking
-    key: levenshtein(a, b) <= 2 implies |len(a) - len(b)| <= 2, so the
-    a side explodes into its 5 candidate name lengths and the join is
-    an equi-join on (nationkey, length) — candidates drop from
-    sum_nation |b|^2 to sum_(nation, len) |b_len| * |b_len +- 2|, a
-    name-length-distribution factor smaller, while the length bound
-    guarantees NO qualifying pair is lost (output byte-identical; the
-    oracle stays the plain same-nation form). A name-prefix second key
-    would have been lossy — a dist-2 pair can differ in its first
-    character. AQE's skew split still handles a hot (nation, length)
-    block. Negative result (r9, measured): the classic bag-of-chars
+    """Scale shape (r10 rewrite): DELETION-NEIGHBORHOOD blocking
+    (FastSS, Bocek et al. 2007, public). If levenshtein(a, b) <= 2,
+    every edit op touches at most one character of each string, so
+    deleting the touched positions from each side yields EQUAL strings
+    — a and b must share a "delete <= 2 characters" variant. Each name
+    therefore explodes into its 1 + L + C(L,2) deletion variants
+    (L=18 -> 172), hashed to a 64-bit key, and the candidate set is an
+    EQUI-join on (nationkey, xxhash64(variant)). The key is lossless
+    (hash collisions only ADD candidates; every candidate is verified
+    by the JVM early-exit levenshtein(a, b, 2), which bails at distance
+    3 instead of filling the DP matrix — hence the BETWEEN). Variant
+    generation is a double explode over integer sequences with pure
+    substring/concat projection — whole-stage codegen, no higher-order
+    lambdas (see negative result below).
+
+    Why not block on (nationkey, length), the r7 design: lengths are
+    near-constant for generator-style names, so blocks were whole
+    nations and pair work grew as sum_block |b|^2 — quadratic in corpus
+    size with a FIXED block count (the r9 scale-killer finding). The
+    deletion key's entropy comes from the name CONTENT (a variant
+    retains all but 2 characters), so block sizes track true near-dup
+    density, not corpus size: generated rows are 172n (linear) and
+    join output is ~(true pairs x shared-variant multiplicity, <= ~18
+    for dist-1 pairs, a few for dist-2).
+
+    Shuffle discipline: the variant join carries ONLY (nationkey, vh,
+    key) — 24 bytes/row; names are re-joined AFTER the pair distinct,
+    which is output-bound. Carrying names through the variant shuffle
+    measured 3x slower (19.2s vs 6.5s, sf0.1). Measured (r10, local[32],
+    names regenerated per replica in scaleup): sf0.1 6.5s vs 8.7s for
+    the r7 length-blocked form; sf1 (10x) 33.7s vs 158s — time ratio
+    5.2x on 10x data (sublinear) vs 18x (quadratic) for the old form.
+
+    Negative result (r9, measured, still binding): the bag-of-chars
     count filter (L1 over per-digit counts <= 2*dist, Gravano et al.
-    2001) pruned pairs correctly but ran 3x SLOWER end-to-end (8.5s ->
-    24s at sf0.1) — Spark evaluates higher-order array lambdas
-    (transform/zip_with/aggregate) interpreted per element, while
-    levenshtein(a, b, 2) is an early-exit JVM intrinsic; don't re-add
-    it without re-measuring. Cited behavior: the reference dedups records by exact
+    2001) pruned correctly but ran 3x SLOWER end-to-end — Spark
+    evaluates higher-order array lambdas (transform/zip_with/aggregate)
+    interpreted per element. The deletion variants deliberately use
+    explode + substring/concat instead of a transform() lambda for the
+    same reason. Cited behavior: the reference dedups records by exact
     groupBy only (internal/core/catalog.go); near-duplicate linkage is
     the documents-pipeline generalization of that to fuzzy keys."""
     cust = load_table(spark, sf, "customer").select(
         "c_custkey", "c_nationkey", "c_name"
     )
-    a = cust.select(
-        F.col("c_custkey").alias("a_key"),
-        F.col("c_nationkey").alias("nationkey"),
-        F.col("c_name").alias("a_name"),
-        F.explode(
-            F.expr("sequence(length(c_name) - 2, length(c_name) + 2)")
-        ).alias("blen"),
+    # (i, j) encode the deletion set: (0,0) = none; (i,i) = delete i;
+    # (i,j), i<j = delete both (1-based positions).
+    var_expr = (
+        "CASE WHEN i = 0 THEN c_name "
+        "WHEN j = i THEN concat(substring(c_name, 1, i-1),"
+        " substring(c_name, i+1, 1000000)) "
+        "ELSE concat(substring(c_name, 1, i-1),"
+        " substring(c_name, i+1, j-i-1), substring(c_name, j+1, 1000000)) END"
     )
-    b = cust.select(
-        F.col("c_custkey").alias("b_key"),
-        F.col("c_nationkey").alias("nationkey"),
-        F.col("c_name").alias("b_name"),
-        F.length("c_name").alias("blen"),
+    v = (
+        cust.select(
+            "c_custkey", "c_nationkey", "c_name",
+            F.explode(F.expr("sequence(0, length(c_name))")).alias("i"),
+        )
+        .select(
+            "c_custkey", "c_nationkey", "c_name", "i",
+            F.explode(
+                F.expr("CASE WHEN i = 0 THEN array(0) ELSE sequence(i, length(c_name)) END")
+            ).alias("j"),
+        )
+        .select(
+            "c_custkey", "c_nationkey", F.expr(f"xxhash64({var_expr})").alias("vh")
+        )
     )
-    return (
-        a.join(b, ["nationkey", "blen"])
+    a = v.select(
+        F.col("c_custkey").alias("a_key"), F.col("c_nationkey").alias("nationkey"), "vh"
+    )
+    b = v.select(
+        F.col("c_custkey").alias("b_key"), F.col("c_nationkey").alias("nationkey"), "vh"
+    )
+    pairs = (
+        a.join(b, ["nationkey", "vh"])
         .filter(F.col("a_key") < F.col("b_key"))
+        .select("a_key", "b_key", "nationkey")
+        .distinct()
+    )
+    na = cust.select(F.col("c_custkey").alias("a_key"), F.col("c_name").alias("a_name"))
+    nb = cust.select(F.col("c_custkey").alias("b_key"), F.col("c_name").alias("b_name"))
+    return (
+        pairs.join(na, "a_key")
+        .join(nb, "b_key")
         .withColumn("dist", F.levenshtein("a_name", "b_name", 2))
         .filter(F.col("dist").between(0, 2))
         .select(

@@ -83,7 +83,9 @@ def ensure_scaled(
     """Materialize ``factor``x-scaled copies of the src tables under
     dest_dir (idempotent: a done-marker skips regeneration)."""
     marker = os.path.join(dest_dir, _DONE_MARKER)
-    stamp = f"factor={factor} src={src_dir} fp={_src_fingerprint(src_dir)}\n"
+    # gen= bumps when the shift rules themselves change (e.g. r10's
+    # customer-name regeneration), forcing cached dirs to rebuild.
+    stamp = f"factor={factor} src={src_dir} gen=2 fp={_src_fingerprint(src_dir)}\n"
     if os.path.exists(marker):
         # the marker records WHAT was generated; a different factor or
         # source must regenerate, not silently reuse the stale dataset
@@ -112,7 +114,16 @@ def ensure_scaled(
         "nation": lambda df, i: df,
         "customer": lambda df, i: df.select(
             k("c_custkey", spans["cust"], i),
-            "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+            # Regenerate the name from the SHIFTED key (the TPC-H
+            # generator rule: 'Customer#' + 9-digit zero-padded key).
+            # Copying names verbatim gave every name FACTOR exact
+            # replicas, which makes x_record_linkage's OUTPUT quadratic
+            # in the factor — the probe then measures replica blowup,
+            # not the algorithm's near-dup scaling (r10).
+            F.format_string(
+                "Customer#%09d", F.col("c_custkey") + F.lit(i * spans["cust"])
+            ).alias("c_name"),
+            "c_nationkey", "c_acctbal", "c_mktsegment",
         ),
         "supplier": lambda df, i: df.select(
             k("s_suppkey", spans["supp"], i), "s_name", "s_nationkey", "s_acctbal",

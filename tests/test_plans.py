@@ -111,7 +111,9 @@ EXPECTED = {
     # linkage: equi-join on the blocking key; at sf0.001 the planner
     # size-estimates customer under the broadcast threshold (no hint —
     # AQE keeps the right to shuffle it at scale)
-    "x_record_linkage": (0, 1, 0, False),
+    # r10 FastSS rewrite: 1 exchange (pair distinct), the variant
+    # self-join + the two output-bound name fetches broadcast at audit SF
+    "x_record_linkage": (1, 3, 0, False),
     # sketch-intersect: sketch agg + the exact-check branch's
     # distinct + left-join overlap counts; n_union is inclusion-
     # exclusion arithmetic (review finding: the old OR-theta join
