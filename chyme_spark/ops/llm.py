@@ -1204,6 +1204,136 @@ def x_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return batch_dedup.join(old_hashes, "content_hash", "left_anti").select("doc_id", "content_hash")
 
 
+def band_signatures(
+    sets: DataFrame, k: int = _MINHASH_K, bands: int = _BANDS
+) -> DataFrame:
+    """Flat (doc_id, band, bh) MinHash band signatures — the LEDGER
+    shape: one row per (doc, band), persistable as an append-only table
+    keyed by (band, bh). Same seeds/banding as :func:`lsh_candidates`
+    (two docs collide here iff they collide there), but flat instead of
+    fused into the bucket groupBy, because an incremental pipeline
+    needs the relation itself: today's ledger write is tomorrow's join
+    side."""
+    if k % bands:
+        raise ValueError(f"minhash k={k} must be divisible by bands={bands}")
+    rows = k // bands
+    band_structs = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> named_struct("
+        f"'band', b, "
+        f"'bh', xxhash64(transform(sequence(b * {rows}, (b + 1) * {rows} - 1), "
+        f"s -> array_min(transform(hs, h -> xxhash64(s, h)))))))"
+    )
+    return sets.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
+@query(
+    "x_incremental_neardup",
+    oracle=None,  # rows-only: the MinHash banding (xxhash64 seeds) has
+    # no DuckDB twin, same as d43; the contract is pinned by
+    # tests/test_llm_recall.py::test_incremental_neardup_* (soundness
+    # vs exact Jaccard, recall vs offline d43 on the union, and
+    # batch==offline bucket agreement).
+    doc="incremental NEAR-dup dedup: new batch banded + joined against a persisted MinHash band-signature ledger of the historical corpus (plus in-batch LSH self-dedup), exact-Jaccard verified — the daily-crawl ingestion gate",
+)
+def x_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """The near-dup sibling of x_incremental_dedup: yesterday's corpus
+    is represented by a PERSISTED ledger — two append-only parquet
+    relations, the band index (doc_id, band, bh) and the signature
+    store (doc_id, hs, n) — and today's batch is admitted or rejected
+    without ever reshuffling historical text. Rejection rule is
+    earlier-doc-wins, mirroring the exact sibling's min-id survivor:
+    a batch doc is rejected when exact Jaccard >= tau against (a) any
+    ledger doc colliding with it in some band, or (b) any LOWER-id
+    batch doc surfaced by in-batch LSH (lsh_candidates). Output is the
+    full batch disposition: (doc_id, kept, dup_of = smallest verified
+    duplicate, jaccard to it). Greedy-by-id is deliberately NOT the
+    clustered survivor policy — x_neardup_survivors is the offline
+    clustering pass; an ingestion gate must decide per doc, online.
+
+    100 TB design: the ledger join moves only 24-byte (band, bh,
+    doc_id) rows and the batch's band signatures — history's text and
+    shingle sets stay at rest; the verify step fetches ONLY the
+    colliding ledger signatures (equi-join on doc_id against the
+    signature store, pushed to its scan). In-batch candidates reuse
+    d43's bucket machinery with its star cap. Each day appends the
+    admitted docs' bands + signatures to the ledger; nothing is ever
+    rewritten (the reference's Redis SET membership gate,
+    internal/core/resource.go:54-108, generalized to similarity).
+    Empty-shingle docs (shorter than the gram width) collide in every
+    band but verify to null Jaccard and are kept — a length gate
+    belongs upstream (x_gopher_rules)."""
+    import tempfile
+
+    sets = doc_shingle_sets(spark, sf).persist()
+    hist_sets = sets.filter(F.col("doc_id") < 250)
+    batch_sets = sets.filter(F.col("doc_id") >= 250)
+
+    # --- build + persist the ledger (the "yesterday" side) ------------
+    ledger_dir = tempfile.mkdtemp(prefix="chyme_neardup_ledger_")
+    band_signatures(hist_sets).write.mode("overwrite").parquet(f"{ledger_dir}/bands")
+    hist_sets.write.mode("overwrite").parquet(f"{ledger_dir}/sets")
+    led_bands = spark.read.parquet(f"{ledger_dir}/bands")
+    led_sets = spark.read.parquet(f"{ledger_dir}/sets")
+
+    # --- candidates: batch x ledger (band-hash equi-join) -------------
+    cand_hist = (
+        band_signatures(batch_sets)
+        .join(
+            led_bands.select("band", "bh", F.col("doc_id").alias("dup_of")),
+            ["band", "bh"],
+        )
+        .select("doc_id", "dup_of")
+        .distinct()
+    )
+    # --- candidates: batch x batch (in-batch LSH, earlier id wins) ----
+    cand_batch = lsh_candidates(batch_sets).select(
+        F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("dup_of")
+    )
+
+    # --- exact-Jaccard verify -----------------------------------------
+    new_side = batch_sets.select(
+        F.col("doc_id"), F.col("hs").alias("hs_new"), F.col("n").alias("n_new")
+    )
+    old_side = (
+        led_sets.select(
+            F.col("doc_id").alias("dup_of"), F.col("hs").alias("hs_old"),
+            F.col("n").alias("n_old"),
+        )
+        .unionByName(
+            batch_sets.select(
+                F.col("doc_id").alias("dup_of"), F.col("hs").alias("hs_old"),
+                F.col("n").alias("n_old"),
+            )
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("hs_new"), F.col("hs_old")))
+    jac = inter * 1.0 / (F.col("n_new") + F.col("n_old") - inter)
+    verified = (
+        cand_hist.unionByName(cand_batch)
+        .join(new_side, "doc_id")
+        .join(old_side, "dup_of")
+        .select("doc_id", "dup_of", F.round(jac, 4).cast("double").alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+    )
+    rejects = verified.groupBy("doc_id").agg(
+        F.min("dup_of").alias("dup_of"),
+        F.min_by("jaccard", "dup_of").alias("jaccard"),
+    )
+    return (
+        batch_sets.select("doc_id")
+        .join(rejects, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+            "jaccard",
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "x_tfidf",
     oracle="""

@@ -67,7 +67,45 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # If the list exceeds 50, the tail (youngest backfill) rotates out and
 # returns next round.
 _FRONT_50 = [
-    # ---- Round-9 window (VERDICT r8 #1: rotate to the displaced-r4
+    # ---- Round-10 window (VERDICT r9 #1: rotate to the 44 r5-stamped
+    # greens + the 6 leftover r4 stamps; after this round the ledger
+    # minimum should reach r5-cleared modulo the 4 displaced names
+    # below) ----
+    # (a) new in round 10 — never driver-checked:
+    "x_incremental_neardup",      # batch near-dup vs persisted MinHash band ledger (r9 VERDICT #7)
+    # (b) changed in round 10 — the driver must re-prove the new code:
+    "x_stream_tws_sessions",      # graduated rows-only -> full oracle (r9 VERDICT #3) + listTimers fix
+    "x_record_linkage",           # FastSS deletion-neighborhood rewrite (r9 VERDICT #2)
+    "x_auc_score",                # final multiply promoted to DECIMAL(38,0)/HUGEINT (ADVICE r9)
+    # (c) backfill: the 6 r4-stamped leftovers, oldest cohort first:
+    "x_time_rollup", "x_tpch_q3_shipping", "x_tpch_q5_local_supplier",
+    "x_unpivot", "x_url_canonicalize", "x_variant_json",
+    # then the r5-stamped cohort (44 names) minus the 4 displaced by
+    # (a)+(b) (youngest-backfill-out, alphabetical tail:
+    # x_tpch_q6_forecast_revenue, x_tpch_q7_volume_shipping,
+    # x_tpch_q8_market_share, x_yoy_growth — all r5-green, they return
+    # at the head of round 11's backfill):
+    "d03_filter", "d04_regex_ext_filter", "d05_distinct",
+    "d06_keyed_dedup", "d07_inner_join", "d08_broadcast_join",
+    "d09_left_outer_join", "d10_left_semi_join", "d11_left_anti_join",
+    "d12_star_join", "d13_theta_join", "d14_hash_agg_q1",
+    "d15_count_distinct", "d17_rollup", "d18_having",
+    "d20_limit_topk", "d21_topk_per_group", "d24_running_sum",
+    "d27_string_fns", "d42_exact_dedup", "d44_cosine_topk",
+    "d45_token_counts", "d50_pipeline_flagship",
+    "x_asof_join", "x_asof_join_tolerance", "x_bloom_prefilter_prod",
+    "x_cohort_retention", "x_grouping_sets", "x_time_weighted_avg",
+    "x_tpch_q10_returned_items", "x_tpch_q12_priority_shipping",
+    "x_tpch_q13_cust_distribution", "x_tpch_q16_supplier_count",
+    "x_tpch_q18_big_orders", "x_tpch_q19_disjunctive_join",
+    "x_tpch_q20_promo_suppliers", "x_tpch_q21_waiting_supplier",
+    "x_tpch_q22_sales_opportunity", "x_tpch_q2_min_cost_supplier",
+    "x_tpch_q4_order_priority",
+]
+
+_FRONT_50_R9 = [
+    # ---- Round-9 window (retired; kept for the ledger audit trail) ----
+    # (VERDICT r8 #1: rotate to the displaced-r4
     # cohort — after this round the ledger minimum stamp must be r5,
     # with the named r4 greens all re-proven) ----
     # (a) new in round 9 — never driver-checked; the ledger guard forces

@@ -303,3 +303,48 @@ def test_lsh_hot_bucket_cap_bounds_pairs_and_keeps_connectivity(spark):
     got = {(r.doc_a, r.doc_b) for r in lsh_candidates(small).collect()}
     want = {(a, b) for a in range(10) for b in range(10) if a < b}
     assert got == want
+
+
+def test_incremental_neardup_soundness_and_recall(spark, sf_dir):
+    """x_incremental_neardup contract (r10): (a) SOUNDNESS — every
+    rejected batch doc's (doc_id, dup_of, jaccard) matches the exact
+    offline Jaccard of that pair and clears tau, with dup_of < doc_id
+    (earlier-doc-wins); (b) RECALL — every batch doc that offline d43
+    (full-corpus LSH + verify) pairs with a lower id is also rejected
+    here: the incremental hist-ledger join is an uncapped superset of
+    d43's bucketed pairing, and the in-batch path reuses
+    lsh_candidates, so at sub-cap bucket sizes nothing can be lost."""
+    from chyme_spark.ops.llm import _JACCARD_TAU, doc_shingle_sets
+
+    disp = REGISTRY["x_incremental_neardup"].fn(spark, sf_dir).collect()
+    assert {r.doc_id for r in disp} == {
+        r.doc_id
+        for r in doc_shingle_sets(spark, sf_dir).filter(F.col("doc_id") >= 250).collect()
+    }
+    sets = {
+        r.doc_id: set(r.hs) for r in doc_shingle_sets(spark, sf_dir).collect()
+    }
+
+    def exact_j(a, b):
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        return inter / union if union else None
+
+    rejected = {}
+    for r in disp:
+        if r.kept:
+            assert r.dup_of is None and r.jaccard is None
+            continue
+        assert r.dup_of < r.doc_id
+        j = exact_j(r.doc_id, r.dup_of)
+        assert j is not None and j >= _JACCARD_TAU
+        assert abs(round(j, 4) - r.jaccard) < 1e-9
+        rejected[r.doc_id] = r.dup_of
+
+    d43 = REGISTRY["d43_minhash_lsh"].fn(spark, sf_dir).collect()
+    expected = {r.doc_b for r in d43 if r.doc_b >= 250}
+    assert expected <= set(rejected), (
+        "offline d43 found a lower-id near-dup the incremental gate missed: "
+        f"{sorted(expected - set(rejected))[:10]}"
+    )
