@@ -118,6 +118,9 @@ SF1_HEAVY = [
     "x_entropy_score",
     "x_token_drift",
     "x_corpus_filter_pipeline",
+    # r10 (VERDICT r9 #2): the FastSS record-linkage rewrite's whole
+    # point is its scale curve — probe it at 10x and 20x.
+    "x_record_linkage",
 ]
 
 # 20x skew probe membership (VERDICT r7 #7, grown r9 per VERDICT r8 #4):
@@ -136,6 +139,23 @@ SF2_SKEW = [
     "d43_minhash_lsh", "x_duplicate_ngram_fraction",
     "x_dup_span_scrub", "x_stratified_split", "x_dsir_resample",
     "d06_keyed_dedup",
+    # r10 (VERDICT r9 #5): the heavy pair-join ops with the steepest
+    # theoretical scale curves. x_record_linkage became probe-safe when
+    # scaleup started regenerating customer names per replica (output
+    # now grows with near-dup density, not the replica count);
+    # x_semdedup became probe-safe with the adaptive k (in-cluster pair
+    # work tracks ~n, and exact-replica embeddings concentrate into the
+    # same clusters without changing the n/k size bound);
+    # x_cross_source_leakage was always safe — its (source, gram)
+    # relation is distinct-collapsed, so replication only grows the
+    # pre-distinct explode linearly and the output is |sources|^2.
+    # x_image_phash_neardup stays EXCLUDED for the ppjoin reason: the
+    # replicas' payload prefixes are byte-identical (the copyseq marker
+    # lands beyond the 64-byte raster), so every replica pair verifies
+    # at Hamming 0 and the TRUE output is quadratic in the factor — the
+    # probe would measure mandatory replica blowup, not the operator.
+    # Its scale story is the banded-join plan pin + sf0.1 timing.
+    "x_record_linkage", "x_semdedup", "x_cross_source_leakage",
 ]
 
 # Bench-battery rotation (VERDICT r8 #5): ~10 slots per round through
@@ -143,15 +163,18 @@ SF2_SKEW = [
 # round's entry in tools/bench_ledger.json (tests/test_bench_battery.py
 # asserts the two stay in sync and every member is registered).
 ROTATION = [
-    # round-9 cohort: never-benched join/shuffle-heavy members —
-    # hybrid-retrieval fusion, the gram-containment matrix, per-shard
-    # shuffle, budget cut, cluster-prune dedup, the token inverted
-    # index + TF-IDF pair, iterative PageRank, windowed-dedup and
-    # blocking-based linkage
-    "x_rrf_fusion", "x_cross_source_leakage", "x_epoch_shuffle",
-    "x_token_budget_select", "x_semdedup", "x_inverted_index",
-    "x_tfidf", "x_pagerank", "x_sorted_neighborhood",
-    "x_record_linkage",
+    # round-10 cohort (VERDICT r9 #6): never-benched heavy ops — the
+    # connected-components dedup labeler + its survivor pass, the
+    # recursive-CTE org walk, the wedge-join triangle count, asymmetric
+    # gram containment, the distributed BPE trainer, the Z-order layout
+    # planner, HLL sketch intersection, MAD outliers, and the new
+    # incremental near-dup ledger gate. (The verdict's suggested
+    # x_compaction_plan is already in HEADLINE — benched every round —
+    # so the new-this-round op takes its slot.)
+    "x_dedup_clusters", "x_neardup_survivors", "x_recursive_cte",
+    "x_triangle_count", "x_minhash_containment", "x_bpe_train",
+    "x_zorder_layout", "x_hll_intersect", "x_mad_outliers",
+    "x_incremental_neardup",
 ]
 
 
@@ -337,6 +360,28 @@ def main() -> None:
         if rot_errors:
             rot_block["errors"] = rot_errors
 
+    # --- sf0.1 base medians for probe-only members (r10) ----------------
+    # The sf1/sf2 ratios need a SAME-ROUND sf0.1 denominator. Headline
+    # members have one in `steady`; rotation members in `rot_med`; any
+    # probe member in neither (e.g. x_record_linkage / x_semdedup /
+    # x_cross_source_leakage in a round where the rotation has moved on)
+    # gets a dedicated warm+3-pass block here so its scale ratio is
+    # apples-to-apples, never a cross-round comparison.
+    probe_base = dict(steady)
+    if rot_block:
+        probe_base.update(rot_block["queries_median"])
+    base_block = None
+    base_needed = [
+        n for n in dict.fromkeys(SF1_HEAVY + SF2_SKEW)
+        if n in registry and n not in probe_base
+    ]
+    if base_needed and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        base_med, base_errors = probe_block(base_needed, sf_dir)
+        probe_base.update(base_med)
+        base_block = {"members": base_needed, "queries_median": base_med}
+        if base_errors:
+            base_block["errors"] = base_errors
+
     # --- scale-cliff probe (VERDICT r5 item 6) --------------------------
     # The 2x gate at sf0.1 cannot see a cost curve that bends far above
     # the data ratio. Run the heaviest ops once more at a deterministic
@@ -360,7 +405,7 @@ def main() -> None:
                 [n for n in SF1_HEAVY if n in registry], sf1_dir
             )
             ratio = {
-                n: round(v / steady[n], 1) if steady.get(n) else None
+                n: round(v / probe_base[n], 1) if probe_base.get(n) else None
                 for n, v in sf1_med.items()
             }
             sf1_block = {
@@ -420,7 +465,7 @@ def main() -> None:
                 [n for n in SF2_SKEW if n in registry], sf2_dir
             )
             ratio2 = {
-                n: round(v / steady[n], 1) if steady.get(n) else None
+                n: round(v / probe_base[n], 1) if probe_base.get(n) else None
                 for n, v in sf2_med.items()
             }
             sf2_block = {
