@@ -30,6 +30,11 @@ from chyme_spark.session import load_table
     doc="D-21 top-k per group via ranked window",
 )
 def d21_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """r10 re-measure (VERDICT r9 #4): the apparent r8->r9 1.22x
+    calibrated regression was host noise, not a plan change — on an
+    idle host, 7-pass sf0.1 median 0.458s / cal 0.174 = 2.63
+    calibrated, BETTER than r8's 2.83 (r9 measured 3.65 with spread
+    0.39 during a contended run). Plan unchanged; no action."""
     orders = load_table(spark, sf, "orders")
     cust = load_table(spark, sf, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
