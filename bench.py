@@ -509,6 +509,8 @@ def main() -> None:
         "queries_median_calibrated": calibrated,
         "steady_total_calibrated": round(sum(calibrated.values()), 2),
     }
+    if base_block is not None:
+        out["probe_base"] = base_block
     if sf1_block is not None:
         out["sf1"] = sf1_block
     if sf2_block is not None:
