@@ -128,13 +128,18 @@ SF1_HEAVY = [
 # whose TRUE output stays corpus-linear under replication (x_ppjoin is
 # deliberately excluded — see the sf2 block comment).
 #
-# One-off 50x spot check (r9, manual, not wired into the per-round run
-# to keep driver wall-clock bounded): at factor=50 (~5 GB scan-side)
-# the heaviest members stayed sublinear — d43_minhash_lsh 12.3s
-# (~12x time at 50x data; 5.4x at 20x), x_dup_span_scrub 4.1s (~2.7x),
-# d06_keyed_dedup 4.1s (~2.9x). The cost curves keep bending DOWN as
-# the fixed per-query overhead amortizes, which is the shape a
-# 1000-executor run needs.
+# One-off 50x spot check (refreshed r10, manual, not wired into the
+# per-round run to keep driver wall-clock bounded): at factor=50
+# (~5 GB scan-side, gen=2 data with per-replica names) —
+# d06_keyed_dedup 4.7s (~3.1x time at 50x data), d43_minhash_lsh
+# 16.1s (~19x), x_dup_span_scrub 4.4s (~2.9x), x_semdedup 6.1s
+# (~2.7x with the adaptive k), x_record_linkage 124s end-to-end
+# (the r10 probe that mattered: at 50x the un-hinted plan BROADCAST
+# the exploded variant side — Catalyst's size estimate doesn't see a
+# 172x explode fan-out — and blew spark.driver.maxResultSize; the op
+# now pins that join to sort-merge, which also measured 2.8x faster
+# at sf0.1). The cost curves keep bending DOWN as fixed per-query
+# overhead amortizes, which is the shape a 1000-executor run needs.
 SF2_SKEW = [
     "d43_minhash_lsh", "x_duplicate_ngram_fraction",
     "x_dup_span_scrub", "x_stratified_split", "x_dsir_resample",

@@ -2840,10 +2840,19 @@ def x_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     Shuffle discipline: the variant join carries ONLY (nationkey, vh,
     key) — 24 bytes/row; names are re-joined AFTER the pair distinct,
     which is output-bound. Carrying names through the variant shuffle
-    measured 3x slower (19.2s vs 6.5s, sf0.1). Measured (r10, local[32],
-    names regenerated per replica in scaleup): sf0.1 6.5s vs 8.7s for
-    the r7 length-blocked form; sf1 (10x) 33.7s vs 158s — time ratio
-    5.2x on 10x data (sublinear) vs 18x (quadratic) for the old form.
+    measured 3x slower (19.2s vs 6.5s, sf0.1). The variant self-join is
+    HINTED to sort-merge: Catalyst's size estimate does not see the
+    172x explode fan-out, so it happily broadcasts a side that is tiny
+    pre-explode and gigabytes post- — at 50x (750k names -> 129M
+    variant rows) the broadcast collect blew spark.driver.maxResultSize
+    and killed the job (r10 probe). With the SMJ pin: sf0.1 3.0s,
+    sf1 9.2s (ratio 3.0 on 10x data), sf50 124s end-to-end — and the
+    broadcast plan was SLOWER even where it survived (8.6s at sf0.1;
+    the 60 MB broadcast rebuild per executor dwarfs the shuffle).
+    shuffle_hash measured ~7% faster at sf0.1 but OOMs its per-task
+    build map at 50x — SMJ is the strategy that holds at every scale.
+    vs the r7 length-blocked form: sf0.1 3.0s vs 8.7s; sf1 9.2s vs
+    158s — time ratio 3.0x on 10x data (sublinear) vs 18x (quadratic).
 
     Negative result (r9, measured, still binding): the bag-of-chars
     count filter (L1 over per-digit counts <= 2*dist, Gravano et al.
@@ -2886,7 +2895,7 @@ def x_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     )
     b = v.select(
         F.col("c_custkey").alias("b_key"), F.col("c_nationkey").alias("nationkey"), "vh"
-    )
+    ).hint("merge")  # never broadcast the exploded side (see docstring)
     pairs = (
         a.join(b, ["nationkey", "vh"])
         .filter(F.col("a_key") < F.col("b_key"))

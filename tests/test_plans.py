@@ -111,9 +111,11 @@ EXPECTED = {
     # linkage: equi-join on the blocking key; at sf0.001 the planner
     # size-estimates customer under the broadcast threshold (no hint —
     # AQE keeps the right to shuffle it at scale)
-    # r10 FastSS rewrite: 1 exchange (pair distinct), the variant
-    # self-join + the two output-bound name fetches broadcast at audit SF
-    "x_record_linkage": (1, 3, 0, False),
+    # r10 FastSS rewrite: variant self-join PINNED to SMJ (Catalyst
+    # can't see the 172x explode fan-out and would broadcast a side
+    # that blew maxResultSize at 50x), 2 exchanges (join + pair
+    # distinct), the two output-bound name fetches broadcast at audit SF
+    "x_record_linkage": (2, 2, 1, False),
     # sketch-intersect: sketch agg + the exact-check branch's
     # distinct + left-join overlap counts; n_union is inclusion-
     # exclusion arithmetic (review finding: the old OR-theta join
