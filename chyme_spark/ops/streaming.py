@@ -314,7 +314,18 @@ def d40_stream_watermark(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "x_stream_static_join",
-    oracle=None,  # rows-only: streaming execution; equality with the batch twin is asserted in tests
+    # Graduated rows-only -> full oracle (r10): under AvailableNow the
+    # complete-mode sink holds the FINAL aggregate after all input is
+    # consumed, which equals the batch join+groupBy no matter how the
+    # source was micro-batched — same determinism argument as
+    # x_stream_tws_counts (final state is boundary-invariant). The
+    # stream==batch pytest (tests/test_streaming.py) remains as the
+    # second, Spark-side witness.
+    oracle="""
+    SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
     doc="stream-static enrichment join: streaming events x broadcast customer dim, aggregated per segment (the production enrichment pattern)",
 )
 def x_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -331,7 +342,23 @@ def x_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "x_stream_stream_join",
-    oracle=None,  # rows-only: watermark-bounded state; batch equivalence asserted in tests
+    # Graduated rows-only -> full oracle (r10): an INNER stream-stream
+    # join's append output is exactly the set of matched pairs, and a
+    # watermark can only drop input that arrives in a LATER micro-batch
+    # than the watermark that excludes it. The fixture source is a
+    # single parquet file staged into the source dir (_events_stream),
+    # so AvailableNow reads it as ONE batch (no maxFilesPerTrigger set)
+    # and nothing is ever late: the emitted set equals the full batch
+    # interval join. The stream==batch pytest at sf0.01 pins the same
+    # equality Spark-side.
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id,
+           v.user_id AS user_id
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
     doc="stream-stream interval join: views x clicks per user within 30 minutes, both sides watermarked (bounded join state at any stream size)",
 )
 def x_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:

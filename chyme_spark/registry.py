@@ -78,13 +78,17 @@ _FRONT_50 = [
     "x_record_linkage",           # FastSS deletion-neighborhood rewrite (r9 VERDICT #2)
     "x_auc_score",                # final multiply promoted to DECIMAL(38,0)/HUGEINT (ADVICE r9)
     "x_semdedup",                 # adaptive k = clamp(n/32, 64, 4096) (r9 VERDICT #5 sf2 probe)
+    "x_stream_static_join",       # graduated rows-only -> full oracle (r10, tws_counts pattern)
+    "x_stream_stream_join",       # graduated rows-only -> full oracle (r10, single-batch inner join)
     # (c) backfill: the 6 r4-stamped leftovers, oldest cohort first:
     "x_time_rollup", "x_tpch_q3_shipping", "x_tpch_q5_local_supplier",
     "x_unpivot", "x_url_canonicalize", "x_variant_json",
-    # then the r5-stamped cohort (44 names) minus the 4 displaced by
+    # then the r5-stamped cohort (44 names) minus the 7 displaced by
     # (a)+(b) (youngest-backfill-out, alphabetical tail:
     # x_tpch_q4_order_priority, x_tpch_q6_forecast_revenue,
-    # x_tpch_q7_volume_shipping, x_tpch_q8_market_share, x_yoy_growth —
+    # x_tpch_q7_volume_shipping, x_tpch_q8_market_share, x_yoy_growth,
+    # and — displaced by the r10 streaming-oracle graduations —
+    # x_tpch_q22_sales_opportunity, x_tpch_q2_min_cost_supplier;
     # all r5-green, they return at the head of round 11's backfill):
     "d03_filter", "d04_regex_ext_filter", "d05_distinct",
     "d06_keyed_dedup", "d07_inner_join", "d08_broadcast_join",
@@ -100,7 +104,6 @@ _FRONT_50 = [
     "x_tpch_q13_cust_distribution", "x_tpch_q16_supplier_count",
     "x_tpch_q18_big_orders", "x_tpch_q19_disjunctive_join",
     "x_tpch_q20_promo_suppliers", "x_tpch_q21_waiting_supplier",
-    "x_tpch_q22_sales_opportunity", "x_tpch_q2_min_cost_supplier",
 ]
 
 _FRONT_50_R9 = [

@@ -118,11 +118,11 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
 
 
 def test_stream_joins_equal_batch_at_sf001_oracle_scale(spark):
-    """The two x_stream_* joins are rows-only in CORRECTNESS forever (no
-    DuckDB streaming oracle), so back that weaker row with the strongest
-    available check: stream == batch at the SAME sf0.01 the driver's
-    oracle gate uses — 60k events, not just the smoke fixture
-    (VERDICT r2 item 7)."""
+    """Both x_stream_* joins graduated to full DuckDB oracles in r10
+    (single-batch AvailableNow determinism), but the oracle proves
+    stream == SQL, not stream == Spark-batch; keep the Spark-side twin
+    equality at the SAME sf0.01 the driver's oracle gate uses — 60k
+    events, not just the smoke fixture (VERDICT r2 item 7)."""
     sf001 = "/root/testdata/sf0.01"
     _assert_static_join_equals_batch(spark, sf001)
     _assert_stream_stream_join_equals_batch(spark, sf001)
