@@ -294,7 +294,28 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
 
 @query(
     "d40_stream_watermark",
-    oracle=None,  # rows-only: append-mode emission depends on watermark advance
+    # Graduated rows-only -> full oracle (r10): append-mode emission is
+    # watermark-timing-dependent in general, but under AvailableNow on
+    # the single-file source the timing is FIXED — all data lands in
+    # micro-batch 1, the watermark then advances once to
+    # floor_ms(max(ts)) - 10min (Spark tracks event-time stats in whole
+    # milliseconds), and the final no-data batch closes exactly the
+    # windows whose end <= that watermark. Window ends are whole hours
+    # while the fixture's max(ts) carries microsecond jitter, so the
+    # <=-vs-< eviction boundary is unobservable on this data model.
+    # Pinned empirically at sf0.001 (867 of 868 windows emitted; only
+    # the window holding max(ts) withheld) before the oracle was added.
+    oracle="""
+    WITH wm AS (SELECT epoch_ms(max(ts)) - 600000 AS wm_ms FROM events),
+         b AS (
+           SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+                  COUNT(*) AS n_events
+           FROM events GROUP BY 1, 2
+         )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, n_events
+    FROM b, wm
+    WHERE epoch_ms(ws + INTERVAL 1 HOUR) <= wm.wm_ms
+    """,
     doc="D-40 streaming tumbling count with 10-min watermark; sink rows are the closed windows (ref queue drain pkg/aws/sqs.go:134-162)",
 )
 def d40_stream_watermark(spark: SparkSession, sf: str) -> DataFrame:
@@ -385,7 +406,19 @@ def x_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "x_stream_stateful_counts",
-    oracle=None,  # rows-only: custom state handling is not SQL-expressible
+    # Graduated rows-only -> full oracle (r10): the state HANDLING is
+    # custom, but the returned value is each user's FINAL state — and
+    # the final count/sum after all input is consumed is micro-batch-
+    # boundary-invariant (integer ten-thousandths accumulation, see
+    # _q4), so it admits the same batch-aggregate oracle its
+    # transformWithState twin x_stream_tws_counts has carried since r9.
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_value
+    FROM events GROUP BY user_id
+    """,
     doc="custom stateful streaming operator via applyInPandasWithState: per-user running event count + value sum kept in state across micro-batches (ref process-state checkpoint internal/worker/persistance.go:25-69)",
 )
 def x_stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
@@ -428,7 +461,17 @@ def x_stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "d41_stream_dedup",
-    oracle=None,  # rows-only: stateful dedup is not SQL-expressible
+    # Graduated rows-only -> full oracle (r10): the dedup mechanism is
+    # stateful, but the FINAL per-type aggregate is not — within-
+    # watermark dedup keeps exactly one row per event_id (the self-
+    # union's duplicates arrive in the same micro-batch, trivially
+    # inside the watermark), and event_id is the generator's unique
+    # key, so the emitted count per event_type equals the distinct-key
+    # count no matter how the stream was batched.
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+    FROM events GROUP BY event_type
+    """,
     doc="D-41 stateful streaming dedup under redelivery: every event delivered twice, deduped by event_id within the watermark (ref idempotence internal/core/task.go:157-179)",
 )
 def d41_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -445,10 +488,46 @@ def d41_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "x_stream_session_timeout",
-    oracle=None,  # rows-only: custom timeout state is not SQL-expressible;
-    # the emission contract (closed sessions == batch d37 sessionization
-    # minus each user's trailing open session) is pinned by
-    # tests/test_ann_and_state.py::test_stream_session_timeout_matches_batch
+    # Graduated rows-only -> full oracle (r10): same determinism
+    # argument as its transformWithState twin x_stream_tws_sessions
+    # (whose identical oracle the driver hash-proved in r9's window) —
+    # single-batch AvailableNow closes every non-trailing session on
+    # the next event's arrival, and the final watermark
+    # floor_ms(max(ts)) - 10min times out exactly the trailing sessions
+    # whose deadline (end + gap, ms-floored by setTimeoutTimestamp) it
+    # has reached. The ==batch pytest contract in
+    # tests/test_ann_and_state.py remains as the Spark-side witness.
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, CAST(SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        FROM flagged
+    ),
+    agg AS (
+        SELECT user_id, session_seq, COUNT(*)::BIGINT AS n_events,
+               min(ts) AS t0, max(ts) AS t1,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS session_value,
+               MAX(session_seq) OVER (PARTITION BY user_id) AS max_seq
+        FROM sessions GROUP BY user_id, session_seq
+    ),
+    wm AS (SELECT epoch_ms(max(ts)) - 600000 AS wm_ms FROM events)
+    SELECT user_id,
+           strftime(t0, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(t1, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events, session_value
+    FROM agg, wm
+    WHERE session_seq < max_seq
+       OR (epoch_us(t1) + {_SESSION_GAP_S} * 1000000) // 1000 <= wm_ms
+    """,
     doc="stateful streaming sessionization with closure emission: applyInPandasWithState holds each user's open session and emits a session ONLY when it closes (gap detected by a later event, or event-time timeout past the watermark) — the production 'session ended' feed",
 )
 def x_stream_session_timeout(spark: SparkSession, sf: str) -> DataFrame:
@@ -615,11 +694,42 @@ def x_stream_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "x_stream_outer_join",
-    oracle=None,  # rows-only: outer-side null emission fires only when the
-    # watermark passes each view's join horizon, so the emitted set
-    # depends on end-of-stream watermark timing; the no-invented-rows /
-    # horizon-completeness contract vs the batch LEFT JOIN is pinned in
-    # tests/test_streaming.py
+    # Graduated rows-only -> full oracle (r10): under AvailableNow the
+    # end-of-stream watermark timing is FIXED, so the emitted set is
+    # deterministic. Matched pairs equal the batch inner interval join
+    # (single-batch source, nothing late — see x_stream_stream_join);
+    # the null-click rows are exactly the unmatched views whose join
+    # horizon (v_ts + 30min, compared in microseconds) the final global
+    # watermark min(max v_ts, max c_ts) - 10min (whole milliseconds,
+    # Spark's event-time stats granularity) has strictly passed.
+    # Boundary pinned empirically at sf0.01 BEFORE the oracle was
+    # added: 1954 of 1955 unmatched views emitted — the one view inside
+    # the horizon withheld — discriminating vt+30min<wm from vt<wm; the
+    # horizon-completeness pytest vs the batch LEFT JOIN remains.
+    oracle="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS vt
+               FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id AS click_id, ts AS ct
+               FROM events WHERE event_type = 'click'),
+         wm AS (
+           SELECT least(
+                    epoch_ms(max(CASE WHEN event_type = 'view' THEN ts END)),
+                    epoch_ms(max(CASE WHEN event_type = 'click' THEN ts END))
+                  ) - 600000 AS wm_ms
+           FROM events
+         ),
+         m AS (
+           SELECT v.view_id, c.click_id, v.user_id
+           FROM v JOIN c ON v.user_id = c.user_id
+            AND c.ct >= v.vt AND c.ct <= v.vt + INTERVAL 30 MINUTE
+         )
+    SELECT view_id, click_id, user_id, TRUE AS matched FROM m
+    UNION ALL
+    SELECT v.view_id, NULL AS click_id, v.user_id, FALSE AS matched
+    FROM v, wm
+    WHERE v.view_id NOT IN (SELECT view_id FROM m)
+      AND epoch_us(v.vt) + 1800000000 < wm.wm_ms * 1000
+    """,
     doc="LEFT OUTER stream-stream join with watermarked state: views left-joined to clicks within 30 minutes; unmatched views emit a null click once the watermark clears their horizon — the outer-emission surface on top of x_stream_stream_join",
 )
 def x_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:

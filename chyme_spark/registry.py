@@ -80,6 +80,11 @@ _FRONT_50 = [
     "x_semdedup",                 # adaptive k = clamp(n/32, 64, 4096) (r9 VERDICT #5 sf2 probe)
     "x_stream_static_join",       # graduated rows-only -> full oracle (r10, tws_counts pattern)
     "x_stream_stream_join",       # graduated rows-only -> full oracle (r10, single-batch inner join)
+    "x_stream_outer_join",        # graduated (r10): outer emission boundary pinned empirically
+    "x_stream_stateful_counts",   # graduated (r10): final state == batch agg (tws_counts oracle)
+    "x_stream_session_timeout",   # graduated (r10): tws_sessions' driver-proven oracle, same rule
+    "d40_stream_watermark",       # graduated (r10): closed windows under the final ms-floor watermark
+    "d41_stream_dedup",           # graduated (r10): final per-type agg == distinct-key counts
     # (c) backfill: the 6 r4-stamped leftovers, oldest cohort first:
     "x_time_rollup", "x_tpch_q3_shipping", "x_tpch_q5_local_supplier",
     "x_unpivot", "x_url_canonicalize", "x_variant_json",
@@ -87,9 +92,14 @@ _FRONT_50 = [
     # (a)+(b) (youngest-backfill-out, alphabetical tail:
     # x_tpch_q4_order_priority, x_tpch_q6_forecast_revenue,
     # x_tpch_q7_volume_shipping, x_tpch_q8_market_share, x_yoy_growth,
-    # and — displaced by the r10 streaming-oracle graduations —
-    # x_tpch_q22_sales_opportunity, x_tpch_q2_min_cost_supplier;
-    # all r5-green, they return at the head of round 11's backfill):
+    # and — displaced by the SEVEN r10 streaming-oracle graduations —
+    # x_tpch_q22_sales_opportunity, x_tpch_q2_min_cost_supplier,
+    # x_tpch_q16_supplier_count, x_tpch_q18_big_orders,
+    # x_tpch_q19_disjunctive_join, x_tpch_q20_promo_suppliers,
+    # x_tpch_q21_waiting_supplier; all r5-green, all ALSO re-proven
+    # locally this round (tools/check_oracle.py sf0.01 full-window run
+    # before the displacement), they return at the head of round 11's
+    # backfill):
     "d03_filter", "d04_regex_ext_filter", "d05_distinct",
     "d06_keyed_dedup", "d07_inner_join", "d08_broadcast_join",
     "d09_left_outer_join", "d10_left_semi_join", "d11_left_anti_join",
@@ -101,9 +111,7 @@ _FRONT_50 = [
     "x_asof_join", "x_asof_join_tolerance", "x_bloom_prefilter_prod",
     "x_cohort_retention", "x_grouping_sets", "x_time_weighted_avg",
     "x_tpch_q10_returned_items", "x_tpch_q12_priority_shipping",
-    "x_tpch_q13_cust_distribution", "x_tpch_q16_supplier_count",
-    "x_tpch_q18_big_orders", "x_tpch_q19_disjunctive_join",
-    "x_tpch_q20_promo_suppliers", "x_tpch_q21_waiting_supplier",
+    "x_tpch_q13_cust_distribution",
 ]
 
 _FRONT_50_R9 = [
