@@ -4507,3 +4507,97 @@ def x_transpose_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("source").cast("long").alias("n_sources"),
     )
     return stats.transpose()
+
+
+@query(
+    "x_linear_probe_fit",
+    # One-pass distributed LINEAR-PROBE FIT: per-language OLS of
+    # whitespace token count on character count, via exact integer
+    # sufficient statistics (n, Sx, Sy, Sxx, Sxy, Syy). The closed-form
+    # slope/intercept/R^2 then come from a FIXED arithmetic tree over
+    # those exact integers — cast-to-double happens only at the last
+    # step, on identical values, through identical expression shapes in
+    # both engines, so the hash compare is sound (the x_auc_score
+    # discipline extended from counts to second moments). DuckDB sums
+    # in HUGEINT; Spark in DECIMAL — both exact, headroom documented in
+    # the docstring.
+    oracle="""
+    WITH f AS (
+        SELECT lang,
+               CAST(n_chars AS HUGEINT) AS x,
+               CAST(len(string_split(lower(text), ' ')) AS HUGEINT) AS y
+        FROM documents),
+    s AS (
+        SELECT lang, COUNT(*)::HUGEINT AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+        FROM f GROUP BY lang)
+    SELECT lang,
+           CAST(n AS BIGINT) AS n,
+           CAST(ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                      / CAST(NULLIF(n*sxx - sx*sx, 0) AS DOUBLE), 6) AS DOUBLE) AS slope,
+           CAST(ROUND((CAST(sy AS DOUBLE)
+                       - (CAST(n*sxy - sx*sy AS DOUBLE)
+                          / CAST(NULLIF(n*sxx - sx*sx, 0) AS DOUBLE)) * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE), 6) AS DOUBLE) AS intercept,
+           CAST(ROUND((CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(NULLIF(n*sxx - sx*sx, 0) AS DOUBLE))
+                      * (CAST(n*sxy - sx*sy AS DOUBLE)
+                         / CAST(NULLIF(n*syy - sy*sy, 0) AS DOUBLE)), 6) AS DOUBLE) AS r2
+    FROM s
+    """,
+    doc="distributed one-pass linear-probe fit: per-language OLS (slope/intercept/R^2) of token count on char count from exact integer sufficient statistics — closed-form model fitting as a single aggregation",
+)
+def x_linear_probe_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Model fitting as ONE aggregation pass — the cheap-probe training
+    story for corpus curation (fit a linear quality/length probe on the
+    cluster, score everywhere): no iterations, no driver-side data, no
+    collect beyond |groups| rows.
+
+    100 TB shape: the corpus collapses map-side to six sufficient
+    statistics per language (partial aggregation combines locally, the
+    shuffle moves |langs| x 6 scalars), and the closed-form solve is a
+    projection over that aggregate — the same sufficient-statistic
+    pattern MLlib's linear summarizer uses, expressed in pure DataFrame
+    ops. Exactness: x = n_chars (<= ~1e4), y = whitespace token count
+    (<= x), so Sxx <= n * 1e8 and every cross-moment stays exact in
+    DECIMAL(38,0) to beyond 1e15 documents per language; n*Sxy and
+    Sx*Sy reach ~1e38 only past ~1e14 docs/lang — headroom documented,
+    overflow nulls rather than wraps (non-ansi decimal). Degenerate
+    groups (zero x- or y-variance) yield NULL slope/r2 via the shared
+    NULLIF guard, never a divide-by-zero.
+    """
+    docs = load_table(spark, sf, "documents")
+    d20 = "decimal(20,0)"
+    f = docs.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.split(F.lower(F.col("text")), " ")).cast("long").alias("y"),
+    )
+    s = f.groupBy("lang").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast(d20)).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("y").cast(d20)).cast("decimal(38,0)").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d20)).cast("decimal(38,0)").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(d20)).cast("decimal(38,0)").alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(d20)).cast("decimal(38,0)").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # NULLIF twins: a zero denominator becomes NULL before the divide,
+    # exactly as the oracle's NULLIF — same tree, same nulls.
+    den_d = F.when(den == 0, F.lit(None)).otherwise(den).cast("double")
+    vy_d = F.when(vy == 0, F.lit(None)).otherwise(vy).cast("double")
+    slope_raw = num.cast("double") / den_d
+    intercept_raw = (
+        F.col("sy").cast("double") - slope_raw * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    r2_raw = slope_raw * (num.cast("double") / vy_d)
+    return s.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope_raw, 6).cast("double").alias("slope"),
+        F.round(intercept_raw, 6).cast("double").alias("intercept"),
+        F.round(r2_raw, 6).cast("double").alias("r2"),
+    )
