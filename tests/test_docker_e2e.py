@@ -76,14 +76,19 @@ def test_create_body_carries_binds_env_user(cli, tmp_path):
     seen = {}
 
     def snapshot():
-        # capture the container state while the executor is inside wait
+        # Capture the container config while it exists (the success path
+        # deletes it at the end). binds/env/user/image are immutable from
+        # "created" on, so ANY observed lifecycle state proves the create
+        # body landed — requiring "running" specifically was a timing
+        # flake under CPU contention (the 0.2 s simulated process could
+        # finish before this thread ever got scheduled).
         import time
-        for _ in range(100):
+        for _ in range(1000):
             c = cli.containers.get("chyme-deadbeef")
-            if c is not None and c.status == "running":
+            if c is not None:
                 seen["c"] = (c.image, set(c.binds), set(c.env), c.user)
                 return
-            time.sleep(0.01)
+            time.sleep(0.005)
 
     t = threading.Thread(target=snapshot)
     t.start()
