@@ -301,15 +301,28 @@ def d12_star_join(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "n_name", "r_name")
     )
+    # Partial aggregation pushed BELOW the fact join (Catalyst doesn't do
+    # this rewrite itself): revenue and line count are additive per
+    # l_orderkey, so collapsing lineitem to one row per order first (a)
+    # shrinks the join input ~4x (TPC-H lines-per-order) and narrows it
+    # to 3 columns, and (b) leaves the child hash-partitioned on the join
+    # key, so the orders join reuses the aggregation's shuffle instead of
+    # re-exchanging the fact side. Decimal sums are exact; money() rounds
+    # once at the end, so the result is bit-identical to the unpushed
+    # form (r10 measured 1.35x warm at sf0.1).
+    li_pre = li.groupBy("l_orderkey").agg(
+        F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("rev"),
+        F.count("*").alias("nl"),
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li_pre.join(orders, li_pre.l_orderkey == orders.o_orderkey)
         # dims is customer-derived (scales with the fact): no forced
         # broadcast — AQE promotes at runtime only while it fits
         .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
-            money(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))).alias("revenue"),
-            F.count("*").alias("n_lines"),
+            money(F.sum("rev")).alias("revenue"),
+            F.sum("nl").alias("n_lines"),
         )
     )
 

@@ -32,7 +32,9 @@ EXPECTED = {
     "d06_keyed_dedup": (1, 0, 0, False),
     "d07_inner_join": (0, 1, 0, False),  # AQE-promoted broadcast (no hint)
     "d08_broadcast_join": (0, 1, 0, False),  # explicit hint on the part dim
-    "d12_star_join": (3, 4, 0, False),
+    # r10: partial agg pushed below the fact join — the orders join
+    # reuses the l_orderkey agg shuffle, dropping one exchange
+    "d12_star_join": (2, 4, 0, False),
     "d14_hash_agg_q1": (1, 0, 0, False),
     "d20_limit_topk": (0, 0, 0, True),
     "d44_cosine_topk": (1, 1, 0, False),
