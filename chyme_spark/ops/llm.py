@@ -863,6 +863,82 @@ def x_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_EVAL_TAU = 0.4
+
+
+@query(
+    "x_eval_contamination",
+    # semantic (embedding-space) twin of x_decontaminate's n-gram scan,
+    # aggregated in the OTHER direction: a per-EVAL-example contamination
+    # report against the train corpus (how many train vectors sit above
+    # tau, the max similarity reached, and the closest train id). The
+    # n-gram scan answers "which train docs to drop"; this answers
+    # "which eval examples are compromised" — the report an eval-suite
+    # owner actually reads. Cosines are raw-double comparisons on both
+    # sides (dot folded in array order is bit-identical across engines,
+    # the x_embedding_neardup precedent); rounding only at the terminal
+    # projection.
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 16),
+    tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+    pairs AS (
+        SELECT ev.qid, tr.vec_id,
+               list_sum(list_transform(list_zip(ev.qe, tr.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(ev.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(tr.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cos
+        FROM ev CROSS JOIN tr),
+    agg AS (
+        SELECT qid,
+               CAST(SUM(CASE WHEN cos >= {_EVAL_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               MAX(cos) AS mc
+        FROM pairs GROUP BY qid),
+    best AS (
+        SELECT qid, vec_id AS closest_train_id FROM pairs
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) = 1)
+    SELECT a.qid AS eval_id, a.n_hits,
+           CAST(ROUND(a.mc, 4) AS DOUBLE) AS max_cos, b.closest_train_id
+    FROM agg a JOIN best b USING (qid)
+    """,
+    doc="per-eval-example contamination report vs the train corpus: broadcast eval suite, one corpus pass, map-side partial agg (exchange carries <= partitions x |eval| rows)",
+)
+def x_eval_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding decontamination in the eval->train direction.
+
+    100 TB shape: the eval suite (here vec_id < 16; production ~10k
+    benchmark examples) broadcasts with precomputed norms; the train
+    corpus is scanned ONCE, each row scoring |eval| cosines map-side.
+    The per-qid aggregate is partial BEFORE the exchange, so the only
+    corpus-wide shuffle carries at most partitions x |eval| rows — the
+    100 TB scan never re-materializes. Ties for the closest train
+    vector break to the smallest vec_id via max(struct(cos, -vec_id)),
+    matching the oracle's ORDER BY cos DESC, vec_id."""
+    emb = load_table(spark, sf, "embeddings")
+    e = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    ev = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    tr = e.filter(F.col("vec_id") >= 16)
+    cos = _dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
+    return (
+        tr.join(F.broadcast(ev))
+        .select("qid", "vec_id", cos.alias("cos"))
+        .groupBy("qid")
+        .agg(
+            F.sum(F.when(F.col("cos") >= _EVAL_TAU, 1).otherwise(0)).alias("n_hits"),
+            F.round(F.max("cos"), 4).cast("double").alias("max_cos"),
+            (-F.max(F.struct(F.col("cos"), (-F.col("vec_id")).alias("nid")))["nid"])
+            .alias("closest_train_id"),
+        )
+        .select(
+            F.col("qid").alias("eval_id"), "n_hits", "max_cos", "closest_train_id"
+        )
+    )
+
+
 @query(
     "x_repetition_filter",
     # Gopher-style repetition rule: docs whose duplicate-2-gram fraction

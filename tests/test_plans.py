@@ -35,6 +35,10 @@ EXPECTED = {
     # r10: partial agg pushed below the fact join — the orders join
     # reuses the l_orderkey agg shuffle, dropping one exchange
     "d12_star_join": (2, 4, 0, False),
+    # r10: the eval-contamination report must stay map-only — 1 tiny
+    # qid exchange (partial agg first), broadcast eval suite, and NO
+    # corpus-wide shuffle ever
+    "x_eval_contamination": (1, 1, 0, False),
     "d14_hash_agg_q1": (1, 0, 0, False),
     "d20_limit_topk": (0, 0, 0, True),
     "d44_cosine_topk": (1, 1, 0, False),

@@ -78,6 +78,9 @@ AUDIT = [
     # input eagerly, so the audited df is a LocalRelation with no plan)
     "x_param_sql", "x_sql_variable",
     "x_auc_score", "x_calibration_bins", "x_keyness_tokens",
+    # round-10 addition: the map-only eval-contamination report (the
+    # whole point is its shape — no corpus-wide exchange)
+    "x_eval_contamination",
     # (x_dedup_report and x_tokenizer_fertility excluded with the other
     # iterative consumers: CC labels / BPE merge-loop lineage make the
     # one-shot exchange counts mis-state per-round work;
