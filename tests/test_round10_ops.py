@@ -80,3 +80,47 @@ def test_linear_probe_fit_degenerate_group_yields_null(spark, tmp_path):
     row = out[0]
     assert row.n == 3
     assert row.slope is None and row.r2 is None
+
+
+def test_eval_contamination_planted_duplicate(spark, tmp_path):
+    """Planting an exact copy of an eval vector in the train partition
+    must surface in the report: n_hits >= 1, max_cos == 1.0, and the
+    closest_train_id pointing at the planted copy. Orthogonal train
+    vectors must never flag (n_hits 0, max_cos 0.0). Dimensions follow
+    the fixture schema (array<float> embedding)."""
+    import pandas as pd
+
+    dim = 8
+    e = [0.0] * dim
+
+    def unit(i):
+        v = list(e)
+        v[i] = 1.0
+        return v
+
+    rows = []
+    # 16 eval vectors (vec_id < 16): unit vectors on axes 0..7, repeated
+    for i in range(16):
+        rows.append((i, unit(i % dim)))
+    # train: an exact copy of eval vector 3, plus vectors orthogonal to
+    # every eval axis... dim 8 has no free axis, so scale axis pairs the
+    # evals don't match exactly (cos < 1 with every eval)
+    rows.append((100, unit(3)))  # planted duplicate of eval 3
+    mixed = [0.5] * dim  # cos = 0.5/|mixed| ~ 0.354 with every unit eval
+    rows.append((101, mixed))
+    pd.DataFrame({"vec_id": [r[0] for r in rows],
+                  "embedding": [r[1] for r in rows]}).to_parquet(
+        str(tmp_path / "embeddings.parquet"))
+    out = {r.eval_id: r for r in
+           REGISTRY["x_eval_contamination"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == set(range(16))
+    hit = out[3]
+    assert hit.max_cos == 1.0
+    assert hit.n_hits >= 1
+    assert hit.closest_train_id == 100
+    # eval 0 matches no train vector above tau: unit(0) . unit(3) = 0,
+    # unit(0) . mixed = 0.3536 < 0.4
+    miss = out[0]
+    assert miss.n_hits == 0
+    assert miss.max_cos < 0.4
+    assert miss.closest_train_id == 101  # best of the non-hits, tie-free
