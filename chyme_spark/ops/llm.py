@@ -1340,6 +1340,8 @@ def x_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     Empty-shingle docs (shorter than the gram width) collide in every
     band but verify to null Jaccard and are kept — a length gate
     belongs upstream (x_gopher_rules)."""
+    import atexit
+    import shutil
     import tempfile
 
     sets = doc_shingle_sets(spark, sf).persist()
@@ -1347,7 +1349,12 @@ def x_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     batch_sets = sets.filter(F.col("doc_id") >= 250)
 
     # --- build + persist the ledger (the "yesterday" side) ------------
+    # mkdtemp is uid-private (0700); removal is deferred to interpreter
+    # exit because the returned DataFrame lazily READS the ledger —
+    # eager cleanup would race the consumer. Bounded leak: one small
+    # dir per call, gone with the session.
     ledger_dir = tempfile.mkdtemp(prefix="chyme_neardup_ledger_")
+    atexit.register(shutil.rmtree, ledger_dir, ignore_errors=True)
     band_signatures(hist_sets).write.mode("overwrite").parquet(f"{ledger_dir}/bands")
     hist_sets.write.mode("overwrite").parquet(f"{ledger_dir}/sets")
     led_bands = spark.read.parquet(f"{ledger_dir}/bands")
