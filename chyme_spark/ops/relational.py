@@ -301,15 +301,23 @@ def d12_star_join(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "n_name", "r_name")
     )
-    # Partial aggregation pushed BELOW the fact join (Catalyst doesn't do
-    # this rewrite itself): revenue and line count are additive per
-    # l_orderkey, so collapsing lineitem to one row per order first (a)
-    # shrinks the join input ~4x (TPC-H lines-per-order) and narrows it
-    # to 3 columns, and (b) leaves the child hash-partitioned on the join
-    # key, so the orders join reuses the aggregation's shuffle instead of
-    # re-exchanging the fact side. Decimal sums are exact; money() rounds
-    # once at the end, so the result is bit-identical to the unpushed
-    # form (r10 measured 1.35x warm at sf0.1).
+    # EAGER AGGREGATION pushed below the fact join (Yan & Larson 1995;
+    # Catalyst doesn't do this rewrite itself): revenue and line count
+    # are additive per l_orderkey, so collapsing lineitem to one row
+    # per order first (a) shrinks the join input ~4x (TPC-H
+    # lines-per-order) and narrows it to 3 columns, and (b) leaves the
+    # child hash-partitioned on the join key, so the orders join reuses
+    # the aggregation's shuffle instead of re-exchanging the fact side.
+    # Measured crossover (r10, noop sink, medians of 9): at sf0.1 this
+    # is ~1.1x SLOWER than the unpushed form — AQE broadcasts orders
+    # there, so the plain join never exchanges lineitem and the
+    # high-cardinality pre-agg is pure overhead — but at 10x data it is
+    # 1.4x FASTER (1.55s vs 2.19s) and at 20x ties-or-wins (2.11s vs
+    # 2.40s): once orders outgrows the broadcast threshold (always, at
+    # cluster scale) the pre-agg replaces the fact-side join exchange
+    # with an exchange of the SAME key that then sorts/joins 4x fewer
+    # rows. Decimal sums are exact; money() rounds once at the end, so
+    # the result is bit-identical to the unpushed form at every scale.
     li_pre = li.groupBy("l_orderkey").agg(
         F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("rev"),
         F.count("*").alias("nl"),
