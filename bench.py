@@ -310,13 +310,21 @@ def main() -> None:
         ok: list[str] = []
 
         def rewarm(members: list[str]) -> None:
-            for m in list(members):
-                try:
-                    run_at(m, d)
-                except Exception as e:  # noqa: BLE001
-                    errors[m] = f"{type(e).__name__}: {e}"[:300]
-                    members.remove(m)
-                    revive_if_dead()
+            # A context death DURING the rewarm would strand the members
+            # re-run before it cold again (r10 review finding): restart
+            # until one full pass completes with no revival. Bounded —
+            # every restart removed at least one failing member.
+            while True:
+                revived = False
+                for m in list(members):
+                    try:
+                        run_at(m, d)
+                    except Exception as e:  # noqa: BLE001
+                        errors[m] = f"{type(e).__name__}: {e}"[:300]
+                        members.remove(m)
+                        revived |= revive_if_dead()
+                if not revived:
+                    return
 
         revived_in_warm = False
         for name in block_names:  # warm pass (footers, codegen)
@@ -382,7 +390,16 @@ def main() -> None:
         n for n in dict.fromkeys(SF1_HEAVY + SF2_SKEW)
         if n in registry and n not in probe_base
     ]
-    if base_needed and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+    # Gate on (any probe enabled) AND sf==0.1 — gating on SF1 alone
+    # silently disabled the sf2 cliff flag for SF2-only members when
+    # SF1=0, and on a non-sf0.1 run the heavy base block ran for a
+    # denominator nothing consumes (r10 review finding).
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    probes_on = sf == "0.1" and (
+        os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+        or os.environ.get("SPARK_GRAFT_SF2", "1") != "0"
+    )
+    if base_needed and probes_on:
         base_med, base_errors = probe_block(base_needed, sf_dir)
         probe_base.update(base_med)
         base_block = {"members": base_needed, "queries_median": base_med}
@@ -398,7 +415,6 @@ def main() -> None:
     # membership: module-scope SF1_HEAVY (guarded by test_bench_battery)
     _CLIFF = 3.0  # flag when time ratio > _CLIFF * data ratio
     sf1_block = None
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == "0.1":
         try:
             from chyme_spark.scaleup import ensure_scaled

@@ -256,21 +256,10 @@ def lsh_candidates(
     so the loss is nil — pinned by the adversarial identical-docs test
     in tests/test_llm_recall.py. Task memory stays O(bucket) longs (the
     sorted id array any groupBy-collect holds), never O(bucket^2)."""
-    if k % bands:
-        # silently flooring k // bands would discard k % bands seeds —
-        # a caller tuning k or bands would get quietly lower recall than
-        # the signature budget implies (ADVICE r2)
-        raise ValueError(f"minhash k={k} must be divisible by bands={bands}")
-    rows = k // bands
-    band_structs = F.expr(
-        f"transform(sequence(0, {bands - 1}), b -> named_struct("
-        f"'band', b, "
-        f"'bh', xxhash64(transform(sequence(b * {rows}, (b + 1) * {rows} - 1), "
-        f"s -> array_min(transform(hs, h -> xxhash64(s, h)))))))"
-    )
-    banded = sets.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
+    # the banding itself is band_signatures — ONE definition, so the
+    # incremental ledger gate's collide-iff-collide contract with this
+    # function is structural, not a copy-paste invariant (r10 review)
+    banded = band_signatures(sets, k, bands)
     buckets = (
         banded.groupBy("band", "bh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -1285,11 +1274,11 @@ def band_signatures(
 ) -> DataFrame:
     """Flat (doc_id, band, bh) MinHash band signatures — the LEDGER
     shape: one row per (doc, band), persistable as an append-only table
-    keyed by (band, bh). Same seeds/banding as :func:`lsh_candidates`
-    (two docs collide here iff they collide there), but flat instead of
-    fused into the bucket groupBy, because an incremental pipeline
-    needs the relation itself: today's ledger write is tomorrow's join
-    side."""
+    keyed by (band, bh). This is THE banding definition:
+    :func:`lsh_candidates` builds its buckets from this relation, so
+    "two docs collide in the ledger iff they collide in d43's buckets"
+    holds structurally rather than by keeping two expression copies in
+    sync (r10 review)."""
     if k % bands:
         raise ValueError(f"minhash k={k} must be divisible by bands={bands}")
     rows = k // bands

@@ -130,9 +130,25 @@ def _shim_dir(runtime_dir: str) -> str:
     elif os.path.exists(link):  # real dir/file where our symlink belongs
         import shutil
 
+        # rmtree on a regular FILE raises (swallowed); handle both kinds
         shutil.rmtree(link, ignore_errors=True)
+        if os.path.exists(link):
+            try:
+                os.unlink(link)
+            except OSError:
+                pass
     if not os.path.exists(link):
         os.symlink(target, link)
+    if not os.path.islink(link):
+        # the planted entry survived every removal attempt (e.g. owned
+        # by another uid under a sticky-bit parent): ABANDON this root
+        # for a fresh private one, as the docstring promises — returning
+        # it would put a dead (or attacker-controlled) google/protobuf
+        # on sys.path while enable() reports success (r10 review).
+        fresh = tempfile.mkdtemp(prefix="chyme_pbshim-")
+        os.makedirs(os.path.join(fresh, "google"), exist_ok=True)
+        os.symlink(target, os.path.join(fresh, "google", "protobuf"))
+        return fresh
     return shim
 
 

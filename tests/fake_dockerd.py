@@ -59,6 +59,10 @@ class FakeDockerDaemon:
         self.runtime_s = 0.0
         self.requests: list[tuple[str, str]] = []
         self.create_count = 0
+        # last create body (name, image, binds, env, user): lets tests
+        # assert what the wire actually carried without racing the
+        # container's lifecycle (it may be deleted before a test looks)
+        self.last_create: dict | None = None
         self.pulled: list[str] = []
         self._seq = 0
         self._lock = threading.Lock()
@@ -120,6 +124,10 @@ class FakeDockerDaemon:
                     )
                     daemon.containers[name] = c
                     daemon.create_count += 1
+                    daemon.last_create = {
+                        "name": name, "image": c.image, "binds": list(c.binds),
+                        "env": list(c.env), "user": c.user,
+                    }
                     return self._reply(201, {"Id": cid, "Warnings": []})
 
                 if self.command == "POST" and path == "/images/create":

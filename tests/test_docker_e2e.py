@@ -69,37 +69,20 @@ def test_success_path_create_start_wait_remove(cli, tmp_path):
 
 
 def test_create_body_carries_binds_env_user(cli, tmp_path):
+    # The daemon records the last create body at request time, so the
+    # assertion is race-free: no snapshot thread chasing a container the
+    # success path deletes (the earlier thread-based version flaked
+    # whenever the 0.2 s simulated process finished before the thread
+    # was ever scheduled).
     ws = _ws(tmp_path)
-    cli.runtime_s = 0.2  # keep it alive long enough to inspect mid-flight
-
-    import threading
-    seen = {}
-
-    def snapshot():
-        # Capture the container config while it exists (the success path
-        # deletes it at the end). binds/env/user/image are immutable from
-        # "created" on, so ANY observed lifecycle state proves the create
-        # body landed — requiring "running" specifically was a timing
-        # flake under CPU contention (the 0.2 s simulated process could
-        # finish before this thread ever got scheduled).
-        import time
-        for _ in range(1000):
-            c = cli.containers.get("chyme-deadbeef")
-            if c is not None:
-                seen["c"] = (c.image, set(c.binds), set(c.env), c.user)
-                return
-            time.sleep(0.005)
-
-    t = threading.Thread(target=snapshot)
-    t.start()
     res = docker_executor(_task(env="A=1\nB=two", user="1000"), ws)
-    t.join()
     assert res.ok, res.error
-    image, binds, env, user = seen["c"]
-    assert image == "img:1"
-    assert binds == {f"{ws['input']}:/in", f"{ws['output']}:/out"}
-    assert env == {"A=1", "B=two"}
-    assert user == "1000"
+    body = cli.last_create
+    assert body is not None and body["name"] == "chyme-deadbeef"
+    assert body["image"] == "img:1"
+    assert set(body["binds"]) == {f"{ws['input']}:/in", f"{ws['output']}:/out"}
+    assert set(body["env"]) == {"A=1", "B=two"}
+    assert body["user"] == "1000"
 
 
 def test_reuse_by_name_skips_create(cli, tmp_path):

@@ -75,3 +75,43 @@ def test_find_protobuf_runtime_rejects_old_major(tmp_path, monkeypatch):
     except ImportError:
         pass
     assert pbcompat.find_protobuf_runtime() is None
+
+
+def test_shim_replaces_a_planted_regular_file(tmp_path, monkeypatch):
+    """A regular FILE planted at google/protobuf (rmtree raises on files
+    and ignore_errors swallows it) must not survive: either it is
+    removed and relinked, or the shim root is abandoned for a fresh one
+    whose entry IS the symlink (r10 review finding #1)."""
+    monkeypatch.setattr(pbcompat, "_SHIM_ROOT", str(tmp_path / "shim"))
+    rt = _fake_runtime(tmp_path)
+    planted = tmp_path / "shim" / "google" / "protobuf"
+    planted.parent.mkdir(parents=True)
+    planted.write_text("not a symlink")
+    shim = pbcompat._shim_dir(rt)
+    link = os.path.join(shim, "google", "protobuf")
+    assert os.path.islink(link)
+    assert os.readlink(link) == os.path.join(rt, "google", "protobuf")
+
+
+def test_shim_abandons_an_unremovable_entry(tmp_path, monkeypatch):
+    """If the planted entry cannot be removed at all, _shim_dir must
+    return a DIFFERENT root with a working symlink rather than the
+    poisoned one (the docstring's 'abandoned rather than imported')."""
+    monkeypatch.setattr(pbcompat, "_SHIM_ROOT", str(tmp_path / "shim"))
+    rt = _fake_runtime(tmp_path)
+    planted = tmp_path / "shim" / "google" / "protobuf"
+    planted.parent.mkdir(parents=True)
+    planted.write_text("not a symlink")
+    import shutil as _sh
+
+    monkeypatch.setattr(_sh, "rmtree", lambda *a, **k: None)
+    monkeypatch.setattr(os, "unlink", _raise_oserror)
+    shim = pbcompat._shim_dir(rt)
+    assert shim != str(tmp_path / "shim")
+    link = os.path.join(shim, "google", "protobuf")
+    assert os.path.islink(link)
+    assert os.readlink(link) == os.path.join(rt, "google", "protobuf")
+
+
+def _raise_oserror(*a, **k):
+    raise OSError("unremovable")
