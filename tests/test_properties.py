@@ -241,3 +241,93 @@ def test_phash_banding_detects_hamming_3(h: int, flips: set[int]):
     hamming = bin(h ^ h2).count("1")
     assert hamming <= 3
     assert any(a == b for a, b in zip(bands, bands2))
+
+
+# --- FastSS deletion-neighborhood blocking (x_record_linkage, r10) ----
+
+def _del2_neighborhood(s: str) -> set:
+    """Python mirror of x_record_linkage's (i, j) variant encoding:
+    (0,0) = no deletion; (i,i) = delete 1-based position i;
+    (i,j), i<j = delete both positions."""
+    out = {s}
+    n = len(s)
+    for i in range(1, n + 1):
+        out.add(s[: i - 1] + s[i:])          # delete i
+        for j in range(i + 1, n + 1):        # delete i and j
+            out.add(s[: i - 1] + s[i : j - 1] + s[j:])
+    return out
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_EDIT = st.sampled_from(["ins", "del", "sub"])
+
+
+@given(
+    s=st.text(alphabet="abc#0123456789", min_size=0, max_size=12),
+    edits=st.lists(
+        st.tuples(_EDIT, st.integers(min_value=0, max_value=20),
+                  st.sampled_from("abc#0123456789")),
+        min_size=0, max_size=2,
+    ),
+)
+@settings(max_examples=400)
+def test_fastss_blocking_is_complete(s: str, edits):
+    """COMPLETENESS of the deletion-neighborhood key (the direction that
+    silently loses pairs if wrong): any two strings within edit
+    distance 2 must share a <=2-deletion variant, for arbitrary strings
+    and arbitrary insert/delete/substitute edits — not just the
+    fixture's Customer#%09d names."""
+    t = s
+    for kind, pos, ch in edits:
+        p = pos % (len(t) + 1)
+        if kind == "ins":
+            t = t[:p] + ch + t[p:]
+        elif kind == "del" and t:
+            p = pos % len(t)
+            t = t[:p] + t[p + 1 :]
+        elif kind == "sub" and t:
+            p = pos % len(t)
+            t = t[:p] + ch + t[p + 1 :]
+    assert _lev(s, t) <= 2  # by construction
+    assert _del2_neighborhood(s) & _del2_neighborhood(t), (s, t)
+
+
+def test_fastss_spark_variants_match_python_model(spark):
+    """The SQL variant expression inside x_record_linkage must enumerate
+    EXACTLY the Python model's <=2-deletion neighborhood (same
+    substring/concat arithmetic, off-by-one-free), including the empty
+    and 1-char edge cases."""
+    names = ["", "x", "ab", "Customer#000000007", "aba", "##12"]
+    var_expr = (
+        "CASE WHEN i = 0 THEN name "
+        "WHEN j = i THEN concat(substring(name, 1, i-1),"
+        " substring(name, i+1, 1000000)) "
+        "ELSE concat(substring(name, 1, i-1),"
+        " substring(name, i+1, j-i-1), substring(name, j+1, 1000000)) END"
+    )
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = (
+        df.select("name", F.explode(F.expr("sequence(0, length(name))")).alias("i"))
+        .select(
+            "name", "i",
+            F.explode(
+                F.expr("CASE WHEN i = 0 THEN array(0) ELSE sequence(i, length(name)) END")
+            ).alias("j"),
+        )
+        .select("name", F.expr(var_expr).alias("v"))
+        .collect()
+    )
+    by_name: dict[str, set] = {}
+    for r in got:
+        by_name.setdefault(r.name, set()).add(r.v)
+    for n in names:
+        assert by_name[n] == _del2_neighborhood(n), n
