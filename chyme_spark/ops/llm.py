@@ -1467,6 +1467,124 @@ def x_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_WINNOW_K = 5  # tokens per gram (the repo's 5-gram convention)
+_WINNOW_W = 4  # grams per winnowing window
+
+
+@query(
+    "x_winnowing_fingerprint",
+    # Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+    # algorithm, public): hash every positional k-gram, slide a window
+    # of w hashes, select each window's MINIMUM — any two documents
+    # sharing a token run of >= w+k-1 are GUARANTEED to share a selected
+    # fingerprint, while the index holds only ~2/(w+1) of the grams.
+    # The shared-fp count per doc is then the same contamination signal
+    # as x_duplicate_ngram_fraction, computed over the sub-linear
+    # winnowed set — the index you can actually afford at 100 TB.
+    # md5 is the digest (byte-identical in both engines, the
+    # x_fingerprint precedent); the window min is a string min.
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    h AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= {_WINNOW_K} THEN
+                 list_transform(generate_series(1, len(toks) - {_WINNOW_K - 1}),
+                                i -> md5(array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')))
+               ELSE [] END AS hs
+        FROM t),
+    f AS (
+        SELECT doc_id, len(hs) AS n_grams,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(hs) - {_WINNOW_W - 1}, 1)),
+                   p -> list_min(hs[p:p+{_WINNOW_W - 1}]))) AS fps
+        FROM h WHERE len(hs) >= 1),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    shared AS (SELECT fp FROM e GROUP BY fp HAVING count(*) >= 2),
+    per AS (
+        SELECT e.doc_id, count(*) AS n_fps, count(s.fp) AS n_shared_fps
+        FROM e LEFT JOIN shared s USING (fp) GROUP BY e.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(f.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(CASE WHEN f.doc_id IS NULL THEN 0
+                ELSE greatest(f.n_grams - {_WINNOW_W - 1}, 1) END AS BIGINT) AS n_windows,
+           CAST(COALESCE(p.n_fps, 0) AS BIGINT) AS n_fps,
+           CAST(COALESCE(p.n_shared_fps, 0) AS BIGINT) AS n_shared_fps
+    FROM documents d
+    LEFT JOIN f ON d.doc_id = f.doc_id
+    LEFT JOIN per p ON d.doc_id = p.doc_id
+    """,
+    doc="winnowing fingerprints (MOSS): window-min over positional 5-gram md5s — guaranteed detection of shared runs >= w+k-1 tokens from a ~2/(w+1)-size index, with per-doc shared-fp contamination counts",
+)
+def x_winnowing_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Local fingerprint SELECTION — the layer between raw n-grams and
+    an affordable contamination index. x_duplicate_ngram_fraction
+    indexes EVERY distinct gram; winnowing provably keeps the
+    detection guarantee (shared runs of >= w+k-1 tokens always share a
+    selected fingerprint, Schleimer et al. §3) while storing ~2/(w+1)
+    of them.
+
+    100 TB shape: selection is pure per-document array algebra — zero
+    shuffle until the winnowed set (already ~3x smaller than the gram
+    set) hits the shared-fp index, which is the same
+    gram-count/semi-join/doc-agg pattern as x_duplicate_ngram_fraction
+    (one hash shuffle, exchange reuse, AQE skew split on boilerplate
+    fingerprints). Guarantee property-tested in tests/test_properties.py
+    (shared token run => shared fingerprint, arbitrary corpora)."""
+    k, w = _WINNOW_K, _WINNOW_W
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select("doc_id", _tokens().alias("toks"))
+    hs = F.when(
+        F.size("toks") >= k,
+        F.expr(
+            f"transform(sequence(1, size(toks) - {k - 1}), "
+            f"i -> md5(concat_ws(' ', slice(toks, i, {k}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_fps = (
+        staged.select("doc_id", hs.alias("hs"))
+        .filter(F.size("hs") >= 1)
+        .select(
+            "doc_id",
+            F.size("hs").alias("n_grams"),
+            F.expr(
+                f"array_distinct(transform("
+                f"sequence(1, greatest(size(hs) - {w - 1}, 1)), "
+                f"p -> array_min(slice(hs, p, {w}))))"
+            ).alias("fps"),
+        )
+    )
+    e = with_fps.select("doc_id", F.explode("fps").alias("fp"))
+    shared = (
+        e.groupBy("fp").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
+    )
+    per = (
+        e.join(shared.select("fp").withColumn("is_shared", F.lit(1)), "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fps"),
+            F.count("is_shared").alias("n_shared_fps"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(with_fps.select("doc_id", "n_grams"), "doc_id", "left")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            # NULL n_grams (no grams) must yield 0 windows — note
+            # greatest() SKIPS nulls (greatest(NULL, 1) = 1), so the
+            # when-guard, not coalesce-after-greatest, is load-bearing
+            F.when(F.col("n_grams").isNull(), F.lit(0))
+            .otherwise(F.greatest(F.col("n_grams") - (w - 1), F.lit(1)))
+            .cast("long").alias("n_windows"),
+            F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
+            F.coalesce("n_shared_fps", F.lit(0)).cast("long").alias("n_shared_fps"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-3 corpus-hygiene extensions: rule-based quality gates, pre-tokenizer
 # accounting, cross-doc n-gram contamination, BM25 retrieval, Bloom prefilter

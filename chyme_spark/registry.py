@@ -75,6 +75,7 @@ _FRONT_50 = [
     "x_incremental_neardup",      # batch near-dup vs persisted MinHash band ledger (r9 VERDICT #7)
     "x_linear_probe_fit",         # one-pass OLS from exact integer sufficient statistics (new r10)
     "x_eval_contamination",       # map-only per-eval contamination report vs train corpus (new r10)
+    "x_winnowing_fingerprint",    # MOSS winnowing selection + shared-fp contamination counts (new r10)
     # (b) changed in round 10 — the driver must re-prove the new code:
     "x_stream_tws_sessions",      # graduated rows-only -> full oracle (r9 VERDICT #3) + listTimers fix
     "x_record_linkage",           # FastSS deletion-neighborhood rewrite (r9 VERDICT #2)
@@ -100,8 +101,9 @@ _FRONT_50 = [
     # x_tpch_q16_supplier_count, x_tpch_q18_big_orders,
     # x_tpch_q19_disjunctive_join, x_tpch_q20_promo_suppliers,
     # x_tpch_q21_waiting_supplier, x_tpch_q13_cust_distribution,
-    # and — displaced by the new x_eval_contamination —
-    # x_tpch_q12_priority_shipping; all r5-green, all ALSO re-proven
+    # and — displaced by the new x_eval_contamination and
+    # x_winnowing_fingerprint — x_tpch_q12_priority_shipping and
+    # x_tpch_q10_returned_items; all r5-green, all ALSO re-proven
     # locally this round (tools/check_oracle.py sf0.01 full-window run
     # before the displacement), they return at the head of round 11's
     # backfill):
@@ -115,7 +117,6 @@ _FRONT_50 = [
     "d45_token_counts", "d50_pipeline_flagship",
     "x_asof_join", "x_asof_join_tolerance", "x_bloom_prefilter_prod",
     "x_cohort_retention", "x_grouping_sets", "x_time_weighted_avg",
-    "x_tpch_q10_returned_items",
 ]
 
 _FRONT_50_R9 = [

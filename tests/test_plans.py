@@ -39,6 +39,10 @@ EXPECTED = {
     # qid exchange (partial agg first), broadcast eval suite, and NO
     # corpus-wide shuffle ever
     "x_eval_contamination": (1, 1, 0, False),
+    # r10: winnowing = narrow per-doc selection, then exactly
+    # dup_ngram's 2-shuffle index pattern (fp count + doc agg) with the
+    # small joins AQE-promoted to broadcast at this SF
+    "x_winnowing_fingerprint": (2, 3, 0, False),
     "d14_hash_agg_q1": (1, 0, 0, False),
     "d20_limit_topk": (0, 0, 0, True),
     "d44_cosine_topk": (1, 1, 0, False),

@@ -331,3 +331,34 @@ def test_fastss_spark_variants_match_python_model(spark):
         by_name.setdefault(r.name, set()).add(r.v)
     for n in names:
         assert by_name[n] == _del2_neighborhood(n), n
+
+
+# --- winnowing fingerprint guarantee (x_winnowing_fingerprint, r10) ---
+
+def _winnow(tokens: list, k: int = 5, w: int = 4) -> set:
+    """Python model of the op's selection: md5 positional k-grams,
+    min per length-w window (windows clamped to >= 1 when any gram
+    exists)."""
+    import hashlib
+
+    if len(tokens) < k:
+        return set()
+    hs = [
+        hashlib.md5(" ".join(tokens[i : i + k]).encode()).hexdigest()
+        for i in range(len(tokens) - k + 1)
+    ]
+    return {min(hs[p : p + w]) for p in range(max(len(hs) - w + 1, 1))}
+
+
+@given(
+    a=st.lists(st.sampled_from("abcdef"), min_size=0, max_size=20),
+    b=st.lists(st.sampled_from("abcdef"), min_size=0, max_size=20),
+    run=st.lists(st.sampled_from("abcdef"), min_size=8, max_size=12),
+)
+@settings(max_examples=300)
+def test_winnowing_guarantee_shared_run_shares_fingerprint(a, b, run):
+    """Schleimer et al. §3: two documents sharing a token run of
+    >= w+k-1 (= 8) tokens MUST share a selected fingerprint, wherever
+    the run sits in either document."""
+    d1, d2 = a + run + b, b + run + a
+    assert _winnow(d1) & _winnow(d2), (d1, d2)

@@ -124,3 +124,27 @@ def test_eval_contamination_planted_duplicate(spark, tmp_path):
     assert miss.n_hits == 0
     assert miss.max_cos < 0.4
     assert miss.closest_train_id == 101  # best of the non-hits, tie-free
+
+
+def test_winnowing_short_doc_edges(spark, tmp_path):
+    """Docs shorter than k tokens yield (0, 0, 0, 0) — not the
+    greatest(NULL,1)=1 window-count trap — and a doc with exactly k
+    tokens yields one gram, one (clamped) window, one fingerprint."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["too short", "a b c d e", "x y z w v u t s"],
+            "lang": ["xx"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [9, 9, 15],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in
+           REGISTRY["x_winnowing_fingerprint"].fn(spark, str(tmp_path)).collect()}
+    assert (out[1].n_grams, out[1].n_windows, out[1].n_fps, out[1].n_shared_fps) == (0, 0, 0, 0)
+    assert (out[2].n_grams, out[2].n_windows, out[2].n_fps) == (1, 1, 1)
+    # 8 tokens -> 4 grams -> 1 window of 4 -> 1 fingerprint
+    assert (out[3].n_grams, out[3].n_windows, out[3].n_fps) == (4, 1, 1)
+    assert out[2].n_shared_fps == 0 and out[3].n_shared_fps == 0

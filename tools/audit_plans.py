@@ -78,9 +78,11 @@ AUDIT = [
     # input eagerly, so the audited df is a LocalRelation with no plan)
     "x_param_sql", "x_sql_variable",
     "x_auc_score", "x_calibration_bins", "x_keyness_tokens",
-    # round-10 addition: the map-only eval-contamination report (the
-    # whole point is its shape — no corpus-wide exchange)
-    "x_eval_contamination",
+    # round-10 additions: the map-only eval-contamination report (the
+    # whole point is its shape — no corpus-wide exchange) and the
+    # winnowing fingerprint index (dup_ngram's shuffle pattern over a
+    # ~3x smaller selected set)
+    "x_eval_contamination", "x_winnowing_fingerprint",
     # (x_dedup_report and x_tokenizer_fertility excluded with the other
     # iterative consumers: CC labels / BPE merge-loop lineage make the
     # one-shot exchange counts mis-state per-round work;
