@@ -180,8 +180,9 @@ ROTATION = [
     "x_triangle_count", "x_minhash_containment", "x_bpe_train",
     "x_zorder_layout", "x_hll_intersect", "x_mad_outliers",
     "x_incremental_neardup",
-    # the two remaining new-in-r10 ops, timed the round they land:
+    # the remaining new-in-r10 ops, timed the round they land:
     "x_linear_probe_fit", "x_eval_contamination",
+    "x_winnowing_fingerprint",
 ]
 
 
