@@ -1534,25 +1534,36 @@ def x_winnowing_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     k, w = _WINNOW_K, _WINNOW_W
     docs = load_table(spark, sf, "documents")
     staged = docs.select("doc_id", _tokens().alias("toks"))
-    hs = F.when(
-        F.size("toks") >= k,
-        F.expr(
-            f"transform(sequence(1, size(toks) - {k - 1}), "
-            f"i -> md5(concat_ws(' ', slice(toks, i, {k}))))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # The gram-hash array is bound ONCE as a lambda variable (wrap in a
+    # 1-element array, transform, take element 1). Referencing it as a
+    # named projection column instead lets CollapseProject inline the
+    # md5-transform into EVERY window's slice() — n re-evaluations of an
+    # n-element md5 array per document, O(n^2) digests: measured 229 s
+    # vs 5.3 s at sf0.1 (42x) for identical output. Lambda variables
+    # are evaluated once per row; projection aliases are not a CSE
+    # boundary under higher-order functions.
+    core = F.expr(
+        f"element_at(transform(array("
+        f"  CASE WHEN size(toks) >= {k} THEN "
+        f"    transform(sequence(1, size(toks) - {k - 1}), "
+        f"      i -> md5(concat_ws(' ', slice(toks, i, {k})))) "
+        f"  ELSE cast(array() as array<string>) END), "
+        f"hs -> named_struct("
+        f"  'n_grams', size(hs), "
+        f"  'fps', CASE WHEN size(hs) >= 1 THEN "
+        f"    array_distinct(transform("
+        f"      sequence(1, greatest(size(hs) - {w - 1}, 1)), "
+        f"      p -> array_min(slice(hs, p, {w})))) "
+        f"  ELSE cast(array() as array<string>) END)), 1)"
+    )
     with_fps = (
-        staged.select("doc_id", hs.alias("hs"))
-        .filter(F.size("hs") >= 1)
+        staged.select("doc_id", core.alias("c"))
         .select(
             "doc_id",
-            F.size("hs").alias("n_grams"),
-            F.expr(
-                f"array_distinct(transform("
-                f"sequence(1, greatest(size(hs) - {w - 1}, 1)), "
-                f"p -> array_min(slice(hs, p, {w}))))"
-            ).alias("fps"),
+            F.col("c.n_grams").alias("n_grams"),
+            F.col("c.fps").alias("fps"),
         )
+        .filter(F.col("n_grams") >= 1)
     )
     e = with_fps.select("doc_id", F.explode("fps").alias("fp"))
     shared = (
