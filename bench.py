@@ -138,8 +138,15 @@ SF1_HEAVY = [
 # the exploded variant side — Catalyst's size estimate doesn't see a
 # 172x explode fan-out — and blew spark.driver.maxResultSize; the op
 # now pins that join to sort-merge, which also measured 2.8x faster
-# at sf0.1). The cost curves keep bending DOWN as fixed per-query
-# overhead amortizes, which is the shape a 1000-executor run needs.
+# at sf0.1). The two new r10 contamination ops were spot-checked at
+# 50x as well: x_winnowing_fingerprint 5.3s -> 43.4s (~8x time on 50x
+# data; and the 50x run is what exposed the CollapseProject O(n^2)
+# digest re-evaluation the op now guards against with a lambda-bound
+# hash array) and x_eval_contamination 0.48s -> 0.9s (~2x on 50x —
+# map-only, the exchange carries partitions x |eval| rows regardless
+# of corpus size). The cost curves keep bending DOWN as fixed
+# per-query overhead amortizes, which is the shape a 1000-executor
+# run needs.
 SF2_SKEW = [
     "d43_minhash_lsh", "x_duplicate_ngram_fraction",
     "x_dup_span_scrub", "x_stratified_split", "x_dsir_resample",
