@@ -168,6 +168,10 @@ SF2_SKEW = [
     # probe would measure mandatory replica blowup, not the operator.
     # Its scale story is the banded-join plan pin + sf0.1 timing.
     "x_record_linkage", "x_semdedup", "x_cross_source_leakage",
+    # r10: the winnowed contamination index (TRUE output is |docs| rows,
+    # linear under replication; per-copy text suffixes keep whole-doc
+    # fps distinct while shared runs still collide — the heavy case)
+    "x_winnowing_fingerprint",
 ]
 
 # Bench-battery rotation (VERDICT r8 #5): ~10 slots per round through
