@@ -172,6 +172,12 @@ SF2_SKEW = [
     # linear under replication; per-copy text suffixes keep whole-doc
     # fps distinct while shared runs still collide — the heavy case)
     "x_winnowing_fingerprint",
+    # r11 (VERDICT r10 #4): the incremental embedding gate — TRUE output
+    # is always exactly |batch| disposition rows (linear), replicated
+    # vectors concentrate into the same IVF cells (the skew-heavy case
+    # for the cell equi-join), and the probe proves the ledger
+    # build+probe pipeline holds as cell occupancy grows 20x.
+    "x_incremental_ann",
 ]
 
 # Bench-battery rotation (VERDICT r8 #5): ~10 slots per round through
@@ -179,21 +185,21 @@ SF2_SKEW = [
 # round's entry in tools/bench_ledger.json (tests/test_bench_battery.py
 # asserts the two stay in sync and every member is registered).
 ROTATION = [
-    # round-10 cohort (VERDICT r9 #6): never-benched heavy ops — the
-    # connected-components dedup labeler + its survivor pass, the
-    # recursive-CTE org walk, the wedge-join triangle count, asymmetric
-    # gram containment, the distributed BPE trainer, the Z-order layout
-    # planner, HLL sketch intersection, MAD outliers, and the new
-    # incremental near-dup ledger gate. (The verdict's suggested
-    # x_compaction_plan is already in HEADLINE — benched every round —
-    # so the new-this-round op takes its slot.)
-    "x_dedup_clusters", "x_neardup_survivors", "x_recursive_cte",
-    "x_triangle_count", "x_minhash_containment", "x_bpe_train",
-    "x_zorder_layout", "x_hll_intersect", "x_mad_outliers",
-    "x_incremental_neardup",
-    # the remaining new-in-r10 ops, timed the round they land:
-    "x_linear_probe_fit", "x_eval_contamination",
-    "x_winnowing_fingerprint",
+    # round-11 cohort (VERDICT r10 #5): the never-benched UDF-surface
+    # ops from rounds 7/8 — the four D-47..49 UDF battery members plus
+    # the Arrow-native scalar/UDTF/grouped-map/mapInArrow and the
+    # row-at-a-time Python UDTF (their relative cost vs JVM built-ins
+    # is exactly what a bench should record) — and the heavy
+    # never-benched pair joins: the exact block-matrix embedding join,
+    # PPJoin set-similarity, the banded pHash image near-dup, and
+    # n-gram Jaccard verify.
+    "d47_python_udf", "d48_pandas_udf", "d49_apply_in_pandas",
+    "x_arrow_udf", "x_arrow_udtf", "x_apply_in_arrow",
+    "x_map_in_arrow", "x_python_udtf",
+    "x_embedding_neardup", "x_ppjoin_setsim", "x_image_phash_neardup",
+    "x_ngram_jaccard",
+    # the new-in-r11 op, timed the round it lands:
+    "x_incremental_ann",
 ]
 
 
@@ -575,6 +581,18 @@ def main() -> None:
         summary["rotation_n"] = len(rot_block["queries_median"])
         summary["rotation_total"] = round(sum(rot_block["queries_median"].values()), 3)
     print("BENCH_SUMMARY " + json.dumps(summary))
+    # VERY LAST line: pure compact JSON (VERDICT r10 #2). The driver
+    # parses the FINAL stdout line as JSON — the BENCH_SUMMARY line
+    # above carries a text prefix and the full dump outgrew the captured
+    # tail in r5-r10 ("parsed": null since r5), so this line is (a) the
+    # last thing printed, (b) prefix-free, and (c) bounded: summary
+    # fields + per-query sf0.1 steady medians only (~1.5 KB at 40
+    # queries). Everything deeper (spreads, probe blocks, rotation
+    # medians) stays in the full JSON above for the reference tooling.
+    final = dict(summary)
+    final["metric"] = "headline_queries_total_wall_clock"
+    final["queries"] = steady
+    print(json.dumps(final, separators=(",", ":")))
 
 
 if __name__ == "__main__":

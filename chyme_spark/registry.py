@@ -67,7 +67,47 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # If the list exceeds 50, the tail (youngest backfill) rotates out and
 # returns next round.
 _FRONT_50 = [
-    # ---- Round-10 window (VERDICT r9 #1: rotate to the 44 r5-stamped
+    # ---- Round-11 window (VERDICT r10 #1: clear the r5 cohort
+    # COMPLETELY — the 15 TPC-H rewrites + x_yoy_growth displaced last
+    # round — then backfill with the head of the r6 cohort; after this
+    # round the ledger minimum stamp must be r6. Budgeted exactly ONE
+    # new op per the verdict, so forced slots cost only 2 backfill
+    # names) ----
+    # (a) new in round 11 — never driver-checked:
+    "x_incremental_ann",          # embedding ingestion gate vs persisted IVF ledger (r10 VERDICT #4)
+    # (b) changed in round 11 — the driver must re-prove the new code:
+    "x_incremental_neardup",      # ledger tempdir now session-cached, no per-call leak (ADVICE r10)
+    # (c) backfill: the ENTIRE remaining r5-stamped cohort (15 names),
+    # oldest cohort first — these are the displaced TPC-H rewrites the
+    # r10 verdict made item #1:
+    "x_tpch_q10_returned_items", "x_tpch_q12_priority_shipping",
+    "x_tpch_q13_cust_distribution", "x_tpch_q16_supplier_count",
+    "x_tpch_q18_big_orders", "x_tpch_q19_disjunctive_join",
+    "x_tpch_q20_promo_suppliers", "x_tpch_q21_waiting_supplier",
+    "x_tpch_q22_sales_opportunity", "x_tpch_q2_min_cost_supplier",
+    "x_tpch_q4_order_priority", "x_tpch_q6_forecast_revenue",
+    "x_tpch_q7_volume_shipping", "x_tpch_q8_market_share",
+    "x_yoy_growth",
+    # then the head of the r6-stamped cohort (alphabetical within equal
+    # stamp, 33 of 47 fit; the 14-name tail — x_segment_dedup_scrub
+    # through x_zorder_layout plus d19/d22/d23/d25/d26's r7 stamps —
+    # returns at the head of round 12's backfill):
+    "x_anomaly_zscore", "x_boilerplate_scrub", "x_cdc_apply",
+    "x_column_profile", "x_compaction_plan", "x_countmin_sketch",
+    "x_decile_bins", "x_doc_chunk_windows", "x_dsir_resample",
+    "x_dup_span_scrub", "x_embedding_quantize", "x_event_pattern_match",
+    "x_full_outer_join", "x_hll_intersect", "x_hll_sketch_union",
+    "x_interpolate", "x_inverted_index", "x_last_click_attribution",
+    "x_lm_surprisal_score", "x_longest_streak", "x_mad_outliers",
+    "x_market_basket", "x_markov_transitions", "x_mixture_resample",
+    "x_mixture_temperature", "x_pagerank", "x_pandas_grouped_agg",
+    "x_partial_agg_merge", "x_phrase_search", "x_pmi_collocations",
+    "x_rolling_dau", "x_rolling_median", "x_scd2_intervals",
+]
+
+_FRONT_50_R10 = [
+    # ---- Round-10 window (retired; kept for the ledger audit trail) ----
+    # (VERDICT r9 #1: rotate to the 44 r5-stamped
     # greens + the 6 leftover r4 stamps; after this round the ledger
     # minimum should reach r5-cleared modulo the 4 displaced names
     # below) ----

@@ -1,0 +1,51 @@
+"""Round-11 op contracts: x_incremental_ann plan/layout guarantees.
+
+The recall/soundness/monotonicity contracts live in
+tests/test_llm_recall.py::test_incremental_ann_soundness_recall_monotone;
+this file pins the SCALE claims the docstring makes — the persisted
+ledger's hive layout and the literal partition-filter pushdown that
+makes a small daily batch read only its probed cells' files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from chyme_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_incremental_ann_ledger_layout_and_pruned_scan(spark, sf_dir):
+    df = REGISTRY["x_incremental_ann"].fn(spark, sf_dir)
+    df.count()  # force the ledger build
+
+    # (a) the persisted ledger is hive-partitioned BY CELL — the layout
+    # partition pruning needs at 100 TB
+    from chyme_spark.ops.llm import _LEDGER_DIRS
+
+    ledger_dir = _LEDGER_DIRS[f"ann:{sf_dir}"]
+    cell_dirs = [d for d in os.listdir(f"{ledger_dir}/cells") if d.startswith("cell=")]
+    assert len(cell_dirs) >= 2, f"expected hive cell= partitions, got {cell_dirs[:5]}"
+
+    # (b) the probe pushes the probed-cell set as a PLAN-TIME partition
+    # filter onto the ledger scan (no DPP reliance — the docstring's
+    # pruning claim must be visible in PartitionFilters)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        line
+        for line in plan.splitlines()
+        if "chyme_ann_ledger" in line and "PartitionFilters: [cell" in line.replace(" ", "")
+        or ("PartitionFilters:" in line and "cell#" in line.split("PartitionFilters:", 1)[-1])
+    ]
+    assert pruned, "ledger cells scan lost its literal cell partition filter"
+
+    # (c) pruning is semantics-free: a narrow probe (nprobe=1) rejects a
+    # subset and never invents a rejection the full verify wouldn't
+    full = {r.vec_id: r.dup_of for r in df.collect() if not r.kept}
+    narrow = {
+        r.vec_id
+        for r in REGISTRY["x_incremental_ann"].fn(spark, sf_dir, nprobe=1).collect()
+        if not r.kept
+    }
+    assert narrow <= set(full)

@@ -36,7 +36,15 @@ def propose() -> tuple[list[str], dict[str, list[str]]]:
     from chyme_spark.registry import REGISTRY, load_all, source_hash
 
     load_all()
-    ledger = json.load(open(os.path.join(ROOT, "tools", "oracle_ledger.json")))
+    ledger_path = os.path.join(ROOT, "tools", "oracle_ledger.json")
+    try:
+        with open(ledger_path) as fh:
+            ledger = json.load(fh)
+    except FileNotFoundError:
+        raise SystemExit(
+            f"missing {ledger_path} — run `python tools/update_ledger.py` "
+            "after a driver round to create/refresh it"
+        )
 
     new: list[str] = []
     changed: list[str] = []
@@ -53,7 +61,16 @@ def propose() -> tuple[list[str], dict[str, list[str]]]:
     room = max(0, 50 - len(new) - len(changed))
     backfill = [n for _, n in backfill_pool[:room]]
     displaced = [n for _, n in backfill_pool[room:]]
-    window = (new + changed + backfill)[:50]
+    if len(new) + len(changed) > 50:
+        # The guard test REQUIRES every new/changed query in _FRONT_50;
+        # a window that can't hold them all is a policy violation, not
+        # something to silently slice.
+        raise SystemExit(
+            f"forced members overflow the window: {len(new)} new + "
+            f"{len(changed)} changed > 50 — split the round or revert "
+            "churn before rotating"
+        )
+    window = new + changed + backfill
     return window, {
         "new": new,
         "changed": changed,
