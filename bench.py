@@ -147,6 +147,18 @@ SF1_HEAVY = [
 # of corpus size). The cost curves keep bending DOWN as fixed
 # per-query overhead amortizes, which is the shape a 1000-executor
 # run needs.
+#
+# r11 50x spot check, x_incremental_ann: warm (ledger cached) 2.3s at
+# sf0.1 -> 15.2s at 50x (~6.6x time on 50x data); cold incl. KMeans
+# codebook training + ledger write 16.5s -> 57.8s (~3.5x). The 50x
+# check exposed BOTH design fixes the op now carries: a fixed k=16 +
+# fixed 250-vector history made the in-batch candidate join
+# O(batch^2/16) (~2.5e9 pairs; now adaptive k + proportional split),
+# and the HOF-expression quantize/verify measured 53s/100s at 50x vs
+# ~1s/14s for the mapInPandas dgemm + cogrouped per-cell gemm that
+# replaced them (x_cosine_topk_np's Arrow physical strategy). Output
+# identical at all measured SFs (sf0.1: 65/96 recall, 0 spurious,
+# both forms).
 SF2_SKEW = [
     "d43_minhash_lsh", "x_duplicate_ngram_fraction",
     "x_dup_span_scrub", "x_stratified_split", "x_dsir_resample",
@@ -191,13 +203,16 @@ ROTATION = [
     # row-at-a-time Python UDTF (their relative cost vs JVM built-ins
     # is exactly what a bench should record) — and the heavy
     # never-benched pair joins: the exact block-matrix embedding join,
-    # PPJoin set-similarity, the banded pHash image near-dup, and
-    # n-gram Jaccard verify.
+    # banded SimHash near-dup, the banded pHash image near-dup, n-gram
+    # Jaccard verify, and the decontamination scrub. (x_ppjoin_setsim
+    # is deliberately NOT rotated in: its sf0.1 timing is already on
+    # record — 35 s, r8 rewrite — and 4 passes of it would dominate the
+    # rotation's wall-clock for no new information.)
     "d47_python_udf", "d48_pandas_udf", "d49_apply_in_pandas",
     "x_arrow_udf", "x_arrow_udtf", "x_apply_in_arrow",
     "x_map_in_arrow", "x_python_udtf",
-    "x_embedding_neardup", "x_ppjoin_setsim", "x_image_phash_neardup",
-    "x_ngram_jaccard",
+    "x_embedding_neardup", "x_simhash_neardup", "x_image_phash_neardup",
+    "x_ngram_jaccard", "x_decontaminate",
     # the new-in-r11 op, timed the round it lands:
     "x_incremental_ann",
 ]

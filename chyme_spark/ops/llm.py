@@ -647,7 +647,8 @@ def x_embedding_neardup(spark: SparkSession, sf: str, n_blocks: int = 8) -> Data
     doc="incremental embedding ingestion gate: new vector batch quantized against a PERSISTED IVF ledger (centroid codebook + cell-partitioned postings), exact-cosine verify of colliding cells only — the embedding sibling of x_incremental_neardup, no history re-scan",
 )
 def x_incremental_ann(
-    spark: SparkSession, sf: str, k: int = 16, nprobe: int = 4, tau: float = 0.45
+    spark: SparkSession, sf: str, k: int | None = None, nprobe: int = 4,
+    tau: float = 0.45,
 ) -> DataFrame:
     """The embedding sibling of x_incremental_neardup (VERDICT r10 #4):
     yesterday's corpus is a PERSISTED IVF ledger — a centroid codebook
@@ -669,12 +670,21 @@ def x_incremental_ann(
     as a LITERAL partition filter onto the ledger read, so the hive
     layout prunes at plan time and a day's ingest reads ~nprobe/k of
     history (only the probed cells' files), never the corpus. The codebook
-    is k x dim — a broadcast literal. Nothing quadratic: candidates are
-    |batch| x (cell occupancy) x nprobe. Codebook drift (history grows,
-    centroids staling) is the operational knob: retrain on a sample
-    every N days and rewrite the layout — the compaction story, not the
-    ingest story. Split at vec_id 250 is the repo's hist/batch fixture
-    convention (x_incremental_neardup's).
+    is k x dim — a broadcast literal. Nothing quadratic BY CONSTRUCTION:
+    both candidate paths cost ~|batch| x nprobe x (cell occupancy), and
+    occupancy is held bounded because k is ADAPTIVE — clamp(hist/64, 16,
+    1024), the x_semdedup precedent — so a replication-scaled corpus
+    grows cells, not cell population (a fixed k=16 made the in-batch
+    path O(batch^2/16): ~2.5e9 candidate pairs at the 50x spot check;
+    the adaptive k holds it at ~nprobe x 64 x batch). The hist/batch
+    split is PROPORTIONAL (vec_id < (max_id+1)/2 — which is 250 at the
+    two driver SFs, the same boundary as x_incremental_neardup's fixed
+    convention) for the same reason: a fixed-size history under a
+    growing batch would measure fixture pathology, not the operator.
+    Codebook drift (history grows, centroids staling) is the
+    operational knob: retrain on a sample every N days and rewrite the
+    layout — the compaction story, not the ingest story. The split /
+    hist-count lookups are bounded driver actions (two scalars).
 
     Recall honesty: IVF probing is approximate — a near-threshold pair
     whose two vectors quantize to disjoint probe sets is missed.
@@ -692,14 +702,24 @@ def x_incremental_ann(
         array_to_vector("embedding").alias("features"),
         _norm(F.col("embedding")).alias("nrm"),
     )
-    hist = vecs.filter(F.col("vec_id") < 250)
-    batch = vecs.filter(F.col("vec_id") >= 250)
+    # proportional split (bounded driver action: one scalar)
+    split = (vecs.agg(F.max("vec_id")).first()[0] + 1) // 2
+    hist = vecs.filter(F.col("vec_id") < split)
+    batch = vecs.filter(F.col("vec_id") >= split)
+    if k is None:
+        # adaptive cell count (bounded driver action: one scalar count
+        # over a column-pruned scan) — see the docstring's occupancy
+        # argument; the clamp floor keeps the tiny fixtures at the
+        # measured k=16 geometry and the cap bounds codebook training.
+        k = max(16, min(1024, hist.count() // 64))
 
     # --- build + persist the IVF ledger (the "yesterday" side) --------
     # same session-scoped cache as the MinHash gate: dir reused across
-    # calls, content deterministic per sf (KMeans seed-pinned), removal
-    # deferred to exit because the returned DataFrame lazily reads it.
-    ledger_dir, fresh = _cached_ledger_dir("ann", sf)
+    # calls, content deterministic per (sf, k) (KMeans seed-pinned),
+    # removal deferred to exit because the returned DataFrame lazily
+    # reads it. k is in the key: an explicit-k call must never reuse an
+    # adaptive-k ledger.
+    ledger_dir, fresh = _cached_ledger_dir(f"ann_k{k}", sf)
     if fresh:
         model = KMeans(k=k, seed=42, maxIter=10).fit(hist)
         centroids = spark.createDataFrame(
@@ -721,63 +741,108 @@ def x_incremental_ann(
     # rank cells by squared Euclidean distance (KMeans' own assignment
     # metric, so a batch vector's rank-1 cell is exactly where the
     # trained model would file it): |q - c|^2 = |q|^2 - 2 q.c + |c|^2,
-    # with |q|^2 constant per query dropped from the ranking.
-    cdist = _norm(F.col("centroid")) * _norm(F.col("centroid")) - 2 * _dot(
-        F.col("qe"), F.col("centroid")
+    # with |q|^2 constant per query dropped from the ranking. Physical
+    # strategy is the x_cosine_topk_np one: one (batch x dim) @ (dim x
+    # k) float64 dgemm per Arrow batch inside mapInPandas — the
+    # HOF-expression form (cross-join + per-pair interpreted folds +
+    # window rank over |batch| x k rows) measured 53 s of the 50x spot
+    # check on this stage alone; the gemm does it in ~1 s and replaces
+    # the rank shuffle with a narrow map. Ties rank lower-cell-first
+    # (stable argsort == the (cdist, cell) ordering).
+    import numpy as np
+    import pandas as pd
+
+    # codebook to the driver: bounded by the clamp (<= 1024 x dim)
+    cent_rows = led_cent.orderBy("cell").collect()
+    c_mat = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    c_sq = (c_mat * c_mat).sum(axis=1)
+    np_ = int(nprobe)
+
+    def quantize(batches):
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            d = c_sq[None, :] - 2.0 * (x @ c_mat.T)
+            top = np.argsort(d, axis=1, kind="stable")[:, :np_]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), np_),
+                    "cell": top.ravel().astype("int32"),
+                    "pr": np.tile(np.arange(1, np_ + 1, dtype="int32"), len(pdf)),
+                }
+            )
+
+    probe_cells = batch.select("vec_id", "embedding").mapInPandas(
+        quantize, "vec_id long, cell int, pr int"
     )
-    wq = Window.partitionBy("vec_id").orderBy("cdist", "cell")
-    probes = (
-        batch.select(
-            "vec_id", F.col("embedding").alias("qe"), F.col("nrm").alias("qnrm")
-        )
-        .join(F.broadcast(led_cent), how="cross")
-        .select("vec_id", "qe", "qnrm", "cell", cdist.alias("cdist"))
-        .withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= nprobe)
+    probes = probe_cells.join(
+        batch.select("vec_id", F.col("embedding").alias("qe"), F.col("nrm").alias("qnrm")),
+        "vec_id",
     )
 
-    # --- candidates: batch x ledger (cell equi-join, PRUNED scan) -----
+    # --- candidates + verify (colliding cells only, PRUNED scan) ------
     # The probed-cell set is metadata-sized (<= k integers, bounded by
     # the codebook, never by data), so collect it and push a LITERAL
     # cell IN (...) onto the ledger read: the hive layout then prunes at
     # plan time (PartitionFilters — pinned by tests/test_round11_ops.py)
     # and a small daily batch reads ONLY its probed cells' files, which
     # is the whole point of an ingestion gate over 100 TB of history.
-    # (Spark's DPP does not fire here — the probe side is a window
+    # (Spark's DPP does not fire here — the probe side is a computed
     # subplan, not a filtered dim — so the pruning must be explicit.
     # A corpus-wide batch probes every cell and degrades gracefully to
     # the full-layout read.) This is a bounded driver action: <= k ints.
     probed_cells = sorted(
-        r.cell for r in probes.select("cell").distinct().collect()
+        r.cell for r in probe_cells.select("cell").distinct().collect()
     )
-    # a history vector rests in exactly ONE cell partition and the
-    # probe rows are distinct per (vec_id, cell), so no candidate dedup
-    # is needed on either path.
-    cand_hist = probes.join(
-        led_cells.filter(F.col("cell").isin(probed_cells)).select(
+    # Residents of a probed cell = history vectors RESTING there (one
+    # cell each, so no candidate dedup) + earlier batch vectors whose
+    # PRIMARY cell it is (where they would have been appended on
+    # admission). hist ids < split <= batch ids, so ONE earlier-doc
+    # rule (dup_of < vec_id) covers both paths — it also drops
+    # self-pairs when a batch vector probes its own primary cell.
+    residents = (
+        led_cells.filter(F.col("cell").isin(probed_cells))
+        .select(
             "cell", F.col("vec_id").alias("dup_of"),
             F.col("embedding").alias("emb_old"), F.col("nrm").alias("nrm_old"),
-        ),
-        "cell",
-    )
-    # --- candidates: batch x batch (probe cell hits an earlier batch
-    # vector's PRIMARY cell — where that vector now rests) -------------
-    batch_primary = probes.filter(F.col("pr") == 1).select(
-        "cell", F.col("vec_id").alias("dup_of"),
-        F.col("qe").alias("emb_old"), F.col("qnrm").alias("nrm_old"),
-    )
-    cand_batch = probes.join(batch_primary, "cell").filter(
-        F.col("dup_of") < F.col("vec_id")
+        )
+        .unionByName(
+            probes.filter(F.col("pr") == 1).select(
+                "cell", F.col("vec_id").alias("dup_of"),
+                F.col("qe").alias("emb_old"), F.col("qnrm").alias("nrm_old"),
+            )
+        )
     )
 
-    # --- exact-cosine verify (colliding cells only) --------------------
-    cos = _dot(F.col("qe"), F.col("emb_old")) / (F.col("qnrm") * F.col("nrm_old"))
-    verified = (
-        cand_hist.unionByName(cand_batch.select(*cand_hist.columns))
-        .select(
-            "vec_id", "dup_of", F.round(cos, 4).cast("double").alias("cosine")
+    # Exact-cosine verify as ONE blocked gemm per cell (cogrouped
+    # applyInPandas): each vector crosses the wire once per cell it
+    # touches — the per-pair HOF form shipped and re-folded both arrays
+    # per CANDIDATE (occupancy x more traffic, ~100 s of the 50x spot
+    # check); group sizes are bounded by the adaptive-k occupancy
+    # argument in the docstring, so no cell group can outgrow a task.
+    tau_ = float(tau)
+
+    def verify(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"vec_id": [], "dup_of": [], "cosine": []})
+        p = np.array(left["qe"].tolist(), dtype=np.float64)
+        r = np.array(right["emb_old"].tolist(), dtype=np.float64)
+        cos = np.round(
+            (p @ r.T)
+            / np.outer(left["qnrm"].to_numpy(), right["nrm_old"].to_numpy()),
+            4,
         )
-        .filter(F.col("cosine") >= tau)
+        vid = left["vec_id"].to_numpy()
+        dof = right["dup_of"].to_numpy()
+        mask = (dof[None, :] < vid[:, None]) & (cos >= tau_)
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame(
+            {"vec_id": vid[ii], "dup_of": dof[jj], "cosine": cos[ii, jj]}
+        )
+
+    verified = (
+        probes.groupBy("cell")
+        .cogroup(residents.groupBy("cell"))
+        .applyInPandas(verify, "vec_id long, dup_of long, cosine double")
     )
     rejects = verified.groupBy("vec_id").agg(
         F.min("dup_of").alias("dup_of"),

@@ -357,7 +357,7 @@ def test_incremental_ann_soundness_recall_monotone(spark, sf_dir):
     (earlier-doc-wins), and every kept row carries nulls; (b) RECALL —
     the gate catches >= 60% of the batch vectors that the EXACT pair
     join (x_embedding_neardup, tau=0.45) pairs with a lower id
-    (measured 4/6 at sf0.001, 10/14 at sf0.01, 99/132 at sf0.1 with the
+    (measured 4/6 at sf0.001, 10/14 at sf0.01, 65/96 at sf0.1 with the
     default k=16/nprobe=4 — IVF probing is approximate BY DESIGN and
     the docstring says so); (c) MONOTONICITY — probing more cells can
     only reject more (candidate sets nest in nprobe)."""
@@ -368,7 +368,8 @@ def test_incremental_ann_soundness_recall_monotone(spark, sf_dir):
         r.vec_id: r.embedding
         for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
     }
-    assert {r.vec_id for r in disp} == {v for v in emb if v >= 250}
+    split = (max(emb) + 1) // 2  # the op's proportional hist/batch split
+    assert {r.vec_id for r in disp} == {v for v in emb if v >= split}
 
     def exact_cos(a, b):
         va, vb = emb[a], emb[b]
@@ -390,7 +391,7 @@ def test_incremental_ann_soundness_recall_monotone(spark, sf_dir):
 
     # recall vs the exact offline pair join on the union
     exact_pairs = REGISTRY["x_embedding_neardup"].fn(spark, sf_dir).collect()
-    expected = {r.vec_b for r in exact_pairs if r.vec_b >= 250}
+    expected = {r.vec_b for r in exact_pairs if r.vec_b >= split}
     assert expected, "fixture must contain at least one qualifying pair"
     recall = len(expected & set(rejected)) / len(expected)
     assert recall >= 0.6, (

@@ -24,7 +24,9 @@ def test_incremental_ann_ledger_layout_and_pruned_scan(spark, sf_dir):
     # partition pruning needs at 100 TB
     from chyme_spark.ops.llm import _LEDGER_DIRS
 
-    ledger_dir = _LEDGER_DIRS[f"ann:{sf_dir}"]
+    ann_keys = [k for k in _LEDGER_DIRS if k.startswith("ann_k") and k.endswith(sf_dir)]
+    assert ann_keys, f"no ann ledger cached for {sf_dir}: {sorted(_LEDGER_DIRS)}"
+    ledger_dir = _LEDGER_DIRS[ann_keys[0]]
     cell_dirs = [d for d in os.listdir(f"{ledger_dir}/cells") if d.startswith("cell=")]
     assert len(cell_dirs) >= 2, f"expected hive cell= partitions, got {cell_dirs[:5]}"
 
