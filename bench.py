@@ -596,18 +596,24 @@ def main() -> None:
         summary["rotation_n"] = len(rot_block["queries_median"])
         summary["rotation_total"] = round(sum(rot_block["queries_median"].values()), 3)
     print("BENCH_SUMMARY " + json.dumps(summary))
-    # VERY LAST line: pure compact JSON (VERDICT r10 #2). The driver
-    # parses the FINAL stdout line as JSON — the BENCH_SUMMARY line
-    # above carries a text prefix and the full dump outgrew the captured
-    # tail in r5-r10 ("parsed": null since r5), so this line is (a) the
-    # last thing printed, (b) prefix-free, and (c) bounded: summary
-    # fields + per-query sf0.1 steady medians only (~1.5 KB at 40
-    # queries). Everything deeper (spreads, probe blocks, rotation
-    # medians) stays in the full JSON above for the reference tooling.
+    print(final_line(summary, steady))
+
+
+def final_line(summary: dict, steady: dict) -> str:
+    """VERY LAST stdout line: pure compact JSON (VERDICT r10 #2).
+
+    The driver parses the FINAL stdout line as JSON — the BENCH_SUMMARY
+    line above carries a text prefix and the full dump outgrew the
+    captured tail in r5-r10 ("parsed": null since r5), so this line is
+    (a) the last thing printed, (b) prefix-free, and (c) bounded:
+    summary fields + per-query sf0.1 steady medians only (~1.5 KB at 40
+    queries — tests/test_bench_battery.py pins the size bound).
+    Everything deeper (spreads, probe blocks, rotation medians) stays
+    in the full JSON above for the reference tooling."""
     final = dict(summary)
     final["metric"] = "headline_queries_total_wall_clock"
     final["queries"] = steady
-    print(json.dumps(final, separators=(",", ":")))
+    return json.dumps(final, separators=(",", ":"))
 
 
 if __name__ == "__main__":

@@ -573,18 +573,30 @@ def x_ann_ivf_topk(
     """,
     doc="embedding-cosine near-dup pairs (>=0.45), exact, via block-matrix equi-join (no nested-loop broadcast)",
 )
-def x_embedding_neardup(spark: SparkSession, sf: str, n_blocks: int = 8) -> DataFrame:
+def x_embedding_neardup(
+    spark: SparkSession, sf: str, n_blocks: int | None = None
+) -> DataFrame:
     """Exact cosine similarity self-join, distributed as a block-matrix
     product instead of round-1's O(n^2) BroadcastNestedLoopJoin.
 
     Each vector hashes to one of ``n_blocks`` blocks; the tiny
     (bi<=bj) block-pair table is broadcast against both sides, and the
     pair search becomes an EQUI-join on (bi,bj): one shuffle per side,
-    SortMergeJoin, every partition holding one bounded block-product.
-    Each unordered vector pair meets in exactly one block-pair cell, so
-    the result set is identical to the brute-force join (the DuckDB
-    oracle). Replication factor is ~n_blocks per side — pick
-    n_blocks ~ sqrt(cluster cores) at scale.
+    every cogroup cell holding one bounded block-product. Each
+    unordered vector pair meets in exactly one block-pair cell, so the
+    result set is identical to the brute-force join (the DuckDB
+    oracle). n_blocks defaults ADAPTIVE — clamp(n/1000, 8, 64), so a
+    cell's per-side population stays ~1000 rows and its score matrix
+    task-sized however the corpus grows; replication is ~n_blocks per
+    side, rows shipped ~n_blocks x n (linear in both).
+
+    Physical strategy (r11): each cell is ONE chunked float64 dgemm
+    inside cogrouped applyInPandas — the per-pair HOF-expression form
+    re-folded both arrays per candidate in interpreted eval and
+    measured 14.7 s at sf0.1 in the r11 bench rotation; the gemm twin
+    is ~10x faster with a hash-identical result at all three SFs (the
+    x_cosine_topk_np precedent: float64 BLAS sums match the HOF/DuckDB
+    sequential sums at round-4 on real data).
 
     Why not LSH candidates + exact verify (VERDICT r1's suggestion):
     at tau=0.45 the fixture's qualifying pairs sit at cosine 0.45-0.51,
@@ -596,44 +608,72 @@ def x_embedding_neardup(spark: SparkSession, sf: str, n_blocks: int = 8) -> Data
     distributes it evenly. For corpus-scale near-dup use the approximate
     paths (x_ann_lsh_topk / x_ann_ivf_topk) at a high threshold.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf, "embeddings")
+    if n_blocks is None:
+        # bounded driver action (one scalar count): block granularity
+        # must track the corpus or a cell's score matrix outgrows a task
+        n_blocks = max(8, min(64, emb.count() // 1000))
     blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).cast("int")
-    # norm ONCE PER VECTOR before the block fan-out (r9, measured 2.0x
-    # end-to-end at sf0.1, 22.8s -> 11.6s, output hash-identical):
-    # per-pair _norm re-walked both arrays for every one of the n^2/2
-    # candidate pairs — in an EXACT similarity join the pair math is
-    # the whole cost, so redundant norm work doubles it.
-    e = emb.select(
-        "vec_id", "embedding", blk.alias("blk"), _norm(F.col("embedding")).alias("nrm")
+    e = emb.select("vec_id", "embedding", blk.alias("blk"))
+    # two physically-distinct block-pair frames: left/right feed a
+    # cogroup over the same lineage, and a shared bp makes bi/bj
+    # ambiguous under Spark's self-join analyzer
+    pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    bp_l = spark.createDataFrame(pairs, "bi int, bj int")
+    bp_r = spark.createDataFrame(pairs, "bi int, bj int")
+    left = e.join(F.broadcast(bp_l), e.blk == bp_l.bi).select(
+        "bi", "bj", F.col("vec_id").alias("vid_a"), F.col("embedding").alias("emb_a"),
     )
-    bp = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    right = e.join(F.broadcast(bp_r), e.blk == bp_r.bj).select(
+        "bi", "bj", F.col("vec_id").alias("vid_b"), F.col("embedding").alias("emb_b"),
     )
-    left = e.join(F.broadcast(bp), e.blk == bp.bi).select(
-        F.col("vec_id").alias("vid_a"), F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"), "bi", "bj",
-    )
-    right = e.join(F.broadcast(bp), e.blk == bp.bj).select(
-        F.col("vec_id").alias("vid_b"), F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"), "bi", "bj",
-    )
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    # cross-block cells (bi<bj) hold each unordered pair exactly once in
-    # whatever id order the hash dealt; only the diagonal (bi==bj) holds
-    # both orderings and needs the id filter. Canonicalize with least/greatest.
-    dedup = F.when(F.col("bi") == F.col("bj"), F.col("vid_a") < F.col("vid_b")).otherwise(
-        F.lit(True)
-    )
+
+    def cell(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        if l.empty or r.empty:
+            return empty
+        a = np.array(l["emb_a"].tolist(), dtype=np.float64)
+        b = np.array(r["emb_b"].tolist(), dtype=np.float64)
+        na = np.sqrt((a * a).sum(axis=1))
+        nb = np.sqrt((b * b).sum(axis=1))
+        va = l["vid_a"].to_numpy()
+        vb = r["vid_b"].to_numpy()
+        diagonal = int(l["bi"].iloc[0]) == int(l["bj"].iloc[0])
+        outs = []
+        # chunk the gemm so the score matrix stays ~chunk x |b| doubles
+        # regardless of cell population (memory bound per task)
+        for s in range(0, len(a), 2048):
+            ae, ve, ne = a[s : s + 2048], va[s : s + 2048], na[s : s + 2048]
+            cos = (ae @ b.T) / np.outer(ne, nb)
+            # cross-block cells (bi<bj) hold each unordered pair exactly
+            # once in whatever id order the hash dealt; only the diagonal
+            # holds both orderings and needs the id filter. Canonicalize
+            # with min/max, exactly like the least/greatest of the HOF form.
+            if diagonal:
+                mask = (ve[:, None] < vb[None, :]) & (cos >= 0.45)
+            else:
+                mask = (ve[:, None] != vb[None, :]) & (cos >= 0.45)
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                pa, pb = ve[ii], vb[jj]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": np.minimum(pa, pb),
+                            "vec_b": np.maximum(pa, pb),
+                            "cosine": np.round(cos[ii, jj], 4),
+                        }
+                    )
+                )
+        return pd.concat(outs) if outs else empty
+
     return (
-        left.join(right, ["bi", "bj"])
-        .filter(dedup & (F.col("vid_a") != F.col("vid_b")))
-        .select(
-            F.least("vid_a", "vid_b").alias("vec_a"),
-            F.greatest("vid_a", "vid_b").alias("vec_b"),
-            cos.alias("cosine_raw"),
-        )
-        .filter(F.col("cosine_raw") >= 0.45)
-        .select("vec_a", "vec_b", F.round("cosine_raw", 4).cast("double").alias("cosine"))
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(cell, "vec_a long, vec_b long, cosine double")
     )
 
 

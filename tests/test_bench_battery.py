@@ -69,3 +69,26 @@ def test_all_ledger_rotation_rounds_name_registered_queries():
     for rnd, members in _ledger()["rotations"].items():
         missing = [n for n in members if n not in registry]
         assert not missing, f"ledger round {rnd} names unknown queries: {missing}"
+
+
+def test_final_line_is_bounded_pure_json():
+    """The driver parses bench.py's FINAL stdout line as JSON (r10
+    VERDICT #2: parsed:null since r5 because the old last line carried
+    a text prefix). Pin the contract: prefix-free, parseable, bounded
+    well under any plausible captured-tail window, and carrying the
+    per-query medians for every headline member."""
+    steady = {n: 1.234 for n in bench.HEADLINE}
+    summary = {
+        "steady_total": 12.3, "cpu_calibration_sec": 0.15,
+        "steady_total_calibrated": 82.0, "n_queries": len(bench.HEADLINE),
+        "value": 25.0, "unit": "sec", "sf": 0.1,
+        "sf1_ratio_max": 4.7, "sf1_flagged": [], "sf2_ratio_max": 8.1,
+        "sf2_flagged": [], "rotation_n": len(bench.ROTATION),
+        "rotation_total": 25.0,
+    }
+    line = bench.final_line(summary, steady)
+    parsed = json.loads(line)  # prefix-free pure JSON
+    assert not line.startswith("BENCH_SUMMARY")
+    assert parsed["metric"] == "headline_queries_total_wall_clock"
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert len(line) < 4096, f"final line {len(line)}B risks tail truncation"
