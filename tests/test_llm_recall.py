@@ -410,3 +410,24 @@ def test_incremental_ann_soundness_recall_monotone(spark, sf_dir):
         if not r.kept
     }
     assert narrow <= set(rejected)
+
+
+def test_incremental_ann_exhaustive_probe_degrades_to_exact(spark, sf_dir):
+    """The same exhaustive-end contract the LSH/IVF top-k paths pin:
+    with nprobe=k (every cell probed) the approximation disappears —
+    a batch vector meets every history vector AND every earlier batch
+    vector (each rests in some probed primary cell), so the gate's
+    rejected set must EQUAL the exact pair join's lower-id-pairing on
+    the union, vector for vector. Proves the approximation lives only
+    in the probe pruning nprobe controls."""
+    disp = REGISTRY["x_incremental_ann"].fn(spark, sf_dir, k=16, nprobe=16).collect()
+    rejected = {r.vec_id for r in disp if not r.kept}
+    emb_ids = [
+        r.vec_id
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id").collect()
+    ]
+    split = (max(emb_ids) + 1) // 2
+    exact_pairs = REGISTRY["x_embedding_neardup"].fn(spark, sf_dir).collect()
+    expected = {r.vec_b for r in exact_pairs if r.vec_b >= split}
+    assert rejected == expected
