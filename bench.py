@@ -609,9 +609,14 @@ def final_line(summary: dict, steady: dict) -> str:
     summary fields + per-query sf0.1 steady medians only (~1.5 KB at 40
     queries — tests/test_bench_battery.py pins the size bound).
     Everything deeper (spreads, probe blocks, rotation medians) stays
-    in the full JSON above for the reference tooling."""
-    final = dict(summary)
-    final["metric"] = "headline_queries_total_wall_clock"
+    in the full JSON above for the reference tooling.
+
+    "metric" is deliberately the FIRST key: tail-scrapers that locate
+    the payload by searching for '{"metric"' (tools/compare_bench.py
+    does; the driver may) must match this line, not only the full dump
+    whose head the 2000-byte tail usually cuts off."""
+    final = {"metric": "headline_queries_total_wall_clock"}
+    final.update(summary)
     final["queries"] = steady
     return json.dumps(final, separators=(",", ":"))
 

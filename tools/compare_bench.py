@@ -21,16 +21,25 @@ import sys
 
 
 def load(path: str) -> dict:
-    d = json.load(open(path))
-    if "queries_steady" in d:
-        return d
-    if d.get("parsed"):
-        return d["parsed"]
-    tail = d.get("tail", "")
-    start = tail.find('{"metric"')
-    if start >= 0:
-        return json.loads(tail[start:])
-    raise SystemExit(f"{path}: no parsable bench object (keys: {sorted(d)})")
+    with open(path) as fh:
+        d = json.load(fh)
+    if "queries_steady" not in d:
+        if d.get("parsed"):
+            d = d["parsed"]
+        else:
+            tail = d.get("tail", "")
+            start = tail.find('{"metric"')
+            if start < 0:
+                raise SystemExit(
+                    f"{path}: no parsable bench object (keys: {sorted(d)})"
+                )
+            d = json.loads(tail[start:])
+    # bench.py's compact FINAL line (r11) carries the medians under
+    # "queries" only — normalize so both the full dump and the tail
+    # line compare identically
+    if "queries_steady" not in d and "queries" in d:
+        d["queries_steady"] = d["queries"]
+    return d
 
 
 def main() -> None:
