@@ -614,11 +614,26 @@ def final_line(summary: dict, steady: dict) -> str:
     "metric" is deliberately the FIRST key: tail-scrapers that locate
     the payload by searching for '{"metric"' (tools/compare_bench.py
     does; the driver may) must match this line, not only the full dump
-    whose head the 2000-byte tail usually cuts off."""
+    whose head the 2000-byte tail usually cuts off.
+
+    Size is guarded at RUNTIME, not just in the test: flagged-cliff
+    query-name lists are reduced to counts (a bad round could add
+    ~500B of names), and if the line still exceeds the budget the
+    per-query medians are dropped before the headline fields are —
+    a short parse beats a truncated one."""
     final = {"metric": "headline_queries_total_wall_clock"}
-    final.update(summary)
+    for k, v in summary.items():
+        if k.endswith("_flagged") and isinstance(v, list):
+            final[k + "_n"] = len(v)
+        else:
+            final[k] = v
     final["queries"] = steady
-    return json.dumps(final, separators=(",", ":"))
+    line = json.dumps(final, separators=(",", ":"))
+    if len(line) > 1900:  # the driver's captured tail is 2000 BYTES
+        final.pop("queries")
+        final["queries_dropped"] = "final line exceeded the 2000B driver tail"
+        line = json.dumps(final, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

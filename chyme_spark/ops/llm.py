@@ -367,6 +367,16 @@ def x_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _np_round4(raw):
+    """HALF_UP away from zero to 4 decimals, matching Spark F.round /
+    DuckDB ROUND — np.round is half-to-even, which would flip a .00005
+    tie in the 4th decimal vs the oracle (ADVICE r2; same formula as
+    x_cosine_topk_np, training.py)."""
+    import numpy as np
+
+    return np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -664,7 +674,8 @@ def x_embedding_neardup(
                         {
                             "vec_a": np.minimum(pa, pb),
                             "vec_b": np.maximum(pa, pb),
-                            "cosine": np.round(cos[ii, jj], 4),
+                            # HALF_UP like the oracle's ROUND (ADVICE r2)
+                            "cosine": _np_round4(cos[ii, jj]),
                         }
                     )
                 )
@@ -796,7 +807,9 @@ def x_incremental_ann(
     cent_rows = led_cent.orderBy("cell").collect()
     c_mat = np.array([r.centroid for r in cent_rows], dtype=np.float64)
     c_sq = (c_mat * c_mat).sum(axis=1)
-    np_ = int(nprobe)
+    # nprobe > |codebook| means "probe everything" — clamp, or the
+    # repeat/tile lengths below diverge from argsort's column count
+    np_ = min(int(nprobe), len(c_mat))
 
     def quantize(batches):
         for pdf in batches:
@@ -866,17 +879,20 @@ def x_incremental_ann(
             return pd.DataFrame({"vec_id": [], "dup_of": [], "cosine": []})
         p = np.array(left["qe"].tolist(), dtype=np.float64)
         r = np.array(right["emb_old"].tolist(), dtype=np.float64)
-        cos = np.round(
-            (p @ r.T)
-            / np.outer(left["qnrm"].to_numpy(), right["nrm_old"].to_numpy()),
-            4,
+        # threshold the RAW cosine (exactly like x_embedding_neardup's
+        # WHERE-before-ROUND — a rounded threshold would disagree with
+        # the exact pair join on [tau - 0.00005, tau) pairs and break
+        # the exhaustive-probe == exact contract); round HALF_UP only
+        # for the reported value (ADVICE r2)
+        cos = (p @ r.T) / np.outer(
+            left["qnrm"].to_numpy(), right["nrm_old"].to_numpy()
         )
         vid = left["vec_id"].to_numpy()
         dof = right["dup_of"].to_numpy()
         mask = (dof[None, :] < vid[:, None]) & (cos >= tau_)
         ii, jj = np.nonzero(mask)
         return pd.DataFrame(
-            {"vec_id": vid[ii], "dup_of": dof[jj], "cosine": cos[ii, jj]}
+            {"vec_id": vid[ii], "dup_of": dof[jj], "cosine": _np_round4(cos[ii, jj])}
         )
 
     verified = (

@@ -89,9 +89,21 @@ def test_final_line_is_bounded_pure_json():
     line = bench.final_line(summary, steady)
     parsed = json.loads(line)  # prefix-free pure JSON
     assert not line.startswith("BENCH_SUMMARY")
+    assert line.startswith('{"metric"')  # tail-scraper anchor, FIRST key
     assert parsed["metric"] == "headline_queries_total_wall_clock"
     assert set(parsed["queries"]) == set(bench.HEADLINE)
+    # flagged-cliff NAME lists are reduced to counts (a bad round could
+    # add ~500B of query names and blow the tail)
+    assert parsed["sf1_flagged_n"] == 0 and "sf1_flagged" not in parsed
     # the driver's captured tail is 2000 BYTES (BENCH_r10.json "tail");
     # the final line must fit ENTIRELY inside it or its head is cut and
     # the parse dies. Real sf0.1 runs measure ~1390B; leave headroom.
     assert len(line) < 1900, f"final line {len(line)}B risks 2000B-tail truncation"
+    # oversize fallback: a pathological summary drops the medians, never
+    # the headline fields, and stays parseable under the budget
+    huge = dict(summary)
+    huge["sf2_flagged"] = [f"x_some_long_query_name_{i}" for i in range(40)]
+    big_line = bench.final_line(huge, {f"q{i}_{'x'*40}": 1.0 for i in range(60)})
+    big = json.loads(big_line)
+    assert len(big_line) < 1900
+    assert "queries_dropped" in big and big["steady_total"] == 12.3

@@ -386,7 +386,8 @@ def test_incremental_ann_soundness_recall_monotone(spark, sf_dir):
         assert r.dup_of < r.vec_id
         c = exact_cos(r.vec_id, r.dup_of)
         assert c >= 0.45
-        assert abs(round(c, 4) - r.cosine) < 1e-9
+        # HALF_UP like the op (Python round is half-to-even)
+        assert abs(math.floor(c * 1e4 + 0.5) / 1e4 - r.cosine) < 1e-9
         rejected[r.vec_id] = r.dup_of
 
     # recall vs the exact offline pair join on the union

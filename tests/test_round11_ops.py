@@ -31,16 +31,25 @@ def test_incremental_ann_ledger_layout_and_pruned_scan(spark, sf_dir):
     assert len(cell_dirs) >= 2, f"expected hive cell= partitions, got {cell_dirs[:5]}"
 
     # (b) the probe pushes the probed-cell set as a PLAN-TIME partition
-    # filter onto the ledger scan (no DPP reliance — the docstring's
-    # pruning claim must be visible in PartitionFilters)
+    # filter onto the LEDGER scan specifically (no DPP reliance — the
+    # docstring's pruning claim must be visible in PartitionFilters of
+    # the scan that reads the persisted cells layout)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    pruned = [
-        line
-        for line in plan.splitlines()
-        if "chyme_ann_ledger" in line and "PartitionFilters: [cell" in line.replace(" ", "")
-        or ("PartitionFilters:" in line and "cell#" in line.split("PartitionFilters:", 1)[-1])
-    ]
-    assert pruned, "ledger cells scan lost its literal cell partition filter"
+    pruned = []
+    for line in plan.splitlines():
+        if ledger_dir not in line or "PartitionFilters:" not in line:
+            continue
+        filt_seg = line.split("PartitionFilters:", 1)[1]
+        # the filter segment ends at the next bracketed field; the cell
+        # IN (...) literal must be inside it
+        if "cell" in filt_seg.split("]", 1)[0]:
+            pruned.append(line)
+    assert pruned, (
+        "ledger cells scan lost its literal cell partition filter:\n"
+        + "\n".join(
+            line for line in plan.splitlines() if ledger_dir in line
+        )[:2000]
+    )
 
     # (c) pruning is semantics-free: a narrow probe (nprobe=1) rejects a
     # subset and never invents a rejection the full verify wouldn't

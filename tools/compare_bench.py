@@ -28,7 +28,12 @@ def load(path: str) -> dict:
             d = d["parsed"]
         else:
             tail = d.get("tail", "")
-            start = tail.find('{"metric"')
+            # rfind: BOTH the full dump and the compact final line start
+            # with {"metric" — when a short run's full dump fits in the
+            # tail, find() would grab it and choke on the trailing
+            # summary/final lines; the LAST occurrence is the compact
+            # final line, always self-contained
+            start = tail.rfind('{"metric"')
             if start < 0:
                 raise SystemExit(
                     f"{path}: no parsable bench object (keys: {sorted(d)})"
