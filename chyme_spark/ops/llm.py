@@ -866,34 +866,63 @@ def x_incremental_ann(
         )
     )
 
-    # Exact-cosine verify as ONE blocked gemm per cell (cogrouped
+    # Exact-cosine verify as CHUNKED gemms per cell (cogrouped
     # applyInPandas): each vector crosses the wire once per cell it
     # touches — the per-pair HOF form shipped and re-folded both arrays
     # per CANDIDATE (occupancy x more traffic, ~100 s of the 50x spot
-    # check); group sizes are bounded by the adaptive-k occupancy
-    # argument in the docstring, so no cell group can outgrow a task.
+    # check). Two hardenings vs the naive full-matrix form, both for
+    # the duplicate-flood batch (every vector near-identical, so the
+    # whole batch concentrates into ONE cell and |probes| ~ |residents|
+    # ~ |batch|): the gemm is chunked to 2048 probe rows (same bound as
+    # x_embedding_neardup's cell kernel) so the score matrix stays
+    # task-sized, and the min-dup_of reduction happens INSIDE the
+    # kernel — the gate only ever consumes the smallest verified
+    # duplicate per probe, so emitting all matching pairs (quadratic in
+    # a flood: every pair verifies at cosine ~1.0) would shuffle
+    # O(batch^2) rows to compute an O(batch)-row groupBy. Per (cell,
+    # probe) the kernel emits at most ONE row; (vec_id, dup_of)
+    # candidates stay unique across cells (a history vector rests in
+    # one cell, an in-batch resident in its one primary cell), so the
+    # downstream global min is unchanged.
     tau_ = float(tau)
 
     def verify(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": [], "dup_of": [], "cosine": []})
         if left.empty or right.empty:
-            return pd.DataFrame({"vec_id": [], "dup_of": [], "cosine": []})
+            return empty
         p = np.array(left["qe"].tolist(), dtype=np.float64)
         r = np.array(right["emb_old"].tolist(), dtype=np.float64)
-        # threshold the RAW cosine (exactly like x_embedding_neardup's
-        # WHERE-before-ROUND — a rounded threshold would disagree with
-        # the exact pair join on [tau - 0.00005, tau) pairs and break
-        # the exhaustive-probe == exact contract); round HALF_UP only
-        # for the reported value (ADVICE r2)
-        cos = (p @ r.T) / np.outer(
-            left["qnrm"].to_numpy(), right["nrm_old"].to_numpy()
-        )
+        qn = left["qnrm"].to_numpy()
+        rn = right["nrm_old"].to_numpy()
         vid = left["vec_id"].to_numpy()
         dof = right["dup_of"].to_numpy()
-        mask = (dof[None, :] < vid[:, None]) & (cos >= tau_)
-        ii, jj = np.nonzero(mask)
-        return pd.DataFrame(
-            {"vec_id": vid[ii], "dup_of": dof[jj], "cosine": _np_round4(cos[ii, jj])}
-        )
+        outs = []
+        for s in range(0, len(p), 2048):
+            pe, ve, ne = p[s : s + 2048], vid[s : s + 2048], qn[s : s + 2048]
+            # threshold the RAW cosine (exactly like x_embedding_neardup's
+            # WHERE-before-ROUND — a rounded threshold would disagree with
+            # the exact pair join on [tau - 0.00005, tau) pairs and break
+            # the exhaustive-probe == exact contract); round HALF_UP only
+            # for the reported value (ADVICE r2)
+            cos = (pe @ r.T) / np.outer(ne, rn)
+            mask = (dof[None, :] < ve[:, None]) & (cos >= tau_)
+            hit = mask.any(axis=1)
+            if not hit.any():
+                continue
+            # per-row argmin of dup_of over matching columns only
+            dsel = np.where(mask, dof[None, :], np.iinfo(np.int64).max)
+            jmin = dsel.argmin(axis=1)
+            rows = np.nonzero(hit)[0]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ve[rows],
+                        "dup_of": dof[jmin[rows]],
+                        "cosine": _np_round4(cos[rows, jmin[rows]]),
+                    }
+                )
+            )
+        return pd.concat(outs) if outs else empty
 
     verified = (
         probes.groupBy("cell")
