@@ -432,3 +432,17 @@ def test_incremental_ann_exhaustive_probe_degrades_to_exact(spark, sf_dir):
     exact_pairs = REGISTRY["x_embedding_neardup"].fn(spark, sf_dir).collect()
     expected = {r.vec_b for r in exact_pairs if r.vec_b >= split}
     assert rejected == expected
+    # earlier-doc-wins MINIMALITY: with every cell probed, dup_of must be
+    # the SMALLEST qualifying lower-id partner, not just any of them —
+    # this pins the min-reduction the verify kernel performs in-task
+    # (soundness alone only proves dup_of < vec_id and cosine >= tau)
+    exp_min: dict[int, int] = {}
+    for r in exact_pairs:
+        if r.vec_b >= split:
+            exp_min[r.vec_b] = min(exp_min.get(r.vec_b, r.vec_a), r.vec_a)
+    for r in disp:
+        if not r.kept:
+            assert r.dup_of == exp_min[r.vec_id], (
+                f"vec {r.vec_id}: dup_of={r.dup_of} but the smallest "
+                f"qualifying earlier partner is {exp_min[r.vec_id]}"
+            )
