@@ -148,6 +148,17 @@ SF1_HEAVY = [
 # per-query overhead amortizes, which is the shape a 1000-executor
 # run needs.
 #
+# r11 duplicate-flood spot check, x_incremental_ann (the adversarial
+# batch the verify kernel's in-task min-reduction exists for): 40k
+# vectors ALL near-identical (1e-6 jitter, dim 64), 20k history + 20k
+# batch — every batch vector correctly rejected, 26.6s end-to-end incl.
+# KMeans ledger build. Every candidate verifies at cosine ~1.0 there,
+# so the pre-hardening kernel would have shuffled ~10M matching pairs
+# (20k probes x ~500 colliding-cell residents) to feed a 20k-row
+# groupBy; the min-per-probe kernel emits <= |probes| rows (~80k) —
+# ~500x less verify-shuffle on this measured case, and the gap grows
+# unboundedly as a flood concentrates into fewer cells.
+#
 # r11 50x spot check, x_incremental_ann: warm (ledger cached) 2.3s at
 # sf0.1 -> 15.2s at 50x (~6.6x time on 50x data); cold incl. KMeans
 # codebook training + ledger write 16.5s -> 57.8s (~3.5x). The 50x
