@@ -785,6 +785,7 @@ def x_incremental_ann(
             .partitionBy("cell")
             .parquet(f"{ledger_dir}/cells")
         )
+        _mark_ledger_built(ledger_dir)
     led_cent = spark.read.parquet(f"{ledger_dir}/centroids")
     led_cells = spark.read.parquet(f"{ledger_dir}/cells")
 
@@ -824,9 +825,15 @@ def x_incremental_ann(
                 }
             )
 
+    # persist: this subplan feeds THREE consumers — the probed-cell
+    # collect below, the cogroup's probe side, and the in-batch resident
+    # branch (probes.filter(pr == 1)) — and without a persist each one
+    # re-scans the batch and re-runs the codebook gemm (round-11
+    # review; the d43 sets.persist() precedent). Tiny: <= |batch| x
+    # nprobe (vec_id, cell, pr) rows.
     probe_cells = batch.select("vec_id", "embedding").mapInPandas(
         quantize, "vec_id long, cell int, pr int"
-    )
+    ).persist()
     probes = probe_cells.join(
         batch.select("vec_id", F.col("embedding").alias("qe"), F.col("nrm").alias("qnrm")),
         "vec_id",
@@ -1610,21 +1617,34 @@ def _cached_ledger_dir(kind: str, sf: str) -> tuple[str, bool]:
 
     Returns ``(path, fresh)``: one uid-private dir per (kind, sf) for
     the life of the interpreter, registered for cleanup at exit exactly
-    once. ``fresh`` is True only on first allocation — callers write
-    the ledger then, and reuse the (deterministic-per-sf) content on
-    every later call, so repeated invocations in a long-lived session
+    once. ``fresh`` is True until the caller confirms a successful
+    build via :func:`_mark_ledger_built` — freshness is decided by an
+    on-disk sentinel, NOT by dict membership, so a build that dies
+    midway (KMeans OOM, a failed parquet write, Ctrl-C) is retried on
+    the next call instead of poisoning every later read in the session
+    with a partial dir (round-11 review). The dir itself is still
+    reused across calls so repeated invocations in a long-lived session
     don't accumulate dirs or atexit entries (ADVICE r10)."""
     import atexit
+    import os
     import shutil
     import tempfile
 
     key = f"{kind}:{sf}"
-    if key in _LEDGER_DIRS:
-        return _LEDGER_DIRS[key], False
-    d = tempfile.mkdtemp(prefix=f"chyme_{kind}_ledger_")
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    _LEDGER_DIRS[key] = d
-    return d, True
+    if key not in _LEDGER_DIRS:
+        d = tempfile.mkdtemp(prefix=f"chyme_{kind}_ledger_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _LEDGER_DIRS[key] = d
+    d = _LEDGER_DIRS[key]
+    return d, not os.path.exists(os.path.join(d, ".built"))
+
+
+def _mark_ledger_built(ledger_dir: str) -> None:
+    """Record that a ledger build completed — see _cached_ledger_dir."""
+    import os
+
+    with open(os.path.join(ledger_dir, ".built"), "w") as fh:
+        fh.write("ok\n")
 
 
 @query(
@@ -1679,6 +1699,7 @@ def x_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     if fresh:
         band_signatures(hist_sets).write.mode("overwrite").parquet(f"{ledger_dir}/bands")
         hist_sets.write.mode("overwrite").parquet(f"{ledger_dir}/sets")
+        _mark_ledger_built(ledger_dir)
     led_bands = spark.read.parquet(f"{ledger_dir}/bands")
     led_sets = spark.read.parquet(f"{ledger_dir}/sets")
 

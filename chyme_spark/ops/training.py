@@ -181,6 +181,8 @@ def x_cosine_topk_np(spark: SparkSession, sf: str, topk: int = 3) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from chyme_spark.ops.llm import _np_round4
+
     emb = load_table(spark, sf, "embeddings")
     q_rows = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
     if not q_rows:
@@ -206,8 +208,10 @@ def x_cosine_topk_np(spark: SparkSession, sf: str, topk: int = 3) -> DataFrame:
             raw = mn @ b_qn.T  # (batch x nq)
             # HALF_UP away from zero, matching Spark F.round / DuckDB
             # ROUND — np.round is half-to-even, which would flip a
-            # .00005 tie in the 4th decimal vs the oracle (ADVICE r2)
-            sims = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
+            # .00005 tie in the 4th decimal vs the oracle (ADVICE r2);
+            # ONE definition shared with the llm.py gemm kernels so the
+            # oracle-parity rounding rule cannot drift (round-11 review)
+            sims = _np_round4(raw)
             out_qid, out_vid, out_cos = [], [], []
             for j in range(len(b_qids)):
                 col = sims[:, j]

@@ -78,6 +78,7 @@ _FRONT_50 = [
     # (b) changed in round 11 — the driver must re-prove the new code:
     "x_incremental_neardup",      # ledger tempdir now session-cached, no per-call leak (ADVICE r10)
     "x_embedding_neardup",        # cogrouped per-cell gemm rewrite, 10.7x (hash-identical, 3 SFs)
+    "x_cosine_topk_np",           # HALF_UP rounding now the shared _np_round4 (r11 review; same math)
     # (c) backfill: the ENTIRE remaining r5-stamped cohort (15 names),
     # oldest cohort first — these are the displaced TPC-H rewrites the
     # r10 verdict made item #1:
@@ -103,9 +104,10 @@ _FRONT_50 = [
     "x_market_basket", "x_markov_transitions", "x_mixture_resample",
     "x_mixture_temperature", "x_pagerank", "x_pandas_grouped_agg",
     "x_partial_agg_merge", "x_phrase_search", "x_pmi_collocations",
-    "x_rolling_dau", "x_rolling_median",
-    # (x_scd2_intervals displaced by the r11-changed x_embedding_neardup
-    # — r6-green, returns at the head of round 12's backfill)
+    "x_rolling_dau",
+    # (x_scd2_intervals and x_rolling_median displaced by the
+    # r11-changed x_embedding_neardup and x_cosine_topk_np — both
+    # r6-green, both return at the head of round 12's backfill)
 ]
 
 _FRONT_50_R10 = [

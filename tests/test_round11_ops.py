@@ -60,3 +60,20 @@ def test_incremental_ann_ledger_layout_and_pruned_scan(spark, sf_dir):
         if not r.kept
     }
     assert narrow <= set(full)
+
+
+def test_cached_ledger_dir_failed_build_is_retried():
+    """A ledger build that dies midway must NOT poison the session
+    (round-11 review): freshness is an on-disk sentinel written by
+    _mark_ledger_built, not dict membership, so the next call sees
+    fresh=True again and rebuilds into the SAME dir."""
+    from chyme_spark.ops.llm import _cached_ledger_dir, _mark_ledger_built
+
+    d1, fresh1 = _cached_ledger_dir("unit_sentinel", "/tmp/sfX")
+    assert fresh1
+    # simulate a crashed build: caller never marked it built
+    d2, fresh2 = _cached_ledger_dir("unit_sentinel", "/tmp/sfX")
+    assert d2 == d1 and fresh2, "partial build must be retried, same dir"
+    _mark_ledger_built(d1)
+    d3, fresh3 = _cached_ledger_dir("unit_sentinel", "/tmp/sfX")
+    assert d3 == d1 and not fresh3, "completed build must be reused"

@@ -44,6 +44,15 @@ def load(path: str) -> dict:
     # line compare identically
     if "queries_steady" not in d and "queries" in d:
         d["queries_steady"] = d["queries"]
+    if "queries_steady" not in d:
+        # bench.py's oversize fallback drops the medians from the final
+        # line ("queries_dropped") — headline fields survive, but a
+        # per-query compare is impossible; say so instead of KeyError
+        raise SystemExit(
+            f"{path}: bench object has no per-query medians "
+            f"({d.get('queries_dropped', 'keys: ' + str(sorted(d)))}) — "
+            "use the run's full-dump JSON instead of the tail line"
+        )
     return d
 
 
