@@ -169,7 +169,9 @@ SF1_HEAVY = [
 # ~1s/14s for the mapInPandas dgemm + cogrouped per-cell gemm that
 # replaced them (x_cosine_topk_np's Arrow physical strategy). Output
 # identical at all measured SFs (sf0.1: 65/96 recall, 0 spurious,
-# both forms).
+# both forms). Post-review persist of the 3x-consumed quantize subplan
+# (the probed-cell collect + cogroup probe side + in-batch residents):
+# warm sf0.1 re-measured 2.3s -> ~1.1s.
 SF2_SKEW = [
     "d43_minhash_lsh", "x_duplicate_ngram_fraction",
     "x_dup_span_scrub", "x_stratified_split", "x_dsir_resample",
