@@ -362,3 +362,57 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(a, b, run):
     the run sits in either document."""
     d1, d2 = a + run + b, b + run + a
     assert _winnow(d1) & _winnow(d2), (d1, d2)
+
+
+# --- block-matrix decomposition exactness (x_embedding_neardup, r11) ---
+
+_EMB_PROP_COUNTER = [0]
+
+
+@_PROPERTY_SETTINGS
+@given(
+    rows=st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3), min_size=4, max_size=4),
+        min_size=2,
+        max_size=18,
+    ),
+    n_blocks=st.sampled_from([1, 5, 37]),
+)
+def test_embedding_neardup_blocking_matches_bruteforce(spark, rows, n_blocks):
+    """The block-pair equi-join + per-cell chunked gemm must return
+    EXACTLY the brute-force cosine pairs for any vector set and any
+    block granularity — n_blocks=1 exercises the diagonal-only path,
+    5 the cross-block cells, 37 (>> n) mostly-empty cells. Integer
+    components make every dot/norm exact in float64, so the comparison
+    is equality, not tolerance."""
+    import math
+    import os
+
+    from hypothesis import assume
+
+    from chyme_spark.ops.llm import _np_round4, x_embedding_neardup
+
+    assume(all(any(v) for v in rows))  # zero vectors have no cosine
+    _EMB_PROP_COUNTER[0] += 1
+    d = f"/tmp/chyme_prop_emb/{os.getpid()}_{_EMB_PROP_COUNTER[0]}"
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+        "vec_id long, embedding array<double>",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    got = sorted(
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in x_embedding_neardup(spark, d, n_blocks=n_blocks).collect()
+    )
+
+    want = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            dot = sum(x * y for x, y in zip(rows[i], rows[j]))
+            raw = dot / (
+                math.sqrt(sum(x * x for x in rows[i]))
+                * math.sqrt(sum(x * x for x in rows[j]))
+            )
+            if raw >= 0.45:  # RAW threshold, rounded report — op semantics
+                want.append((i, j, float(_np_round4(raw))))
+    assert got == sorted(want)
