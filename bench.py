@@ -203,6 +203,12 @@ SF2_SKEW = [
     # for the cell equi-join), and the probe proves the ledger
     # build+probe pipeline holds as cell occupancy grows 20x.
     "x_incremental_ann",
+    # r12 (VERDICT r11 #2): the compactor — TRUE output is the k2-row
+    # occupancy report (bounded by the adaptive clamp), and the probe
+    # proves the gate-run + capped-sample retrain + one-shuffle
+    # re-layout pipeline holds as the corpus grows 20x with replicated
+    # (cell-concentrating) vectors.
+    "x_ivf_compaction",
 ]
 
 # Bench-battery rotation (VERDICT r8 #5): ~10 slots per round through
@@ -210,24 +216,21 @@ SF2_SKEW = [
 # round's entry in tools/bench_ledger.json (tests/test_bench_battery.py
 # asserts the two stay in sync and every member is registered).
 ROTATION = [
-    # round-11 cohort (VERDICT r10 #5): the never-benched UDF-surface
-    # ops from rounds 7/8 — the four D-47..49 UDF battery members plus
-    # the Arrow-native scalar/UDTF/grouped-map/mapInArrow and the
-    # row-at-a-time Python UDTF (their relative cost vs JVM built-ins
-    # is exactly what a bench should record) — and the heavy
-    # never-benched pair joins: the exact block-matrix embedding join,
-    # banded SimHash near-dup, the banded pHash image near-dup, n-gram
-    # Jaccard verify, and the decontamination scrub. (x_ppjoin_setsim
-    # is deliberately NOT rotated in: its sf0.1 timing is already on
-    # record — 35 s, r8 rewrite — and 4 passes of it would dominate the
-    # rotation's wall-clock for no new information.)
-    "d47_python_udf", "d48_pandas_udf", "d49_apply_in_pandas",
-    "x_arrow_udf", "x_arrow_udtf", "x_apply_in_arrow",
-    "x_map_in_arrow", "x_python_udtf",
-    "x_embedding_neardup", "x_simhash_neardup", "x_image_phash_neardup",
-    "x_ngram_jaccard", "x_decontaminate",
-    # the new-in-r11 op, timed the round it lands:
-    "x_incremental_ann",
+    # round-12 cohort (VERDICT r11 #3): the ENTIRE never-benched
+    # streaming battery — RocksDB state-store setup, micro-batch
+    # scheduling, and applyInPandasWithState / transformWithState
+    # per-batch costs are real and had no recorded sf0.1 time. All 11
+    # streaming members (9 x_stream_* + the two D-id streaming ops),
+    # plus the two never-benched sketch ops, plus the new-in-r12
+    # compaction op, timed the round it lands (the x_incremental_ann
+    # precedent).
+    "d40_stream_watermark", "d41_stream_dedup",
+    "x_datasource_stream_write", "x_stream_outer_join",
+    "x_stream_session_timeout", "x_stream_stateful_counts",
+    "x_stream_static_join", "x_stream_stream_join",
+    "x_stream_tws_counts", "x_stream_tws_sessions", "x_stream_upsert",
+    "x_countmin_sketch", "x_hll_sketch_union",
+    "x_ivf_compaction",
 ]
 
 

@@ -688,6 +688,43 @@ def x_embedding_neardup(
     )
 
 
+def _cell_quantizer(c_mat, np_: int):
+    """mapInPandas kernel factory: rank IVF cells for each vector by
+    squared Euclidean distance to the broadcast codebook ``c_mat``
+    (KMeans' own assignment metric, so a vector's rank-1 cell is
+    exactly where the trained model would file it): |q - c|^2 = |q|^2 -
+    2 q.c + |c|^2, with |q|^2 constant per query dropped from the
+    ranking. One (batch x dim) @ (dim x k) float64 dgemm per Arrow
+    batch — the HOF-expression form (cross-join + per-pair interpreted
+    folds + window rank) measured 53 s of x_incremental_ann's 50x spot
+    check on this stage alone; the gemm does it in ~1 s and replaces
+    the rank shuffle with a narrow map. Ties rank lower-cell-first
+    (stable argsort == the (cdist, cell) ordering). Output schema is
+    ``vec_id long, cell int, pr int`` (pr = 1-based probe rank);
+    ``np_=1`` is the pure assignment form (x_ivf_compaction's
+    re-layout). Shared by the ingest gate and the compactor so both
+    sides of the replay contract quantize with the SAME arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    c_sq = (c_mat * c_mat).sum(axis=1)
+
+    def quantize(batches):
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            d = c_sq[None, :] - 2.0 * (x @ c_mat.T)
+            top = np.argsort(d, axis=1, kind="stable")[:, :np_]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), np_),
+                    "cell": top.ravel().astype("int32"),
+                    "pr": np.tile(np.arange(1, np_ + 1, dtype="int32"), len(pdf)),
+                }
+            )
+
+    return quantize
+
+
 @query(
     "x_incremental_ann",
     oracle=None,  # rows-only: the IVF cell geometry (MLlib KMeans,
@@ -699,7 +736,7 @@ def x_embedding_neardup(
 )
 def x_incremental_ann(
     spark: SparkSession, sf: str, k: int | None = None, nprobe: int = 4,
-    tau: float = 0.45,
+    tau: float = 0.45, ledger_dir: str | None = None,
 ) -> DataFrame:
     """The embedding sibling of x_incremental_neardup (VERDICT r10 #4):
     yesterday's corpus is a PERSISTED IVF ledger — a centroid codebook
@@ -733,9 +770,11 @@ def x_incremental_ann(
     convention) for the same reason: a fixed-size history under a
     growing batch would measure fixture pathology, not the operator.
     Codebook drift (history grows, centroids staling) is the
-    operational knob: retrain on a sample every N days and rewrite the
-    layout — the compaction story, not the ingest story. The split /
-    hist-count lookups are bounded driver actions (two scalars).
+    operational knob: :func:`x_ivf_compaction` retrains on a sample
+    every N days and rewrites the layout — the compaction story, not
+    the ingest story — and a compacted ledger replays through this
+    gate via ``ledger_dir=``. The split / hist-count lookups are
+    bounded driver actions (two scalars).
 
     Recall honesty: IVF probing is approximate — a near-threshold pair
     whose two vectors quantize to disjoint probe sets is missed.
@@ -757,35 +796,39 @@ def x_incremental_ann(
     split = (vecs.agg(F.max("vec_id")).first()[0] + 1) // 2
     hist = vecs.filter(F.col("vec_id") < split)
     batch = vecs.filter(F.col("vec_id") >= split)
-    if k is None:
-        # adaptive cell count (bounded driver action: one scalar count
-        # over a column-pruned scan) — see the docstring's occupancy
-        # argument; the clamp floor keeps the tiny fixtures at the
-        # measured k=16 geometry and the cap bounds codebook training.
-        k = max(16, min(1024, hist.count() // 64))
 
     # --- build + persist the IVF ledger (the "yesterday" side) --------
     # same session-scoped cache as the MinHash gate: dir reused across
     # calls, content deterministic per (sf, k) (KMeans seed-pinned),
     # removal deferred to exit because the returned DataFrame lazily
     # reads it. k is in the key: an explicit-k call must never reuse an
-    # adaptive-k ledger.
-    ledger_dir, fresh = _cached_ledger_dir(f"ann_k{k}", sf)
-    if fresh:
-        model = KMeans(k=k, seed=42, maxIter=10).fit(hist)
-        centroids = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-            "cell int, centroid array<double>",
-        )
-        centroids.write.mode("overwrite").parquet(f"{ledger_dir}/centroids")
-        (
-            model.transform(hist)
-            .select(F.col("prediction").alias("cell"), "vec_id", "embedding", "nrm")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(f"{ledger_dir}/cells")
-        )
-        _mark_ledger_built(ledger_dir)
+    # adaptive-k ledger. A caller-provided ledger_dir (x_ivf_compaction's
+    # replay contract) skips the build entirely — the dir's codebook IS
+    # the geometry, so k is read from it, never recomputed.
+    if ledger_dir is None:
+        if k is None:
+            # adaptive cell count (bounded driver action: one scalar
+            # count over a column-pruned scan) — see the docstring's
+            # occupancy argument; the clamp floor keeps the tiny
+            # fixtures at the measured k=16 geometry and the cap bounds
+            # codebook training.
+            k = max(16, min(1024, hist.count() // 64))
+        ledger_dir, fresh = _cached_ledger_dir(f"ann_k{k}", sf)
+        if fresh:
+            model = KMeans(k=k, seed=42, maxIter=10).fit(hist)
+            centroids = spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+                "cell int, centroid array<double>",
+            )
+            centroids.write.mode("overwrite").parquet(f"{ledger_dir}/centroids")
+            (
+                model.transform(hist)
+                .select(F.col("prediction").alias("cell"), "vec_id", "embedding", "nrm")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{ledger_dir}/cells")
+            )
+            _mark_ledger_built(ledger_dir)
     led_cent = spark.read.parquet(f"{ledger_dir}/centroids")
     led_cells = spark.read.parquet(f"{ledger_dir}/cells")
 
@@ -807,30 +850,21 @@ def x_incremental_ann(
     # codebook to the driver: bounded by the clamp (<= 1024 x dim)
     cent_rows = led_cent.orderBy("cell").collect()
     c_mat = np.array([r.centroid for r in cent_rows], dtype=np.float64)
-    c_sq = (c_mat * c_mat).sum(axis=1)
     # nprobe > |codebook| means "probe everything" — clamp, or the
-    # repeat/tile lengths below diverge from argsort's column count
+    # quantizer's repeat/tile lengths diverge from argsort's column count
     np_ = min(int(nprobe), len(c_mat))
-
-    def quantize(batches):
-        for pdf in batches:
-            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            d = c_sq[None, :] - 2.0 * (x @ c_mat.T)
-            top = np.argsort(d, axis=1, kind="stable")[:, :np_]
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), np_),
-                    "cell": top.ravel().astype("int32"),
-                    "pr": np.tile(np.arange(1, np_ + 1, dtype="int32"), len(pdf)),
-                }
-            )
+    quantize = _cell_quantizer(c_mat, np_)
 
     # persist: this subplan feeds THREE consumers — the probed-cell
     # collect below, the cogroup's probe side, and the in-batch resident
     # branch (probes.filter(pr == 1)) — and without a persist each one
     # re-scans the batch and re-runs the codebook gemm (round-11
     # review; the d43 sets.persist() precedent). Tiny: <= |batch| x
-    # nprobe (vec_id, cell, pr) rows.
+    # nprobe (vec_id, cell, pr) rows. Not unpersisted here because the
+    # RETURNED DataFrame lazily reads it; ContextCleaner-bounded (the
+    # analytics.py x_tpch_q15 persist note) — the cache is dropped when
+    # the DataFrame is GC'd, and a session-level caller that
+    # materializes the disposition may unpersist sooner (ADVICE r11).
     probe_cells = batch.select("vec_id", "embedding").mapInPandas(
         quantize, "vec_id long, cell int, pr int"
     ).persist()
@@ -877,58 +911,81 @@ def x_incremental_ann(
     # applyInPandas): each vector crosses the wire once per cell it
     # touches — the per-pair HOF form shipped and re-folded both arrays
     # per CANDIDATE (occupancy x more traffic, ~100 s of the 50x spot
-    # check). Two hardenings vs the naive full-matrix form, both for
-    # the duplicate-flood batch (every vector near-identical, so the
-    # whole batch concentrates into ONE cell and |probes| ~ |residents|
-    # ~ |batch|): the gemm is chunked to 2048 probe rows (same bound as
-    # x_embedding_neardup's cell kernel) so the score matrix stays
-    # task-sized, and the min-dup_of reduction happens INSIDE the
-    # kernel — the gate only ever consumes the smallest verified
+    # check). Hardenings vs the naive full-matrix form, all for the
+    # duplicate-flood batch (every vector near-identical, so the whole
+    # batch concentrates into ONE cell and |probes| ~ |residents| ~
+    # |batch|, defeating the adaptive-k occupancy bound — identical
+    # vectors land in one cell regardless of k): the gemm is chunked on
+    # BOTH axes — 2048 probe rows x 4096 resident columns (probe bound
+    # shared with x_embedding_neardup's cell kernel) — so the score
+    # matrix is task-sized no matter how large the cell grows (the
+    # probe-axis-only form still built 2048 x |residents| matrices,
+    # ~700 MB peak at the measured 20k-resident flood; ADVICE r11), a
+    # running per-probe (min dup_of, its cosine) carries across
+    # resident chunks (dup_of values are unique per cell — a history
+    # vector rests in one cell, an in-batch resident in its one primary
+    # cell — so the cross-chunk min is the chunked min of chunk mins),
+    # and the candidate-selection matrix is built only for rows that
+    # hit, not the whole chunk. The min-dup_of reduction happens INSIDE
+    # the kernel — the gate only ever consumes the smallest verified
     # duplicate per probe, so emitting all matching pairs (quadratic in
     # a flood: every pair verifies at cosine ~1.0) would shuffle
     # O(batch^2) rows to compute an O(batch)-row groupBy. Per (cell,
     # probe) the kernel emits at most ONE row; (vec_id, dup_of)
-    # candidates stay unique across cells (a history vector rests in
-    # one cell, an in-batch resident in its one primary cell), so the
-    # downstream global min is unchanged.
+    # candidates stay unique across cells, so the downstream global min
+    # is unchanged.
     tau_ = float(tau)
 
     def verify(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_id": [], "dup_of": [], "cosine": []})
         if left.empty or right.empty:
             return empty
+        i64max = np.iinfo(np.int64).max
         p = np.array(left["qe"].tolist(), dtype=np.float64)
         r = np.array(right["emb_old"].tolist(), dtype=np.float64)
         qn = left["qnrm"].to_numpy()
         rn = right["nrm_old"].to_numpy()
         vid = left["vec_id"].to_numpy()
-        dof = right["dup_of"].to_numpy()
+        dof = right["dup_of"].to_numpy().astype(np.int64)
         outs = []
         for s in range(0, len(p), 2048):
             pe, ve, ne = p[s : s + 2048], vid[s : s + 2048], qn[s : s + 2048]
-            # threshold the RAW cosine (exactly like x_embedding_neardup's
-            # WHERE-before-ROUND — a rounded threshold would disagree with
-            # the exact pair join on [tau - 0.00005, tau) pairs and break
-            # the exhaustive-probe == exact contract); round HALF_UP only
-            # for the reported value (ADVICE r2)
-            cos = (pe @ r.T) / np.outer(ne, rn)
-            mask = (dof[None, :] < ve[:, None]) & (cos >= tau_)
-            hit = mask.any(axis=1)
-            if not hit.any():
-                continue
-            # per-row argmin of dup_of over matching columns only
-            dsel = np.where(mask, dof[None, :], np.iinfo(np.int64).max)
-            jmin = dsel.argmin(axis=1)
-            rows = np.nonzero(hit)[0]
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "vec_id": ve[rows],
-                        "dup_of": dof[jmin[rows]],
-                        "cosine": _np_round4(cos[rows, jmin[rows]]),
-                    }
+            best_dup = np.full(len(pe), i64max, dtype=np.int64)
+            best_cos = np.zeros(len(pe), dtype=np.float64)
+            for t in range(0, len(r), 4096):
+                re_, de, dn = r[t : t + 4096], dof[t : t + 4096], rn[t : t + 4096]
+                # threshold the RAW cosine (exactly like
+                # x_embedding_neardup's WHERE-before-ROUND — a rounded
+                # threshold would disagree with the exact pair join on
+                # [tau - 0.00005, tau) pairs and break the
+                # exhaustive-probe == exact contract); round HALF_UP
+                # only for the reported value (ADVICE r2)
+                cos = (pe @ re_.T) / np.outer(ne, dn)
+                mask = (de[None, :] < ve[:, None]) & (cos >= tau_)
+                hit = mask.any(axis=1)
+                if not hit.any():
+                    continue
+                rows = np.nonzero(hit)[0]
+                # per-row argmin of dup_of over matching columns, built
+                # for the hit rows only
+                dsel = np.where(mask[rows], de[None, :], i64max)
+                jmin = dsel.argmin(axis=1)
+                cmin = dsel[np.arange(len(rows)), jmin]
+                upd = cmin < best_dup[rows]
+                urows = rows[upd]
+                best_dup[urows] = cmin[upd]
+                best_cos[urows] = cos[urows, jmin[upd]]
+            found = np.nonzero(best_dup < i64max)[0]
+            if len(found):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ve[found],
+                            "dup_of": best_dup[found],
+                            "cosine": _np_round4(best_cos[found]),
+                        }
+                    )
                 )
-            )
         return pd.concat(outs) if outs else empty
 
     verified = (
@@ -950,6 +1007,128 @@ def x_incremental_ann(
             "cosine",
         )
         .orderBy("vec_id")
+    )
+
+
+def compact_ann_ledger(
+    spark: SparkSession, sf: str, nprobe: int = 4, tau: float = 0.45
+) -> str:
+    """Build (or reuse, session-cached per (sf, nprobe, tau)) the
+    COMPACTED IVF ledger and return its directory — the worker behind
+    :func:`x_ivf_compaction`, factored out so tests can replay the gate
+    against the rebuilt layout via ``x_incremental_ann(...,
+    ledger_dir=...)``. Steps: (1) run the ingest gate to disposition
+    today's batch; (2) corpus = every vector minus the rejected batch
+    (one anti join — history + admitted, exactly what the post-ingest
+    ledger holds); (3) retrain the codebook with seed-pinned KMeans on
+    a DETERMINISTIC hash-sample of the corpus (pmod(xxhash64(vec_id),
+    n//65536) == 0 — partition-layout-independent, caps training at
+    ~65536 vectors no matter the corpus size); (4) re-quantize the
+    whole corpus against the new codebook (np_=1 — pure assignment,
+    same gemm arithmetic as the gate's probe ranking) and rewrite the
+    hive cell layout in one pass."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    out_dir, fresh = _cached_ledger_dir(f"ann_compact_np{nprobe}_tau{tau}", sf)
+    if not fresh:
+        return out_dir
+    disp = x_incremental_ann(spark, sf, nprobe=nprobe, tau=tau)
+    rejected = disp.filter(~F.col("kept")).select("vec_id")
+    emb = load_table(spark, sf, "embeddings")
+    vecs = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    # persist: feeds the count, the KMeans sample, the assignment map
+    # AND the layout join below; unpersisted after the (eager) writes
+    corpus = vecs.join(rejected, "vec_id", "left_anti").persist()
+    n = corpus.count()  # bounded driver action: one scalar
+    k2 = max(16, min(1024, n // 64))  # the gate's adaptive-k clamp
+    mod = max(1, n // 65536)
+    train = corpus.filter(
+        F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0
+    ).select(array_to_vector("embedding").alias("features"))
+    model = KMeans(k=k2, seed=42, maxIter=10).fit(train)
+    cents = model.clusterCenters()
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    c_mat = np.array([[float(x) for x in c] for c in cents], dtype=np.float64)
+    assign = corpus.select("vec_id", "embedding").mapInPandas(
+        _cell_quantizer(c_mat, 1), "vec_id long, cell int, pr int"
+    ).select("vec_id", "cell")
+    (
+        corpus.join(assign, "vec_id")
+        .select("cell", "vec_id", "embedding", "nrm")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{out_dir}/cells")
+    )
+    _mark_ledger_built(out_dir)
+    corpus.unpersist()
+    return out_dir
+
+
+@query(
+    "x_ivf_compaction",
+    oracle=None,  # rows-only: the compacted layout is KMeans geometry
+    # (seed-pinned MLlib), no DuckDB twin — same determinism class as
+    # x_incremental_ann; the contract is pinned by
+    # tests/test_round12_ops.py::test_ivf_compaction_* (vector
+    # conservation, exhaustive-replay equivalence with the pre-compaction
+    # gate, recall non-degrading at the default nprobe).
+    doc="IVF ledger compaction: retrain the codebook on a deterministic hash-sample of history + admitted batch, re-quantize and rewrite the hive cell layout in one pass — the day-end maintenance op that closes x_incremental_ann's codebook-drift loop; reports per-cell occupancy of the compacted ledger",
+)
+def x_ivf_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Closes the codebook-drift loop x_incremental_ann's docstring
+    defers: as history grows, the hist-trained centroids stale and cell
+    occupancy skews, eroding both the probe recall and the adaptive-k
+    occupancy bound. The day-end compactor retrains the codebook on a
+    deterministic hash-sample of the POST-ingest corpus (history +
+    admitted batch — rejected vectors are gone for good), re-quantizes
+    every vector with the same gemm arithmetic the gate probes with,
+    and rewrites the hive cell layout in one pass; tomorrow's ingest
+    gates against the fresh geometry (``x_incremental_ann(...,
+    ledger_dir=...)``). The ingest/compact split mirrors the
+    reference's task lifecycle — tasks accumulate against a ledger
+    between maintenance passes (ref internal/tasker/service.go:36-66)
+    — generalized to the vector store.
+
+    Equivalence contract (tests/test_round12_ops.py): the rebuilt
+    ledger holds EXACTLY the original vectors (conservation — no loss,
+    no dup, layout is pure re-partitioning), and with exhaustive
+    probing a replayed batch gets the IDENTICAL disposition against
+    the compacted ledger as against the original (geometry affects
+    only which cells are probed, never the exact-cosine verdicts);
+    at finite nprobe the corpus-trained codebook's recall is measured
+    non-degrading vs the stale hist-trained one.
+
+    100 TB design: retraining is capped at ~65536 sampled vectors by a
+    partition-independent hash filter (KMeans cost is O(sample), never
+    O(corpus)); the re-layout is the corpus's ONE full shuffle (by new
+    cell, the hive write) — the honest, amortized cost of compaction,
+    paid every N days so that every daily ingest between passes reads
+    ~nprobe/k of history via plan-time pruning. The occupancy report
+    returned here is metadata-sized (k2 <= 1024 rows) and is the
+    operational signal for SCHEDULING the next pass (occupancy skew =
+    drift). Nothing quadratic; the only driver actions are two scalars
+    and the <= 1024-row codebook."""
+    out_dir = compact_ann_ledger(spark, sf)
+    cells = spark.read.parquet(f"{out_dir}/cells")
+    cent = spark.read.parquet(f"{out_dir}/centroids")
+    emb = load_table(spark, sf, "embeddings")
+    split = (emb.agg(F.max("vec_id")).first()[0] + 1) // 2
+    occ = cells.groupBy("cell").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.when(F.col("vec_id") < split, 1).otherwise(0)).alias("n_hist"),
+        F.sum(F.when(F.col("vec_id") >= split, 1).otherwise(0)).alias("n_admitted"),
+    )
+    return (
+        cent.select("cell")
+        .join(occ, "cell", "left")
+        .fillna(0, ["n_vecs", "n_hist", "n_admitted"])
+        .orderBy("cell")
     )
 
 

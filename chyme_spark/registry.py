@@ -67,7 +67,47 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # If the list exceeds 50, the tail (youngest backfill) rotates out and
 # returns next round.
 _FRONT_50 = [
-    # ---- Round-11 window (VERDICT r10 #1: clear the r5 cohort
+    # ---- Round-12 window (VERDICT r11 #1: x_rolling_median first —
+    # displaced from r11 by the x_cosine_topk_np rounding fix — then
+    # the 16 remaining r6-stamped greens, then the head of the r7
+    # cohort; after this round the ledger minimum stamp must be r7.
+    # Budgeted exactly ONE new op per the verdict) ----
+    # (a) new in round 12 — never driver-checked:
+    "x_ivf_compaction",           # IVF ledger retrain + re-layout, closes the gate's drift loop (r11 VERDICT #2)
+    # (b) changed in round 12 — the driver must re-prove the new code:
+    "x_incremental_ann",          # verify kernel resident-axis chunking + running min (ADVICE r11); ledger_dir replay param
+    # (c) backfill: the full r6-stamped cohort (oracle-backed members;
+    # x_bpe_train/x_bpe_apply/x_embedding_pq/x_mmr_rerank are rows-only
+    # and never backfill), led by the two names displaced from the r11
+    # window:
+    "x_rolling_median", "x_scd2_intervals",
+    "x_segment_dedup_scrub", "x_session_paths", "x_skyline",
+    "x_sorted_neighborhood",
+    "x_stratified_split", "x_table_diff", "x_temporal_join",
+    "x_tpch_q9_product_profit", "x_triangle_count", "x_zorder_layout",
+    # then the head of the r7-stamped cohort (d-ids first — their r7
+    # stamps are the oldest — then alphabetical):
+    "d19_sort", "d22_ranking_windows", "d23_lag_lead", "d25_union",
+    "d26_intersect_except",
+    "x_benford", "x_bitwise_fns", "x_ccnet_buckets",
+    "x_cogroup_reconcile", "x_collation_group",
+    "x_corpus_filter_pipeline", "x_cube", "x_dataset_card",
+    "x_dedup_clusters", "x_dedup_report", "x_deterministic_split",
+    "x_doc_token_stats", "x_embedding_centroids", "x_entropy_score",
+    "x_fingerprint", "x_funnel", "x_histogram",
+    "x_image_phash_neardup", "x_langid", "x_map_in_arrow",
+    "x_multimodal_features", "x_ngram_jaccard", "x_observe_metrics",
+    "x_priority_sample", "x_quality_score", "x_range_frame",
+    "x_recursive_cte", "x_skew_audit", "x_sql_pipe",
+    "x_stream_upsert", "x_string_agg",
+    # (x_tfidf and x_token_drift displaced by the new x_ivf_compaction
+    # and the r12-changed x_incremental_ann — both r7-green, both
+    # return at the head of round 13's backfill)
+]
+
+_FRONT_50_R11 = [
+    # ---- Round-11 window (retired; kept for the ledger audit trail)
+    # (VERDICT r10 #1: clear the r5 cohort
     # COMPLETELY — the 15 TPC-H rewrites + x_yoy_growth displaced last
     # round — then backfill with the head of the r6 cohort; after this
     # round the ledger minimum stamp must be r6. Budgeted exactly ONE

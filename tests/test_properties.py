@@ -8,6 +8,7 @@ commutativity of the ingest pipeline.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -369,6 +370,15 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(a, b, run):
 _EMB_PROP_COUNTER = [0]
 
 
+@pytest.fixture(scope="module")
+def emb_prop_root(tmp_path_factory):
+    """Per-run root for the hypothesis examples' parquet fixtures —
+    pytest's session tmp dir is reaped automatically (keeps the last
+    few runs), so example dirs no longer accumulate under a fixed
+    /tmp path across runs (ADVICE r11)."""
+    return str(tmp_path_factory.mktemp("chyme_prop_emb"))
+
+
 @_PROPERTY_SETTINGS
 @given(
     rows=st.lists(
@@ -378,7 +388,9 @@ _EMB_PROP_COUNTER = [0]
     ),
     n_blocks=st.sampled_from([1, 5, 37]),
 )
-def test_embedding_neardup_blocking_matches_bruteforce(spark, rows, n_blocks):
+def test_embedding_neardup_blocking_matches_bruteforce(
+    spark, emb_prop_root, rows, n_blocks
+):
     """The block-pair equi-join + per-cell chunked gemm must return
     EXACTLY the brute-force cosine pairs for any vector set and any
     block granularity — n_blocks=1 exercises the diagonal-only path,
@@ -386,7 +398,6 @@ def test_embedding_neardup_blocking_matches_bruteforce(spark, rows, n_blocks):
     components make every dot/norm exact in float64, so the comparison
     is equality, not tolerance."""
     import math
-    import os
 
     from hypothesis import assume
 
@@ -394,7 +405,7 @@ def test_embedding_neardup_blocking_matches_bruteforce(spark, rows, n_blocks):
 
     assume(all(any(v) for v in rows))  # zero vectors have no cosine
     _EMB_PROP_COUNTER[0] += 1
-    d = f"/tmp/chyme_prop_emb/{os.getpid()}_{_EMB_PROP_COUNTER[0]}"
+    d = f"{emb_prop_root}/{_EMB_PROP_COUNTER[0]}"
     spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
         "vec_id long, embedding array<double>",
