@@ -1,0 +1,101 @@
+"""One-off full-registry timing census (round 12).
+
+The per-round bench rotation retires the never-benched backlog at ~14
+names/round — ~12 rounds of debt at round 11's count (VERDICT r11,
+"What's missing" #2). This tool records a builder-side timing for EVERY
+registry query in one pass instead: 1 warm + N timed noop-sink runs per
+query (median), fault-isolated like bench.py's probe_block, written to
+a JSON artifact (tools/bench_census_r{N}.json).
+
+This is NOT the driver bench and does not replace the rotation's
+3-pass idle-host medians in BENCH_r{N}.json — it is a coarse census so
+that every operator has at least one recorded sf0.1 number and the
+rotation can target genuinely heavy stragglers instead of walking the
+registry alphabetically.
+
+Usage:
+    python tools/bench_census.py [--sf DIR] [--passes 2] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    from chyme_spark.registry import load_all
+    from chyme_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("chyme_census")
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = registry[name].fn(spark, args.sf)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    def revive_if_dead() -> None:
+        nonlocal spark
+        try:
+            dead = spark.sparkContext._jsc.sc().isStopped()
+        except Exception:  # noqa: BLE001
+            dead = True
+        if dead:
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001
+                pass
+            spark = get_spark("chyme_census")
+
+    medians: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for i, name in enumerate(sorted(registry)):
+        try:
+            run(name)  # warm (footers, codegen)
+            ts = sorted(run(name) for _ in range(args.passes))
+            mid = len(ts) // 2
+            med = ts[mid] if len(ts) % 2 else (ts[mid - 1] + ts[mid]) / 2
+            medians[name] = round(med, 3)
+        except Exception as e:  # noqa: BLE001 — census must finish
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            revive_if_dead()
+        print(
+            f"[{i + 1}/{len(registry)}] {name}: "
+            f"{medians.get(name, errors.get(name))}",
+            flush=True,
+        )
+
+    out = {
+        "sf_dir": args.sf,
+        "passes": args.passes,
+        "n_queries": len(registry),
+        "total_median_sec": round(sum(medians.values()), 3),
+        "queries_median": dict(sorted(medians.items())),
+    }
+    if errors:
+        out["errors"] = errors
+    path = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_census_r12.json"
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(f"census: {len(medians)} timed, {len(errors)} errors -> {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
