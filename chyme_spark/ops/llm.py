@@ -688,7 +688,15 @@ def x_embedding_neardup(
     )
 
 
-def _cell_quantizer(c_mat, np_: int):
+def _adaptive_k(n: int) -> int:
+    """The gate/compactor shared cell-count policy: clamp(n/64, 16,
+    1024). One definition so the compactor can never silently build a
+    codebook under a different k-policy than the gate it feeds (and
+    the conservation test asserts against this same helper)."""
+    return max(16, min(1024, n // 64))
+
+
+def _cell_quantizer(c_mat, np_: int, payload: bool = False):
     """mapInPandas kernel factory: rank IVF cells for each vector by
     squared Euclidean distance to the broadcast codebook ``c_mat``
     (KMeans' own assignment metric, so a vector's rank-1 cell is
@@ -700,13 +708,19 @@ def _cell_quantizer(c_mat, np_: int):
     check on this stage alone; the gemm does it in ~1 s and replaces
     the rank shuffle with a narrow map. Ties rank lower-cell-first
     (stable argsort == the (cdist, cell) ordering). Output schema is
-    ``vec_id long, cell int, pr int`` (pr = 1-based probe rank);
-    ``np_=1`` is the pure assignment form (x_ivf_compaction's
-    re-layout). Shared by the ingest gate and the compactor so both
-    sides of the replay contract quantize with the SAME arithmetic."""
+    ``vec_id long, cell int, pr int`` (pr = 1-based probe rank).
+    ``payload=True`` (requires np_ == 1) is the pure assignment form
+    for x_ivf_compaction's re-layout: it passes the row's embedding
+    and nrm THROUGH, emitting ``cell int, vec_id long, embedding
+    array<double>, nrm double`` so the layout write needs no join back
+    to the corpus — the only shuffle left is the by-cell repartition.
+    Shared by the ingest gate and the compactor so both sides of the
+    replay contract quantize with the SAME arithmetic."""
     import numpy as np
     import pandas as pd
 
+    if payload and np_ != 1:
+        raise ValueError("payload assignment is single-cell: np_ must be 1")
     c_sq = (c_mat * c_mat).sum(axis=1)
 
     def quantize(batches):
@@ -714,6 +728,16 @@ def _cell_quantizer(c_mat, np_: int):
             x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             d = c_sq[None, :] - 2.0 * (x @ c_mat.T)
             top = np.argsort(d, axis=1, kind="stable")[:, :np_]
+            if payload:
+                yield pd.DataFrame(
+                    {
+                        "cell": top[:, 0].astype("int32"),
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "embedding": pdf["embedding"],
+                        "nrm": pdf["nrm"].to_numpy(),
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(pdf["vec_id"].to_numpy(), np_),
@@ -805,14 +829,21 @@ def x_incremental_ann(
     # adaptive-k ledger. A caller-provided ledger_dir (x_ivf_compaction's
     # replay contract) skips the build entirely — the dir's codebook IS
     # the geometry, so k is read from it, never recomputed.
+    if ledger_dir is not None and k is not None:
+        # a provided ledger IS the geometry — honoring k here is
+        # impossible and silently ignoring it would let a caller
+        # believe they got 64-cell geometry from a dir built with
+        # another k (r12 review)
+        raise ValueError("pass k or ledger_dir, not both: a provided ledger fixes the geometry")
     if ledger_dir is None:
         if k is None:
             # adaptive cell count (bounded driver action: one scalar
             # count over a column-pruned scan) — see the docstring's
             # occupancy argument; the clamp floor keeps the tiny
             # fixtures at the measured k=16 geometry and the cap bounds
-            # codebook training.
-            k = max(16, min(1024, hist.count() // 64))
+            # codebook training. Policy shared with the compactor
+            # (_adaptive_k).
+            k = _adaptive_k(hist.count())
         ledger_dir, fresh = _cached_ledger_dir(f"ann_k{k}", sf)
         if fresh:
             model = KMeans(k=k, seed=42, maxIter=10).fit(hist)
@@ -922,11 +953,17 @@ def x_incremental_ann(
     # probe-axis-only form still built 2048 x |residents| matrices,
     # ~700 MB peak at the measured 20k-resident flood; ADVICE r11), a
     # running per-probe (min dup_of, its cosine) carries across
-    # resident chunks (dup_of values are unique per cell — a history
-    # vector rests in one cell, an in-batch resident in its one primary
-    # cell — so the cross-chunk min is the chunked min of chunk mins),
-    # and the candidate-selection matrix is built only for rows that
-    # hit, not the whole chunk. The min-dup_of reduction happens INSIDE
+    # resident chunks (in a NORMAL run dup_of values are unique per
+    # cell — a history vector rests in one cell, an in-batch resident
+    # in its one primary cell — and in ledger_dir REPLAY mode an
+    # admitted batch vector can appear as a resident TWICE, from the
+    # ledger and from the in-batch branch, possibly in different
+    # chunks: both copies carry the identical embedding/nrm, so the
+    # duplicate contributes an equal (dup_of, cosine) pair and the
+    # strict-< running min keeps whichever arrived first — the
+    # cross-chunk min is the chunked min of chunk mins either way;
+    # r12 review pinned this invariant), and the candidate-selection
+    # matrix is built only for rows that hit, not the whole chunk. The min-dup_of reduction happens INSIDE
     # the kernel — the gate only ever consumes the smallest verified
     # duplicate per probe, so emitting all matching pairs (quadratic in
     # a flood: every pair verifies at cosine ~1.0) would shuffle
@@ -1043,8 +1080,10 @@ def compact_ann_ledger(
     # AND the layout join below; unpersisted after the (eager) writes
     corpus = vecs.join(rejected, "vec_id", "left_anti").persist()
     n = corpus.count()  # bounded driver action: one scalar
-    k2 = max(16, min(1024, n // 64))  # the gate's adaptive-k clamp
-    mod = max(1, n // 65536)
+    k2 = _adaptive_k(n)  # the gate's shared cell-count policy
+    # CEIL, not floor: floor would let the expected sample drift up to
+    # ~2x65536 just under each power-of-mod boundary (r12 review)
+    mod = max(1, -(-n // 65536))
     train = corpus.filter(
         F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0
     ).select(array_to_vector("embedding").alias("features"))
@@ -1055,12 +1094,20 @@ def compact_ann_ledger(
         "cell int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{out_dir}/centroids")
     c_mat = np.array([[float(x) for x in c] for c in cents], dtype=np.float64)
-    assign = corpus.select("vec_id", "embedding").mapInPandas(
-        _cell_quantizer(c_mat, 1), "vec_id long, cell int, pr int"
-    ).select("vec_id", "cell")
+    # payload assignment: the quantizer passes embedding/nrm THROUGH,
+    # so the re-layout is one narrow map + exactly ONE shuffle (the
+    # by-cell repartition) — no join back to the corpus, and the write
+    # is CLUSTERED by cell (without the repartition every write task
+    # holds rows of ~every cell and the hive write emits up to
+    # tasks x k2 small files — the small-files problem
+    # x_compaction_plan exists to fix, r12 review)
     (
-        corpus.join(assign, "vec_id")
-        .select("cell", "vec_id", "embedding", "nrm")
+        corpus.select("vec_id", "embedding", "nrm")
+        .mapInPandas(
+            _cell_quantizer(c_mat, 1, payload=True),
+            "cell int, vec_id long, embedding array<double>, nrm double",
+        )
+        .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{out_dir}/cells")

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import os
 
-from chyme_spark.ops.llm import compact_ann_ledger, x_incremental_ann
+from chyme_spark.ops.llm import _adaptive_k, compact_ann_ledger, x_incremental_ann
 from chyme_spark.registry import load_all
 
 REGISTRY = load_all()
@@ -55,9 +55,20 @@ def test_ivf_compaction_conservation_and_layout(spark, sf_dir):
     report = REGISTRY["x_ivf_compaction"].fn(spark, sf_dir).collect()
     cdir = compact_ann_ledger(spark, sf_dir)  # session-cached: same dir
 
-    # hive layout by cell, same shape the ingest gate prunes on
+    # hive layout by cell, same shape the ingest gate prunes on — and
+    # CLUSTERED: the pre-write repartition("cell") puts each cell in
+    # exactly one task, so a cell dir holds ONE data file (without it
+    # every write task holds rows of ~every cell and the layout
+    # shatters into up to tasks x k2 small files; r12 review)
     cell_dirs = [p for p in os.listdir(f"{cdir}/cells") if p.startswith("cell=")]
     assert len(cell_dirs) >= 2
+    for cd in cell_dirs:
+        parts = [
+            f
+            for f in os.listdir(f"{cdir}/cells/{cd}")
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+        assert len(parts) == 1, f"{cd}: {len(parts)} files — layout not clustered"
 
     # conservation: compacted cells hold exactly history + admitted
     # batch, each exactly once (re-layout is pure re-partitioning)
@@ -78,12 +89,23 @@ def test_ivf_compaction_conservation_and_layout(spark, sf_dir):
     assert len(got) == len(set(got)), "duplicate vectors in compacted layout"
     assert set(got) == expected
 
-    # the report covers every codebook cell (k2 = the gate's adaptive
+    # the report covers every codebook cell (k2 = the SHARED adaptive
     # clamp over the corpus) and its occupancies sum to the corpus
-    k2 = max(16, min(1024, len(expected) // 64))
+    k2 = _adaptive_k(len(expected))
     assert len(report) == k2
     assert sum(r.n_vecs for r in report) == len(expected)
     assert all(r.n_hist + r.n_admitted == r.n_vecs for r in report)
+
+
+def test_incremental_ann_rejects_k_with_ledger_dir(spark, sf_dir):
+    """A provided ledger IS the geometry: asking for k=64 alongside it
+    cannot be honored and must raise instead of silently using the
+    dir's own k (r12 review)."""
+    import pytest
+
+    cdir = compact_ann_ledger(spark, sf_dir)
+    with pytest.raises(ValueError, match="not both"):
+        x_incremental_ann(spark, sf_dir, k=64, ledger_dir=cdir)
 
 
 def test_ivf_compaction_exhaustive_replay_equivalence(spark, sf_dir):
