@@ -159,6 +159,15 @@ SF1_HEAVY = [
 # ~500x less verify-shuffle on this measured case, and the gap grows
 # unboundedly as a flood concentrates into fewer cells.
 #
+# r12 50x spot check (post resident-chunking + compactor review fixes):
+# x_incremental_ann warm 10.3s at 50x (r11 measured 15.2s — the
+# chunked verify kernel and quantize persist compound at scale), cold
+# 70.9s (KMeans ledger build dominated). x_ivf_compaction at 50x:
+# cold 22.6s (capped-sample retrain + ONE clustered by-cell shuffle of
+# the ~250k-vector corpus), warm 2.4s vs 0.56s at sf0.1 — ~4.4x time
+# on 50x data, strongly sublinear, exactly the curve a day-end
+# maintenance pass needs.
+#
 # r11 50x spot check, x_incremental_ann: warm (ledger cached) 2.3s at
 # sf0.1 -> 15.2s at 50x (~6.6x time on 50x data); cold incl. KMeans
 # codebook training + ledger write 16.5s -> 57.8s (~3.5x). The 50x
