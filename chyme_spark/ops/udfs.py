@@ -282,7 +282,11 @@ def _reconcile_bucket(orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.D
 )
 def x_cogroup_reconcile(spark: SparkSession, sf: str, n_buckets: int = 1024) -> DataFrame:
     """100 TB shape: cogroup shuffles BOTH tables once on a shared
-    BUCKET key (orderkey % n_buckets) and streams each (orders-bucket,
+    BUCKET key (pmod(xxhash64(orderkey), n_buckets) — a HASH, not the
+    raw modulus: TPC-H dbgen orderkeys are sparse, 8 keys per 32-key
+    block, so `% 1024` would populate only ~256 buckets and quadruple
+    each live bucket's width; hashing spreads any key pattern evenly,
+    r12 advice) and streams each (orders-bucket,
     lines-bucket) pair through Arrow — the same exchange a shuffle join
     pays — with the per-order reconciliation VECTORIZED inside the
     bucket (numpy floor + one pandas groupby; see _reconcile_bucket).
@@ -303,18 +307,19 @@ def x_cogroup_reconcile(spark: SparkSession, sf: str, n_buckets: int = 1024) -> 
     dispatch count tracks the task graph, bucket width tracks
     |corpus|/n_buckets, and n_buckets scales with the cluster, not
     the data. Orders and lines agree on the bucket by construction
-    (same key mod), so per-order pairing inside a bucket is exact."""
+    (same hash of the same key), so per-order pairing inside a bucket
+    is exact."""
     from chyme_spark.session import load_table
 
     orders = (
         load_table(spark, sf, "orders")
         .select("o_orderkey", "o_totalprice")
-        .withColumn("bkt", F.col("o_orderkey") % n_buckets)
+        .withColumn("bkt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_buckets)))
     )
     lines = (
         load_table(spark, sf, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_tax", "l_discount")
-        .withColumn("bkt", F.col("l_orderkey") % n_buckets)
+        .withColumn("bkt", F.pmod(F.xxhash64("l_orderkey"), F.lit(n_buckets)))
     )
     return (
         orders.groupBy("bkt")

@@ -114,7 +114,38 @@ def test_ivf_compaction_exhaustive_replay_equivalence(spark, sf_dir):
     earlier batch vector (ledger residents + the in-batch primary-cell
     path), so the candidate sets coincide and the exact-cosine verify
     must produce the identical disposition row for row — including
-    dup_of minimality and the reported cosine."""
+    dup_of minimality and the reported cosine.
+
+    ULP caveat (r12 advice): the gate thresholds the RAW float64
+    cosine (cos >= tau before any rounding), and BLAS results can
+    drift ~1 ULP between gemm chunk shapes — the two geometries here
+    have different resident chunk boundaries. Bit-exact disposition
+    equality is therefore only sound when no fixture pair's cosine
+    sits within that drift of tau; the guard below asserts a 1e-9
+    moat (vs ~2e-16 of 1-ULP drift), so a fixture regeneration that
+    lands a pair near the boundary fails HERE with a clear message
+    instead of flaking the equality assert below."""
+    import numpy as np
+
+    emb = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    nrm = np.linalg.norm(emb, axis=1)
+    cos = (emb @ emb.T) / np.outer(nrm, nrm)
+    iu = np.triu_indices(len(emb), k=1)
+    moat = np.abs(cos[iu] - 0.45).min()
+    assert moat > 1e-9, (
+        f"fixture pair cosine within {moat:.2e} of tau=0.45 — regenerate "
+        "fixtures away from the threshold or the bit-exact geometry "
+        "equivalence below can flake on 1-ULP BLAS drift"
+    )
+
     orig = sorted(
         (r.vec_id, r.kept, r.dup_of, r.cosine)
         for r in x_incremental_ann(spark, sf_dir, k=16, nprobe=16).collect()
