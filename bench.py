@@ -121,12 +121,21 @@ SF1_HEAVY = [
     # r10 (VERDICT r9 #2): the FastSS record-linkage rewrite's whole
     # point is its scale curve — probe it at 10x and 20x.
     "x_record_linkage",
+    # r13 (VERDICT r12 #1): the dedup-first PPJoin rewrite made the
+    # probe meaningful — scaleup's per-copy copyseq token keeps
+    # replica sets distinct (1-2 token symdiff), so the probe measures
+    # candidate generation + verify, not mandatory replica output.
+    # Hand-measured while landing the rewrite: 10x warm 12.6 s (ratio
+    # 2.0), 20x warm 23.7 s (ratio 3.7) — sublinear both ways.
+    "x_ppjoin_setsim",
 ]
 
 # 20x skew probe membership (VERDICT r7 #7, grown r9 per VERDICT r8 #4):
 # the candidate-generation ops most sensitive to key-frequency skew,
-# whose TRUE output stays corpus-linear under replication (x_ppjoin is
-# deliberately excluded — see the sf2 block comment).
+# whose TRUE output stays corpus-linear under replication (x_ppjoin,
+# excluded through r12 while its replica output was quadratic, joined
+# in r13: dedup-first collapses identical sets, so replication grows
+# groups, not candidate pairs).
 #
 # One-off 50x spot check (refreshed r10, manual, not wired into the
 # per-round run to keep driver wall-clock bounded): at factor=50
@@ -195,9 +204,10 @@ SF2_SKEW = [
     # x_cross_source_leakage was always safe — its (source, gram)
     # relation is distinct-collapsed, so replication only grows the
     # pre-distinct explode linearly and the output is |sources|^2.
-    # x_image_phash_neardup stays EXCLUDED for the ppjoin reason: the
-    # replicas' payload prefixes are byte-identical (the copyseq marker
-    # lands beyond the 64-byte raster), so every replica pair verifies
+    # x_image_phash_neardup stays EXCLUDED (the reason that kept
+    # ppjoin out through r12): the replicas' payload prefixes are
+    # byte-identical (the copyseq marker lands beyond the 64-byte
+    # raster), so every replica pair verifies
     # at Hamming 0 and the TRUE output is quadratic in the factor — the
     # probe would measure mandatory replica blowup, not the operator.
     # Its scale story is the banded-join plan pin + sf0.1 timing.
@@ -218,6 +228,11 @@ SF2_SKEW = [
     # re-layout pipeline holds as the corpus grows 20x with replicated
     # (cell-concentrating) vectors.
     "x_ivf_compaction",
+    # r13 (VERDICT r12 #1): see the SF1 entry — dedup-first made the
+    # replica regime the HEAVY case for candidate generation (every
+    # copy's sets land 1-2 tokens from the original's), which is
+    # exactly what a skew probe should measure.
+    "x_ppjoin_setsim",
 ]
 
 # Bench-battery rotation (VERDICT r8 #5): ~10 slots per round through
@@ -225,21 +240,20 @@ SF2_SKEW = [
 # round's entry in tools/bench_ledger.json (tests/test_bench_battery.py
 # asserts the two stay in sync and every member is registered).
 ROTATION = [
-    # round-12 cohort (VERDICT r11 #3): the ENTIRE never-benched
-    # streaming battery — RocksDB state-store setup, micro-batch
-    # scheduling, and applyInPandasWithState / transformWithState
-    # per-batch costs are real and had no recorded sf0.1 time. All 11
-    # streaming members (9 x_stream_* + the two D-id streaming ops),
-    # plus the two never-benched sketch ops, plus the new-in-r12
-    # compaction op, timed the round it lands (the x_incremental_ann
-    # precedent).
-    "d40_stream_watermark", "d41_stream_dedup",
-    "x_datasource_stream_write", "x_stream_outer_join",
-    "x_stream_session_timeout", "x_stream_stateful_counts",
-    "x_stream_static_join", "x_stream_stream_join",
-    "x_stream_tws_counts", "x_stream_tws_sessions", "x_stream_upsert",
-    "x_countmin_sketch", "x_hll_sketch_union",
-    "x_ivf_compaction",
+    # round-13 cohort (VERDICT r12 #1/#3/#4): the census heavy tail.
+    # The four r13 rewrites get their rotation record the round they
+    # change (x_ppjoin_setsim 40.6 s census -> 6.4 s warm measured,
+    # x_cogroup_reconcile's r12 rewrite plus the r13 hash-bucket fix,
+    # x_embedding_pq 15.6 -> 3.3 s, x_bpe_apply 9.5 -> 1.5 s), the
+    # r10-stamped heavies the verdict named re-record their post-churn
+    # numbers, and the last three slots take the next never-benched
+    # census entries in time order.
+    "x_ppjoin_setsim", "x_cogroup_reconcile",
+    "x_embedding_pq", "x_bpe_apply",
+    "x_bpe_train", "x_winnowing_fingerprint", "x_neardup_survivors",
+    "x_dedup_report", "x_tokenizer_fertility", "x_minhash_containment",
+    "x_dedup_threshold_sweep", "x_ann_ivf_topk", "x_column_profile",
+    "x_matryoshka_eval",
 ]
 
 

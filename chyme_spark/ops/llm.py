@@ -835,6 +835,19 @@ def x_incremental_ann(
         # believe they got 64-cell geometry from a dir built with
         # another k (r12 review)
         raise ValueError("pass k or ledger_dir, not both: a provided ledger fixes the geometry")
+    import os
+
+    if ledger_dir is not None and not os.path.exists(os.path.join(ledger_dir, ".built")):
+        # fail fast (r12 advice): a stale/partial/wrong path would
+        # otherwise silently become the gate's geometry or surface as
+        # an opaque parquet-read error deep in the plan. The .built
+        # sentinel is what _mark_ledger_built stamps after the eager
+        # centroid + cell writes, so its absence means "not a ledger".
+        raise ValueError(
+            f"ledger_dir={ledger_dir!r} has no .built sentinel — not a "
+            "completed IVF ledger (build one via x_incremental_ann's "
+            "default path or x_ivf_compaction)"
+        )
     if ledger_dir is None:
         if k is None:
             # adaptive cell count (bounded driver action: one scalar
@@ -3994,11 +4007,13 @@ def x_ppjoin_setsim(spark: SparkSession, sf: str) -> DataFrame:
     until the final reported Jaccard (one identical division + round
     on both engines, the x_ngram_jaccard pattern).
 
-    r8: the candidate join now applies PPJoin's OTHER two lossless
-    prunes from the same paper, and verification is array-based —
-    measured 172 s -> ~4 s at sf0.1 on this fixture's adversarial
-    31-token vocabulary (every token hot, prefix filter alone nearly
-    powerless: 9.7M candidates):
+    r8: the candidate join applies PPJoin's OTHER two lossless prunes
+    from the same paper, and verification is array-based — together
+    they cut this fixture's adversarial 31-token vocabulary (every
+    token hot, prefix filter alone nearly powerless) from 9.7M to
+    1.9M candidates and 172 s to ~35 s at sf0.1 (the r12 census
+    measured 40.6 s median; an earlier docstring's "~4 s" claim was
+    stale — r13 correction):
       * LENGTH filter: J >= t forces t*max(na,nb) <= min(na,nb)
         (integer form: t_num*greatest <= t_den*least) — a size-skewed
         pair can never qualify, prune it before it exists;
@@ -4012,12 +4027,54 @@ def x_ppjoin_setsim(spark: SparkSession, sf: str) -> DataFrame:
         doc length) and computes ONE array_intersect per candidate —
         not the |cand| x n exploded-posting join, which at 100 TB is
         the difference between a candidate-sized shuffle and a
-        corpus-squared one."""
+        corpus-squared one.
+
+    r13: DEDUP-FIRST (Vernica et al., SIGMOD'10 sec. 3.1, public —
+    the standard first stage of distributed set-similarity joins):
+    documents with IDENTICAL token sets are grouped before the join
+    (the group key is ``concat_ws(" ", sorted_distinct_tokens)`` —
+    exactly injective because tokens are space-split and can never
+    contain the separator), PPJoin runs on the DISTINCT sets only
+    (group representative = min doc_id), and the answer is
+    reassembled as (a) all intra-group pairs, J = 1.0 by definition,
+    an output-sized equi-self-join on the group key with no arrays
+    attached, plus (b) qualifying representative pairs expanded
+    through both member lists, again output-sized integer joins.
+    Lossless: J(A, B) depends only on the SETS, so every member pair
+    of a qualifying rep pair qualifies at the same J and no other
+    pair can. Why it matters: near-duplicate-heavy corpora (the
+    entire reason a J >= 0.95 join is run) concentrate docs into hot
+    identical-set groups, and those groups' prefix postings collapse
+    to ONE entry each — candidate generation and the array-verify
+    shrink by the SQUARE of the duplication factor while the expand
+    stages track |output|, which no algorithm can beat.
+
+    Measured at sf0.1 (5000 docs, 3935 distinct sets, 190,925 output
+    pairs): dedup-first cut the verified-candidate set 1.9M -> 960k
+    and the size-bucketed probe key (see the candidate-join comment)
+    cut raw prefix pairs 7.15M -> 2.44M; together 21.6 s -> 6.4 s
+    warm (~3.4x; the r12 census median was 40.6 s). Scale probes
+    (scaleup replicas carry a per-copy copyseq token, so replica
+    sets differ by 1-2 tokens — the operator is measured, not
+    mandatory output blowup): 10x data 12.6 s warm (time ratio 2.0,
+    output 2.59M rows, near-linear), 20x data 23.7 s warm (ratio
+    3.7) — the curve bends DOWN because per-copy set structure
+    repeats while fixed overhead amortizes."""
     t_num, t_den = 19, 20  # t = 0.95 as an exact rational
     docs = load_table(spark, sf, "documents")
-    sets = docs.select(
+    doc_sets = docs.select(
         "doc_id", F.array_sort(F.array_distinct(_tokens())).alias("hs")
-    ).withColumn("n", F.size("hs"))
+    )
+    mem = doc_sets.select("doc_id", F.concat_ws(" ", "hs").alias("key"))
+    # one distinct set per group; rep id = min member (any total order
+    # works for PPJoin's pairing, this one is deterministic). max(hs)
+    # is exact — every hs in a group is identical by construction.
+    sets = (
+        doc_sets.withColumn("key", F.concat_ws(" ", "hs"))
+        .groupBy("key")
+        .agg(F.min("doc_id").alias("doc_id"), F.max("hs").alias("hs"))
+        .withColumn("n", F.size("hs"))
+    )
     tok = sets.select("doc_id", "n", F.explode("hs").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count("*").alias("df"))
     ranked = tok.join(freq, "tok").withColumn(
@@ -4027,7 +4084,25 @@ def x_ppjoin_setsim(spark: SparkSession, sf: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - F.expr(f"({t_num} * n + {t_num}) div {t_den}") + 1
     ).select("doc_id", "tok", "n", "pos")
-    pa = prefix.alias("pa")
+    # r13: SIZE-BUCKETED probe key (the length-bucketed prefix index of
+    # the PPJoin literature): the probe side explodes each prefix row
+    # into its admissible PARTNER sizes nb in [n, (t_den*n) div t_num]
+    # (19*nb <= 20*na exactly — the length filter, now enforced AT THE
+    # JOIN KEY instead of post-hoc on generated pairs), and the global
+    # pairing order becomes (n, doc_id) so every pair is generated from
+    # its smaller side exactly once. Two wins, both vocab-independent:
+    # size-incompatible pairs never materialize (7.15M raw prefix pairs
+    # -> size-compatible only), and the join key (tok, size) has
+    # |vocab| x |sizes| values, not |vocab| — on an adversarial tiny
+    # vocabulary the hash join's parallelism is no longer bound by 31
+    # hot tokens. The round-robin repartition spreads probe rows so
+    # pair GENERATION (the quadratic part) runs on every core even when
+    # AQE broadcasts the tiny build side; at scale the join's own
+    # exchange pays the same prefix-table-sized shuffle anyway.
+    probes = prefix.withColumn(
+        "nb", F.explode(F.expr(f"sequence(n, ({t_den} * n) div {t_num})"))
+    )
+    pa = probes.repartition(64).alias("pa")
     pb = prefix.alias("pb")
     # minimal qualifying overlap alpha = ceil(t*(na+nb)/(1+t)), exact
     # integer: (t_num*(na+nb) + t_num+t_den - 1) div (t_num+t_den)
@@ -4038,11 +4113,14 @@ def x_ppjoin_setsim(spark: SparkSession, sf: str) -> DataFrame:
         pa.join(
             pb,
             (F.col("pa.tok") == F.col("pb.tok"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
-            # length filter
+            & (F.col("pa.nb") == F.col("pb.n"))
+            # (n, doc_id) total order: equal sizes tie-break on id
             & (
-                F.greatest(F.col("pa.n"), F.col("pb.n")) * t_num
-                <= F.least(F.col("pa.n"), F.col("pb.n")) * t_den
+                (F.col("pa.n") < F.col("pb.n"))
+                | (
+                    (F.col("pa.n") == F.col("pb.n"))
+                    & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+                )
             )
             # positional filter
             & (
@@ -4058,22 +4136,42 @@ def x_ppjoin_setsim(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"), F.col("n").alias("na"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"), F.col("n").alias("nb"))
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"),
+        F.col("n").alias("na"), F.col("key").alias("key_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"),
+        F.col("n").alias("nb"), F.col("key").alias("key_b"),
+    )
     inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
-    verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("i", inter)
-    )
+    verified = cand.join(sa, "doc_a").join(sb, "doc_b").withColumn("i", inter)
     jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        verified.filter(jac >= 0.95)
-        .select(
-            "doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard")
-        )
-        .orderBy("doc_a", "doc_b")
+    rep_pairs = verified.filter(jac >= 0.95).select(
+        "key_a", "key_b", F.round(jac, 4).cast("double").alias("jaccard")
     )
+    # expand qualifying rep pairs through both member lists — the two
+    # sets differ (J = 1 iff equal sets, and equal sets share a group),
+    # so member ids never collide and least/greatest restores the
+    # doc_a < doc_b output convention; J is a set function, so every
+    # member pair inherits the rep pair's jaccard unchanged
+    ma = mem.select(F.col("key").alias("key_a"), F.col("doc_id").alias("da"))
+    mb = mem.select(F.col("key").alias("key_b"), F.col("doc_id").alias("db"))
+    inter_pairs = rep_pairs.join(ma, "key_a").join(mb, "key_b").select(
+        F.least("da", "db").alias("doc_a"),
+        F.greatest("da", "db").alias("doc_b"),
+        "jaccard",
+    )
+    # intra-group pairs: identical sets, J = 1.0 by definition — an
+    # output-sized integer self-join, no arrays, no verify
+    m1 = mem.select("key", F.col("doc_id").alias("doc_a"))
+    m2 = mem.select("key", F.col("doc_id").alias("doc_b"))
+    intra_pairs = (
+        m1.join(m2, "key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    return intra_pairs.unionByName(inter_pairs).orderBy("doc_a", "doc_b")
 
 
 @query(

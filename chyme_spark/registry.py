@@ -67,7 +67,49 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # If the list exceeds 50, the tail (youngest backfill) rotates out and
 # returns next round.
 _FRONT_50 = [
-    # ---- Round-12 window (VERDICT r11 #1: x_rolling_median first —
+    # ---- Round-13 window (VERDICT r12 #2: apply the r12 stamps, then
+    # refresh the r6 rows-only cohort and clear the r7 cohort + the
+    # head of r8. No new ops this round — the budget went to the
+    # census-heavy rewrites, which force themselves in as "changed") --
+    # (b) changed in round 13 — the driver must re-prove the new code
+    # (x_bpe_train / x_bpe_apply / x_ivf_compaction are shared-helper
+    # callers, hand-sentineled per the ledger's --mark-changed rule):
+    "x_ppjoin_setsim",            # dedup-first + size-bucketed prefix join (VERDICT r12 #1)
+    "x_cogroup_reconcile",        # hash bucket key replaces sparse modulus (ADVICE r12)
+    "x_embedding_pq",             # sample-trained numpy Lloyd + one Arrow encode/ADC pass (VERDICT r12 #3)
+    "x_bpe_apply",                # adaptive driver-side merge loop under vocab cap (VERDICT r12 #3)
+    "x_bpe_train",                # same _train_merges change
+    "x_incremental_ann",          # ledger_dir .built sentinel fail-fast (ADVICE r12)
+    "x_ivf_compaction",           # calls the gate with ledger_dir= (replay contract)
+    # rows-only refresh (VERDICT r12 #2): no driver rows-evidence since
+    # r6; its code is unchanged, so no sentinel — hand-placed:
+    "x_mmr_rerank",
+    # (c) backfill: the two names displaced by r12's additions, the
+    # rest of the r7 cohort, then the head of the r8 cohort (d-ids
+    # first, then alphabetical). x_spearman_corr (youngest backfill)
+    # yields its slot to x_mmr_rerank and returns next round:
+    "x_tfidf", "x_token_drift",
+    "x_tpch_q11_important_stock", "x_tpch_q14_promo_revenue",
+    "x_tpch_q15_top_supplier", "x_tpch_q17_small_qty_parts",
+    "x_try_fns", "x_window_distribution",
+    "d28_url_parse", "d29_hash_fns", "d30_datetime_fns",
+    "d31_math_fns", "d32_conditional_fns", "d33_array_fns",
+    "d34_map_fns", "d35_json_extract", "d36_pivot",
+    "d38_tumbling_window", "d39_sliding_window", "d46_binary_files",
+    "d47_python_udf", "d48_pandas_udf", "d49_apply_in_pandas",
+    "x_apply_in_arrow", "x_arrow_udf", "x_bpe_pretokenize",
+    "x_class_balance_resample", "x_cross_source_leakage",
+    "x_datasource_batch_write", "x_datasource_stream_write",
+    "x_dedup_threshold_sweep", "x_epoch_shuffle",
+    "x_gini_concentration", "x_groupby_all", "x_hard_negatives",
+    "x_ks_test", "x_lateral_topk", "x_matryoshka_eval",
+    "x_ngram_novelty_curve", "x_param_sql", "x_quantile_normalize",
+    "x_rrf_fusion",
+]
+
+_FRONT_50_R12 = [
+    # ---- Round-12 window (retired; kept for the ledger audit trail)
+    # (VERDICT r11 #1: x_rolling_median first —
     # displaced from r11 by the x_cosine_topk_np rounding fix — then
     # the 16 remaining r6-stamped greens, then the head of the r7
     # cohort; after this round the ledger minimum stamp must be r7.
