@@ -254,6 +254,9 @@ ROTATION = [
     "x_dedup_report", "x_tokenizer_fertility", "x_minhash_containment",
     "x_dedup_threshold_sweep", "x_ann_ivf_topk", "x_column_profile",
     "x_matryoshka_eval",
+    # new-in-r13 op, timed the round it lands (the x_ivf_compaction
+    # precedent):
+    "x_neardup_compaction",
 ]
 
 

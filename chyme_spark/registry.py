@@ -71,9 +71,14 @@ _FRONT_50 = [
     # refresh the r6 rows-only cohort and clear the r7 cohort + the
     # head of r8. No new ops this round — the budget went to the
     # census-heavy rewrites, which force themselves in as "changed") --
+    # (a) new in round 13 — never driver-checked (the one-op budget,
+    # VERDICT r12 #8: the MinHash maintenance sibling of r12's IVF
+    # compactor, completing the gate/compactor symmetry):
+    "x_neardup_compaction",
     # (b) changed in round 13 — the driver must re-prove the new code
     # (x_bpe_train / x_bpe_apply / x_ivf_compaction are shared-helper
     # callers, hand-sentineled per the ledger's --mark-changed rule):
+    "x_incremental_neardup",      # ledger_dir replay param + extracted base-build helper
     "x_ppjoin_setsim",            # dedup-first + size-bucketed prefix join (VERDICT r12 #1)
     "x_cogroup_reconcile",        # hash bucket key replaces sparse modulus (ADVICE r12)
     "x_embedding_pq",             # sample-trained numpy Lloyd + one Arrow encode/ADC pass (VERDICT r12 #3)
@@ -86,8 +91,10 @@ _FRONT_50 = [
     "x_mmr_rerank",
     # (c) backfill: the two names displaced by r12's additions, the
     # rest of the r7 cohort, then the head of the r8 cohort (d-ids
-    # first, then alphabetical). x_spearman_corr (youngest backfill)
-    # yields its slot to x_mmr_rerank and returns next round:
+    # first, then alphabetical). x_spearman_corr / x_rrf_fusion /
+    # x_quantile_normalize (youngest backfill) yield their slots to
+    # x_mmr_rerank + the two neardup-maintenance members and return
+    # next round:
     "x_tfidf", "x_token_drift",
     "x_tpch_q11_important_stock", "x_tpch_q14_promo_revenue",
     "x_tpch_q15_top_supplier", "x_tpch_q17_small_qty_parts",
@@ -103,8 +110,7 @@ _FRONT_50 = [
     "x_dedup_threshold_sweep", "x_epoch_shuffle",
     "x_gini_concentration", "x_groupby_all", "x_hard_negatives",
     "x_ks_test", "x_lateral_topk", "x_matryoshka_eval",
-    "x_ngram_novelty_curve", "x_param_sql", "x_quantile_normalize",
-    "x_rrf_fusion",
+    "x_ngram_novelty_curve", "x_param_sql",
 ]
 
 _FRONT_50_R12 = [

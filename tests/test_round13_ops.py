@@ -130,6 +130,130 @@ def test_ppjoin_intra_group_pairs_all_exact(spark, sf_dir):
         assert got.get(pair) == 1.0, pair
 
 
+def test_neardup_compaction_conservation(spark, sf_dir):
+    """GC is pure filtering: the compacted relations hold EXACTLY the
+    base ledger's rows minus the tombstoned docs' — no recomputation,
+    no loss, no duplication, surviving band hashes bit-identical."""
+    from chyme_spark.ops.llm import _ensure_neardup_base, compact_neardup_ledger
+
+    cdir = compact_neardup_ledger(spark, sf_dir)
+    base = _ensure_neardup_base(spark, sf_dir)
+    tomb = {r["doc_id"] for r in spark.read.parquet(f"{cdir}/tombstones").collect()}
+    assert tomb, "fixture produced an empty retraction set — weaken nothing"
+
+    base_bands = {
+        (r["doc_id"], r["band"], r["bh"])
+        for r in spark.read.parquet(f"{base}/bands").collect()
+    }
+    comp_bands = {
+        (r["doc_id"], r["band"], r["bh"])
+        for r in spark.read.parquet(f"{cdir}/bands").collect()
+    }
+    assert comp_bands == {t for t in base_bands if t[0] not in tomb}
+
+    base_sets = {
+        r["doc_id"]: (tuple(r["hs"]), r["n"])
+        for r in spark.read.parquet(f"{base}/sets").collect()
+    }
+    comp_sets = {
+        r["doc_id"]: (tuple(r["hs"]), r["n"])
+        for r in spark.read.parquet(f"{cdir}/sets").collect()
+    }
+    assert comp_sets == {d: v for d, v in base_sets.items() if d not in tomb}
+
+
+def test_neardup_compaction_replay_equals_scratch_ledger(spark, sf_dir, tmp_path):
+    """The gate replayed against the compacted ledger must produce the
+    IDENTICAL disposition table as against a ledger built from scratch
+    on the surviving history — compaction is indistinguishable from
+    never having ingested the retracted docs."""
+    from chyme_spark.ops.llm import (
+        _mark_ledger_built,
+        band_signatures,
+        compact_neardup_ledger,
+        doc_shingle_sets,
+        x_incremental_neardup,
+    )
+
+    cdir = compact_neardup_ledger(spark, sf_dir)
+    tomb = [r["doc_id"] for r in spark.read.parquet(f"{cdir}/tombstones").collect()]
+
+    scratch = str(tmp_path / "scratch_ledger")
+    surviving = (
+        doc_shingle_sets(spark, sf_dir)
+        .filter(F.col("doc_id") < 250)
+        .filter(~F.col("doc_id").isin(tomb))
+    )
+    band_signatures(surviving).write.mode("overwrite").parquet(f"{scratch}/bands")
+    surviving.write.mode("overwrite").parquet(f"{scratch}/sets")
+    _mark_ledger_built(scratch)
+
+    replay = sorted(
+        tuple(r)
+        for r in x_incremental_neardup(spark, sf_dir, ledger_dir=cdir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in x_incremental_neardup(spark, sf_dir, ledger_dir=scratch).collect()
+    )
+    assert replay == want
+
+
+def test_neardup_compaction_retraction_monotone(spark, sf_dir):
+    """Row-for-row vs the pre-compaction gate: retraction can only
+    ADMIT a previously-rejected doc or RAISE its dup_of (the min over
+    a smaller verified set); any changed row's old dup_of must be a
+    tombstoned id. Nothing may flip kept -> rejected."""
+    from chyme_spark.ops.llm import compact_neardup_ledger, x_incremental_neardup
+
+    cdir = compact_neardup_ledger(spark, sf_dir)
+    tomb = {r["doc_id"] for r in spark.read.parquet(f"{cdir}/tombstones").collect()}
+    before = {
+        r["doc_id"]: (r["kept"], r["dup_of"])
+        for r in x_incremental_neardup(spark, sf_dir).collect()
+    }
+    after = {
+        r["doc_id"]: (r["kept"], r["dup_of"])
+        for r in x_incremental_neardup(spark, sf_dir, ledger_dir=cdir).collect()
+    }
+    assert set(before) == set(after)
+    for d, (kept_b, dup_b) in before.items():
+        kept_a, dup_a = after[d]
+        if (kept_b, dup_b) == (kept_a, dup_a):
+            continue
+        assert not kept_b, f"doc {d} flipped kept -> rejected after retraction"
+        # the old partner must be gone, and the new state is either
+        # admitted or a strictly later surviving partner
+        assert dup_b in tomb, (d, dup_b)
+        if not kept_a:
+            assert dup_a is not None and dup_a > dup_b and dup_a not in tomb
+
+
+def test_neardup_compaction_band_layout_one_file_each(spark, sf_dir):
+    """The rewritten band index is clustered: exactly one parquet part
+    per band directory (the ANN compactor's one-file-per-cell rule)."""
+    import glob
+    import os
+
+    from chyme_spark.ops.llm import compact_neardup_ledger
+
+    cdir = compact_neardup_ledger(spark, sf_dir)
+    band_dirs = sorted(glob.glob(os.path.join(cdir, "bands", "band=*")))
+    assert band_dirs, "no band partitions written"
+    for d in band_dirs:
+        parts = [p for p in os.listdir(d) if p.endswith(".parquet")]
+        assert len(parts) == 1, (d, parts)
+
+
+def test_incremental_neardup_rejects_unbuilt_ledger_dir(spark, sf_dir, tmp_path):
+    """A ledger_dir without the .built sentinel must fail fast with a
+    descriptive error, mirroring the ANN gate's r12-advice rule."""
+    with pytest.raises(ValueError, match=r"\.built"):
+        from chyme_spark.ops.llm import x_incremental_neardup
+
+        x_incremental_neardup(spark, sf_dir, ledger_dir=str(tmp_path / "nope"))
+
+
 def test_embedding_pq_codebooks_deterministic(spark, sf_dir):
     """Two runs of the rewritten PQ produce identical rows — the
     numpy Lloyd trainer is seed-pinned and the hash-sample collect is
