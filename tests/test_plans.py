@@ -204,8 +204,14 @@ EXPECTED = {
     # this SF, shuffle at 100 TB), and NO SinglePartition anywhere
     # r8: length+positional filters on the candidate join and the
     # array_intersect verify (one row per candidate, no posting
-    # explode) drop two stages vs the r7 shape (4, 7, 0, False)
-    "x_ppjoin_setsim": (3, 4, 0, False),
+    # explode) dropped two stages vs the r7 shape (4, 7, 0, False)
+    # r13: dedup-first adds the group agg + the two member-expansion
+    # joins and the intra-group self-join (AQE-broadcast at this SF —
+    # member tables are |corpus|-keyed and shuffle at 100 TB), and the
+    # probe side gains its round-robin spread exchange; candidates and
+    # verify now run on DISTINCT sets only. More stages, each strictly
+    # smaller: 21.6 s -> 6.4 s warm at sf0.1, 20x probe ratio 3.7.
+    "x_ppjoin_setsim": (6, 7, 0, False),
     # SN linkage: grp rank window + grp counts + probe-rank equi-join
     # shuffle + output sort; offsets table + AQE probe join broadcast
     "x_sorted_neighborhood": (4, 3, 0, False),
