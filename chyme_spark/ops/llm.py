@@ -835,18 +835,11 @@ def x_incremental_ann(
         # believe they got 64-cell geometry from a dir built with
         # another k (r12 review)
         raise ValueError("pass k or ledger_dir, not both: a provided ledger fixes the geometry")
-    import os
-
-    if ledger_dir is not None and not os.path.exists(os.path.join(ledger_dir, ".built")):
-        # fail fast (r12 advice): a stale/partial/wrong path would
-        # otherwise silently become the gate's geometry or surface as
-        # an opaque parquet-read error deep in the plan. The .built
-        # sentinel is what _mark_ledger_built stamps after the eager
-        # centroid + cell writes, so its absence means "not a ledger".
-        raise ValueError(
-            f"ledger_dir={ledger_dir!r} has no .built sentinel — not a "
-            "completed IVF ledger (build one via x_incremental_ann's "
-            "default path or x_ivf_compaction)"
+    if ledger_dir is not None:
+        _require_built(
+            ledger_dir,
+            "IVF ledger (build one via x_incremental_ann's default "
+            "path or x_ivf_compaction)",
         )
     if ledger_dir is None:
         if k is None:
@@ -1878,6 +1871,23 @@ def _cached_ledger_dir(kind: str, sf: str) -> tuple[str, bool]:
     return d, not os.path.exists(os.path.join(d, ".built"))
 
 
+def _require_built(ledger_dir: str, what: str) -> None:
+    """Fail fast when a caller-provided ledger dir lacks the ``.built``
+    sentinel (r12 advice; shared by every ledger-replay gate so the
+    validation has one point of change — r13 review): a stale, partial,
+    or wrong path would otherwise silently become the gate's geometry
+    or surface as an opaque parquet-read error deep in the plan. The
+    sentinel is what :func:`_mark_ledger_built` stamps after the eager
+    writes, so its absence means "not a ledger"."""
+    import os
+
+    if not os.path.exists(os.path.join(ledger_dir, ".built")):
+        raise ValueError(
+            f"ledger_dir={ledger_dir!r} has no .built sentinel — not a "
+            f"completed {what}"
+        )
+
+
 def _mark_ledger_built(ledger_dir: str) -> None:
     """Record that a ledger build completed — see _cached_ledger_dir."""
     import os
@@ -1954,18 +1964,14 @@ def x_incremental_neardup(
     the freshly-built one — the same maintenance loop as the ANN
     sibling's ``ledger_dir=``; the dir must carry the ``.built``
     sentinel (same fail-fast rule)."""
-    import os
-
     sets = doc_shingle_sets(spark, sf).persist()
     batch_sets = sets.filter(F.col("doc_id") >= 250)
 
-    if ledger_dir is not None and not os.path.exists(
-        os.path.join(ledger_dir, ".built")
-    ):
-        raise ValueError(
-            f"ledger_dir={ledger_dir!r} has no .built sentinel — not a "
-            "completed band ledger (build one via the default path or "
-            "x_neardup_compaction)"
+    if ledger_dir is not None:
+        _require_built(
+            ledger_dir,
+            "band ledger (build one via the default path or "
+            "x_neardup_compaction)",
         )
     if ledger_dir is None:
         ledger_dir = _ensure_neardup_base(spark, sf, sets)
@@ -4197,7 +4203,8 @@ def x_ppjoin_setsim(spark: SparkSession, sf: str) -> DataFrame:
     pairs): dedup-first cut the verified-candidate set 1.9M -> 960k
     and the size-bucketed probe key (see the candidate-join comment)
     cut raw prefix pairs 7.15M -> 2.44M; together 21.6 s -> 6.4 s
-    warm (~3.4x; the r12 census median was 40.6 s). Scale probes
+    warm (~3.4x; the r12 census median was 40.6 s), and the r13
+    review's mem-only persist took it to 4.5 s (~4.8x). Scale probes
     (scaleup replicas carry a per-copy copyseq token, so replica
     sets differ by 1-2 tokens — the operator is measured, not
     mandatory output blowup): 10x data 12.6 s warm (time ratio 2.0,
@@ -4209,7 +4216,16 @@ def x_ppjoin_setsim(spark: SparkSession, sf: str) -> DataFrame:
     doc_sets = docs.select(
         "doc_id", F.array_sort(F.array_distinct(_tokens())).alias("hs")
     )
-    mem = doc_sets.select("doc_id", F.concat_ws(" ", "hs").alias("key"))
+    # persist mem ONLY (r13 review + A/B measurement): mem feeds FOUR
+    # joins (both expansion sides + the intra-group self-join pair) and
+    # is narrow (doc_id, key string) — caching it saves three corpus
+    # re-tokenizations, measured 9.4 -> 7.5 s warm. Persisting `sets`
+    # as well was MEASURED SLOWER (14.1 s): its array<string> column
+    # deserializes from the columnar cache on every downstream scan and
+    # the InMemoryRelation stats push AQE off the broadcast plan —
+    # re-running the codegen'd tokenize is cheaper than caching arrays.
+    # ContextCleaner-bounded, the d43 sets.persist precedent.
+    mem = doc_sets.select("doc_id", F.concat_ws(" ", "hs").alias("key")).persist()
     # one distinct set per group; rep id = min member (any total order
     # works for PPJoin's pairing, this one is deterministic). max(hs)
     # is exact — every hs in a group is identical by construction.
@@ -4246,7 +4262,7 @@ def x_ppjoin_setsim(spark: SparkSession, sf: str) -> DataFrame:
     probes = prefix.withColumn(
         "nb", F.explode(F.expr(f"sequence(n, ({t_den} * n) div {t_num})"))
     )
-    pa = probes.repartition(64).alias("pa")
+    pa = probes.repartition(spark.sparkContext.defaultParallelism).alias("pa")
     pb = prefix.alias("pb")
     # minimal qualifying overlap alpha = ceil(t*(na+nb)/(1+t)), exact
     # integer: (t_num*(na+nb) + t_num+t_den - 1) div (t_num+t_den)

@@ -440,6 +440,12 @@ def _train_merges(spark: SparkSession, sf: str):
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
         .withColumn("sym", F.split("w", ""))
+        # persist: the cap gate's count() would otherwise re-run the
+        # corpus explode+groupBy that the collect (driver path) or
+        # every loop round's lineage prefix (distributed path) runs
+        # again — one corpus pass, not two (r13 review). Vocab-sized,
+        # ContextCleaner-bounded (the d43 sets.persist precedent).
+        .persist()
     )
     n_vocab = words.count()  # bounded driver action: one scalar
     if n_vocab <= _BPE_DRIVER_VOCAB_CAP:
@@ -670,6 +676,8 @@ def x_embedding_pq(
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    from chyme_spark.ops.llm import _np_round4
+
     emb = load_table(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
     sub = dim // m_sub
@@ -729,7 +737,10 @@ def x_embedding_pq(
                 d2 = ((xs[:, None, :] - centroids[m][None, :, :]) ** 2).sum(axis=2)
                 codes = d2.argmin(axis=1)  # (n,)
                 parts.append(lut[:, m, codes])  # (|queries|, n)
-            adc = np.round(np.add.reduce(parts), 4)  # (|queries|, n)
+            # HALF_UP, not np.round (half-to-even): the exact re-rank's
+            # dist column still uses F.round, and the repo's rounding
+            # convention is one-sided everywhere (r13 review)
+            adc = _np_round4(np.add.reduce(parts))  # (|queries|, n)
             out = []
             for qi, qid in enumerate(qids):
                 keep = ids != qid
