@@ -659,7 +659,11 @@ def x_embedding_pq(
     init, argmin lowest-index tie-break, empty cells keep their old
     centroid — exactly FAISS's train-on-sample practice); (b) encode +
     ADC-score is ONE mapInPandas pass: per Arrow batch a (n, M, sub)
-    reshape, M gemm argmins for the codes, then the LUT sum for all
+    reshape, M broadcasted-subtraction argmins for the codes (NOT the
+    gemm identity |x|^2-2x@c.T+|c|^2 — that form can perturb near-tie
+    argmins by ~1 ULP and break the determinism contract; the temporary
+    is n_batch x k x sub doubles per subspace, bounded at defaults and
+    linear in k if retuned — ADVICE r13), then the LUT sum for all
     queries at once, keeping only each batch's per-query top-
     ``shortlist`` (top-k is distributive, ties broken (adc, vec_id) —
     the same order the global window uses), so the shuffle into the
@@ -694,6 +698,20 @@ def x_embedding_pq(
         .collect()
     )
     smat = np.array([r["e"] for r in sample], dtype=np.float64)
+    # fail fast on a degenerate sample (ADVICE r13): pmod==0 hits are
+    # probabilistic, so an empty (or sub-k) draw would otherwise surface
+    # as an opaque rng.choice ValueError / silently train < k centroids
+    if len(smat) == 0:
+        raise ValueError(
+            f"PQ training sample is empty: pmod(xxhash64(vec_id), {mod}) == 0 "
+            f"matched none of {n_corpus} vectors — lower the sampling mod"
+        )
+    if len(smat) < k:
+        raise ValueError(
+            f"PQ training sample ({len(smat)} vectors) is smaller than k={k}: "
+            f"codebooks would silently shrink — lower the sampling mod "
+            f"(pmod(xxhash64(vec_id), {mod})) or k"
+        )
     rng = np.random.RandomState(42)
     centroids = []  # m -> (k, sub) ndarray
     for m in range(m_sub):
