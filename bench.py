@@ -240,23 +240,25 @@ SF2_SKEW = [
 # round's entry in tools/bench_ledger.json (tests/test_bench_battery.py
 # asserts the two stay in sync and every member is registered).
 ROTATION = [
-    # round-13 cohort (VERDICT r12 #1/#3/#4): the census heavy tail.
-    # The four r13 rewrites get their rotation record the round they
-    # change (x_ppjoin_setsim 40.6 s census -> 6.4 s warm measured,
-    # x_cogroup_reconcile's r12 rewrite plus the r13 hash-bucket fix,
-    # x_embedding_pq 15.6 -> 3.3 s, x_bpe_apply 9.5 -> 1.5 s), the
-    # r10-stamped heavies the verdict named re-record their post-churn
-    # numbers, and the last three slots take the next never-benched
-    # census entries in time order.
-    "x_ppjoin_setsim", "x_cogroup_reconcile",
-    "x_embedding_pq", "x_bpe_apply",
-    "x_bpe_train", "x_winnowing_fingerprint", "x_neardup_survivors",
-    "x_dedup_report", "x_tokenizer_fertility", "x_minhash_containment",
-    "x_dedup_threshold_sweep", "x_ann_ivf_topk", "x_column_profile",
-    "x_matryoshka_eval",
-    # new-in-r13 op, timed the round it lands (the x_ivf_compaction
+    # round-14 cohort (VERDICT r13 #1/#4/#8): the decomposed dedup-
+    # cluster trio re-records the round it changes (shared-ledger
+    # stage, previously 28.5x/24.6x/20.2x time at 20x; first member
+    # pays the session build, the others read the ledger — same warm
+    # semantics as every persisted-ledger op), x_embedding_pq re-records
+    # after the ADVICE r13 sample guard, the streaming census top
+    # re-records alongside item 4's maxFilesPerTrigger A/B, and the
+    # remaining slots take the stalest census heavies (r9-r11 rotation
+    # stamps).
+    "x_dedup_clusters", "x_neardup_survivors", "x_dedup_report",
+    "x_embedding_pq",
+    "x_stream_tws_sessions", "x_stream_stream_join",
+    "x_stream_outer_join",
+    "x_winnowing_fingerprint",
+    "x_pagerank", "x_ngram_jaccard", "x_simhash_neardup",
+    "x_recursive_cte", "x_semdedup", "x_record_linkage",
+    # new-in-r14 op, timed the round it lands (the x_ivf_compaction
     # precedent):
-    "x_neardup_compaction",
+    "x_cluster_label_update",
 ]
 
 

@@ -1869,6 +1869,164 @@ def x_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return batch_dedup.join(old_hashes, "content_hash", "left_anti").select("doc_id", "content_hash")
 
 
+def _apply_label_updates(old_labels: DataFrame, new_pairs: DataFrame) -> DataFrame:
+    """Merge a batch of near-dup pairs into an existing cluster-label
+    ledger WITHOUT re-clustering the history — the quotient-graph
+    (union-find) update:
+
+    1. contract: map each pair endpoint to its existing cluster label
+       (unlabeled endpoints stand for themselves), so every old
+       component collapses to its representative node;
+    2. cluster the contracted graph — it is |batch-pairs|-sized, never
+       corpus-sized, and components untouched by the batch never enter
+       the loop;
+    3. expand: members of a relabeled old cluster follow their
+       representative; contracted nodes outside the ledger are new.
+
+    Exactness: the labels equal a from-scratch CC over (old edges ∪
+    new pairs). Old edges only connect nodes inside one old component,
+    so contracting components preserves the union graph's
+    connectivity; labels are component-minima, and each old rep IS its
+    component's minimum, so the quotient minimum is the true minimum.
+
+    Returns ``(doc_id, cluster_id, status)`` with status ∈ {'new',
+    'relabeled', 'unchanged'} — the audit column an incremental
+    pipeline logs. Generalizes the reference's ingest-accumulate SET
+    lifecycle (internal/core/resource.go:54-88) to cluster labels,
+    completing gate → compaction → label-maintenance for the near-dup
+    family."""
+    ma = old_labels.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("na"))
+    mb = old_labels.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("nb"))
+    contracted = (
+        new_pairs.join(ma, "doc_a", "left")
+        .join(mb, "doc_b", "left")
+        .select(
+            F.coalesce("na", "doc_a").alias("u"),
+            F.coalesce("nb", "doc_b").alias("v"),
+        )
+        .select(F.least("u", "v").alias("doc_a"), F.greatest("u", "v").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    qlab = _min_label_cc(contracted).select(
+        F.col("doc").alias("node"), F.col("label").alias("qlabel")
+    )
+    updated_old = old_labels.join(
+        qlab, old_labels.cluster_id == qlab.node, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("qlabel", "cluster_id").alias("new_cluster"),
+        F.col("cluster_id").alias("old_cluster"),
+    )
+    # contracted nodes absent from the ledger: batch docs, plus history
+    # docs that had no near-dup until this batch (the ledger never saw
+    # them — they are 'new' to it, same as the oracle's NULL old label)
+    newly = qlab.join(
+        old_labels.select(F.col("doc_id").alias("node")), "node", "left_anti"
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.col("qlabel").alias("new_cluster"),
+        F.lit(None).cast("long").alias("old_cluster"),
+    )
+    return (
+        updated_old.unionByName(newly)
+        .select(
+            "doc_id",
+            F.col("new_cluster").alias("cluster_id"),
+            F.when(F.col("old_cluster").isNull(), F.lit("new"))
+            .when(F.col("old_cluster") != F.col("new_cluster"), F.lit("relabeled"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )
+
+
+@query(
+    "x_cluster_label_update",
+    # Incremental cluster-label maintenance (VERDICT r13 #8): history =
+    # docs < 250 with a pre-built label ledger; a batch of near-dup
+    # pairs touching docs >= 250 arrives; labels are updated by
+    # contracting old components to their representatives and
+    # clustering only the batch-touched quotient graph. Oracle: the
+    # result must equal FROM-SCRATCH clustering of the union — one
+    # recursive CTE over all pairs for the final labels, a second over
+    # history-only pairs for the status column.
+    oracle=f"""
+    WITH RECURSIVE {_NG_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(doc, label) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.doc),
+    labels AS (SELECT doc AS doc_id, min(label) AS cluster_id FROM reach GROUP BY doc),
+    old_edges AS (SELECT s, d FROM edges WHERE s < 250 AND d < 250),
+    reach_old(doc, label) AS (
+        SELECT s, s FROM old_edges
+        UNION
+        SELECT e.s, r.label FROM old_edges e JOIN reach_old r ON e.d = r.doc),
+    old_labels AS (SELECT doc AS doc_id, min(label) AS old_cluster FROM reach_old GROUP BY doc)
+    SELECT l.doc_id, l.cluster_id,
+           CASE WHEN o.old_cluster IS NULL THEN 'new'
+                WHEN o.old_cluster <> l.cluster_id THEN 'relabeled'
+                ELSE 'unchanged' END AS status
+    FROM labels l LEFT JOIN old_labels o ON o.doc_id = l.doc_id
+    """,
+    doc="incremental cluster-label maintenance: a batch of near-dup pairs merges into the persisted label ledger via quotient-graph CC over touched components only, pinned equal to from-scratch clustering of the union (the union-find ledger update, VERDICT r13 #8)",
+)
+def x_cluster_label_update(spark: SparkSession, sf: str) -> DataFrame:
+    """The lifecycle op the near-dup family was missing: the gate
+    (x_incremental_neardup) admits a batch and emits its near-dup
+    pairs, the compactor (x_neardup_compaction) GCs the signature
+    ledger — and this op folds the batch's pairs into the CLUSTER
+    LABEL ledger without re-running CC over the history.
+
+    100 TB shape: the contracted graph handed to the CC loop is
+    batch-sized (one pair per admitted near-dup edge, components
+    contracted to single nodes), so label maintenance costs
+    O(batch + touched components) regardless of corpus size; the
+    history contributes exactly two narrow joins against the ledger
+    (endpoint mapping + representative expansion), both keyed on the
+    label column a real deployment would bucket by. Re-running
+    x_dedup_clusters from scratch — the alternative this op exists to
+    avoid — re-pays the full candidate join plus a corpus-wide CC
+    whose round count tracks the LARGEST component diameter, not the
+    batch's.
+
+    Fixture plumbing: the pair list comes from the trio's shared
+    cluster ledger (_ensure_cluster_base — already materialized once
+    per session), split at the registry's standard history boundary
+    (doc_id < 250, same as x_incremental_dedup/x_incremental_neardup);
+    the history ledger is the min-label CC of the old-old pairs,
+    session-cached like every persisted-ledger fixture. In production
+    the batch pairs arrive from the ingestion gate's
+    admitted-candidates output and the history ledger is yesterday's
+    labels table — nothing here recomputes history."""
+    base = _ensure_cluster_base(spark, sf)
+    pairs = spark.read.parquet(f"{base}/pairs").select("doc_a", "doc_b")
+    old_dir, fresh = _cached_ledger_dir("clusterold", sf)
+    if fresh:
+        # doc_a < doc_b, so doc_b < 250 bounds both endpoints
+        _min_label_cc(pairs.filter(F.col("doc_b") < 250)).select(
+            F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+        ).write.mode("overwrite").parquet(f"{old_dir}/labels")
+        _mark_ledger_built(old_dir)
+    old_labels = spark.read.parquet(f"{old_dir}/labels")
+    new_pairs = pairs.filter(F.col("doc_b") >= 250)
+    return _apply_label_updates(old_labels, new_pairs)
+
+
 def band_signatures(
     sets: DataFrame, k: int = _MINHASH_K, bands: int = _BANDS
 ) -> DataFrame:

@@ -67,7 +67,50 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # If the list exceeds 50, the tail (youngest backfill) rotates out and
 # returns next round.
 _FRONT_50 = [
-    # ---- Round-13 window (VERDICT r12 #2: apply the r12 stamps, then
+    # ---- Round-14 window (VERDICT r13 #2: apply the r13 stamps and
+    # clear the r8 cohort — the 12 r8-stamped names lead the backfill —
+    # plus x_tokenizer_fertility, the ledger's oldest stamp (r7,
+    # rows-only, hand-placed per the no-sentinel rule)) ----------------
+    # (a) new in round 14 — never driver-checked (the one-op budget,
+    # VERDICT r13 #8: incremental cluster-label maintenance, the
+    # union-find ledger update composing with the trio's shared stage):
+    "x_cluster_label_update",
+    # (b) changed in round 14 — the driver must re-prove the new code
+    # (the dedup-cluster trio's shared-ledger decomposition, VERDICT
+    # r13 #1, and x_embedding_pq's sample-guard + docstring fix,
+    # ADVICE r13):
+    "x_dedup_clusters",
+    "x_dedup_report",
+    "x_neardup_survivors",
+    "x_embedding_pq",
+    # rows-only refresh (VERDICT r13 #2): oldest stamp in the ledger
+    # (r7); code unchanged, so no sentinel — hand-placed, displacing
+    # the youngest backfill name (x_text_normalize, returns next round):
+    "x_tokenizer_fertility",
+    # (c) backfill oldest-stamp-first: the full r8 cohort (7 names),
+    # then the head of the r9 cohort in next_window.py's mechanical
+    # order:
+    "x_quantile_normalize", "x_rrf_fusion", "x_spearman_corr",
+    "x_sql_udf", "x_sql_variable", "x_token_budget_select",
+    "x_winsorize",
+    "d01_parquet_scan", "d02_projection", "d37_sessionization",
+    "x_array_agg_sorted", "x_arrow_udtf", "x_bloom_prefilter",
+    "x_bm25_score", "x_calibration_bins", "x_corr_scalar_subquery",
+    "x_decontaminate", "x_domain_stats", "x_duplicate_ngram_fraction",
+    "x_explode_outer", "x_frame_sample", "x_from_json_struct",
+    "x_gap_fill", "x_global_agg", "x_gopher_rules",
+    "x_incremental_dedup", "x_interval_join_bucketed",
+    "x_keyness_tokens", "x_map_fns2", "x_media_resize",
+    "x_minhash_containment", "x_mixture_sample", "x_nullsafe_join",
+    "x_percentiles", "x_pii_scrub", "x_python_udtf",
+    "x_repetition_filter", "x_sequence_pack", "x_session_window",
+    "x_skew_salted_agg", "x_skew_salted_join", "x_stats_moments",
+    "x_stream_tws_counts", "x_string_fns2",
+]
+
+_FRONT_50_R13 = [
+    # ---- Round-13 window (retired; kept for the ledger audit trail)
+    # (VERDICT r12 #2: apply the r12 stamps, then
     # refresh the r6 rows-only cohort and clear the r7 cohort + the
     # head of r8. No new ops this round — the budget went to the
     # census-heavy rewrites, which force themselves in as "changed") --

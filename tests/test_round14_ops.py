@@ -1,0 +1,150 @@
+"""Round-14 contracts: the dedup-cluster shared ledger and the
+incremental cluster-label update.
+
+* The trio decomposition (VERDICT r13 #1) is a pure physical change —
+  x_dedup_clusters / x_neardup_survivors / x_dedup_report now read a
+  session-cached candidate+labels ledger instead of each re-running
+  the candidate join and CC loop. The recursive-CTE oracles remain
+  the primary pin; here we pin the ledger's internal consistency
+  (labels == CC of the pairs table it sits next to).
+* ``x_cluster_label_update`` (VERDICT r13 #8) must equal FROM-SCRATCH
+  clustering of the union graph — the quotient-graph contraction is
+  an optimization, never a semantic. The DuckDB double-recursive-CTE
+  oracle pins it on the fixture; the synthetic cases here exercise
+  the merge topologies the fixture can't guarantee (two old clusters
+  bridged by one batch doc, unledgered history docs, batch-only
+  components).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from chyme_spark.ops import llm
+from chyme_spark.registry import REGISTRY, load_all
+
+load_all()
+
+
+def test_cluster_ledger_labels_match_cc_of_pairs(spark, sf_dir):
+    """The shared ledger's labels/ table must be exactly the min-label
+    CC of its own pairs/ table — the invariant every trio member now
+    leans on."""
+    base = llm._ensure_cluster_base(spark, sf_dir)
+    pairs = spark.read.parquet(f"{base}/pairs").select("doc_a", "doc_b")
+    recomputed = {
+        (r["doc"], r["label"]) for r in llm._min_label_cc(pairs).collect()
+    }
+    stored = {
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(f"{base}/labels").collect()
+    }
+    assert stored == recomputed and len(stored) > 0
+
+
+def test_label_update_equals_from_scratch(spark, sf_dir):
+    """(doc_id, cluster_id) of the incremental update == x_dedup_clusters
+    (from-scratch CC over the full pair list), row for row."""
+    inc = {
+        (r["doc_id"], r["cluster_id"])
+        for r in REGISTRY["x_cluster_label_update"].fn(spark, sf_dir).collect()
+    }
+    scratch = {
+        (r["doc_id"], r["cluster_id"])
+        for r in REGISTRY["x_dedup_clusters"].fn(spark, sf_dir).collect()
+    }
+    assert inc == scratch and len(inc) > 0
+
+
+def test_label_update_status_accounting(spark, sf_dir):
+    """status must be an exact audit of the ledger diff: 'new' iff the
+    doc had no row in the history ledger, 'relabeled' iff its label
+    strictly decreased (labels are component minima — a merge can only
+    pull a label down), 'unchanged' otherwise."""
+    base = llm._ensure_cluster_base(spark, sf_dir)
+    pairs = spark.read.parquet(f"{base}/pairs").select("doc_a", "doc_b")
+    old = {
+        r["doc"]: r["label"]
+        for r in llm._min_label_cc(pairs.filter(F.col("doc_b") < 250)).collect()
+    }
+    out = REGISTRY["x_cluster_label_update"].fn(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        if r["status"] == "new":
+            assert r["doc_id"] not in old
+        elif r["status"] == "relabeled":
+            assert old[r["doc_id"]] > r["cluster_id"]
+        else:
+            assert r["status"] == "unchanged"
+            assert old[r["doc_id"]] == r["cluster_id"]
+
+
+def _update(spark, old_rows, pair_rows):
+    old = spark.createDataFrame(old_rows, "doc_id long, cluster_id long")
+    pairs = spark.createDataFrame(pair_rows, "doc_a long, doc_b long")
+    return {
+        r["doc_id"]: (r["cluster_id"], r["status"])
+        for r in llm._apply_label_updates(old, pairs).collect()
+    }
+
+
+def test_label_update_merges_two_old_clusters(spark):
+    """One batch doc bridging two old clusters must merge them under
+    the global-min label; an untouched old cluster must survive
+    byte-identical as 'unchanged'."""
+    got = _update(
+        spark,
+        [(1, 1), (2, 1), (5, 5), (6, 5), (8, 8), (9, 8)],
+        [(2, 300), (5, 300), (400, 401)],
+    )
+    assert got == {
+        1: (1, "unchanged"),
+        2: (1, "unchanged"),
+        5: (1, "relabeled"),
+        6: (1, "relabeled"),
+        8: (8, "unchanged"),
+        9: (8, "unchanged"),
+        300: (1, "new"),
+        400: (400, "new"),
+        401: (400, "new"),
+    }
+
+
+def test_label_update_unledgered_history_doc(spark):
+    """A history doc that never had a near-dup is absent from the
+    ledger; when a batch doc finally pairs with it, BOTH are 'new' to
+    the ledger and the component label is the history doc's id (the
+    true minimum)."""
+    got = _update(spark, [(1, 1), (2, 1)], [(10, 500)])
+    assert got == {
+        1: (1, "unchanged"),
+        2: (1, "unchanged"),
+        10: (10, "new"),
+        500: (10, "new"),
+    }
+
+
+def test_label_update_chain_through_batch(spark):
+    """Transitivity through a batch-only chain: old clusters {1,2} and
+    {5,6} connected only via 300-301 (a batch edge) must still merge —
+    the quotient CC sees the full batch graph, not single hops."""
+    got = _update(
+        spark,
+        [(1, 1), (2, 1), (5, 5), (6, 5)],
+        [(2, 300), (300, 301), (5, 301)],
+    )
+    assert got == {
+        1: (1, "unchanged"),
+        2: (1, "unchanged"),
+        5: (1, "relabeled"),
+        6: (1, "relabeled"),
+        300: (1, "new"),
+        301: (1, "new"),
+    }
+
+
+def test_label_update_empty_batch_is_identity(spark):
+    """No batch pairs -> the ledger comes back verbatim, every row
+    'unchanged' (the daily no-op run)."""
+    got = _update(spark, [(1, 1), (2, 1)], [])
+    assert got == {1: (1, "unchanged"), 2: (1, "unchanged")}
