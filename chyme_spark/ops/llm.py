@@ -1637,6 +1637,9 @@ def x_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_LAST_CC_ROUNDS = 0  # probe observability; see _min_label_cc
+
+
 def _min_label_cc(pairs: DataFrame) -> DataFrame:
     """Connected components over an undirected pair list ``(doc_a,
     doc_b)`` via iterative min-label propagation — the standard
@@ -1649,7 +1652,15 @@ def _min_label_cc(pairs: DataFrame) -> DataFrame:
     Extracted from x_dedup_clusters (VERDICT r13 #1) so the dedup-
     cluster trio pays it ONCE through :func:`_ensure_cluster_base`
     instead of once per query. The per-round driver action is one
-    scalar (changed-count) — the data never leaves the cluster."""
+    scalar (changed-count) — the data never leaves the cluster.
+
+    Sets module-level ``_LAST_CC_ROUNDS`` to the number of propagation
+    rounds executed (fixpoint round included) — probe observability
+    for the diameter-vs-data question: if round counts grow with scale,
+    the large-star/small-star variant (O(log n) rounds) is owed; flat
+    round counts mean the cost is per-round data volume, which
+    decomposition/caching already addresses (VERDICT r13 #1)."""
+    global _LAST_CC_ROUNDS
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -1684,6 +1695,7 @@ def _min_label_cc(pairs: DataFrame) -> DataFrame:
         if labels.is_cached:
             labels.unpersist()
         labels = updated
+        _LAST_CC_ROUNDS = rnd + 1
         if changed == 0:
             break
     edges.unpersist()
