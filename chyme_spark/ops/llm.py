@@ -1637,7 +1637,7 @@ def x_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_LAST_CC_ROUNDS = 0  # probe observability; see _min_label_cc
+_CC_ROUNDS_LOG: list[int] = []  # probe observability; see _min_label_cc
 
 
 def _min_label_cc(pairs: DataFrame) -> DataFrame:
@@ -1654,13 +1654,22 @@ def _min_label_cc(pairs: DataFrame) -> DataFrame:
     instead of once per query. The per-round driver action is one
     scalar (changed-count) — the data never leaves the cluster.
 
-    Sets module-level ``_LAST_CC_ROUNDS`` to the number of propagation
-    rounds executed (fixpoint round included) — probe observability
-    for the diameter-vs-data question: if round counts grow with scale,
-    the large-star/small-star variant (O(log n) rounds) is owed; flat
+    APPENDS the executed round count (fixpoint round included) to
+    module-level ``_CC_ROUNDS_LOG`` — probe observability for the
+    diameter-vs-data question: if round counts grow with scale, the
+    large-star/small-star variant (O(log n) rounds) is owed; flat
     round counts mean the cost is per-round data volume, which
-    decomposition/caching already addresses (VERDICT r13 #1)."""
-    global _LAST_CC_ROUNDS
+    decomposition/caching already addresses (VERDICT r13 #1). A log,
+    not a scalar: one op can run several CCs (x_cluster_label_update:
+    history + quotient) and warm-ledger calls run none — a clobbered
+    scalar would mislead on both (r14 review).
+
+    Raises if the 20-round cap is hit before fixpoint: a component
+    with diameter > 20 would otherwise silently get non-minimal labels
+    — wrong clusters with no error (r14 review). At that point the
+    right fix is the large-star/small-star variant, and the error says
+    so; every measured fixture/probe graph converges in <= 4 rounds
+    (see the probe log in README round 14)."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -1695,9 +1704,17 @@ def _min_label_cc(pairs: DataFrame) -> DataFrame:
         if labels.is_cached:
             labels.unpersist()
         labels = updated
-        _LAST_CC_ROUNDS = rnd + 1
         if changed == 0:
+            _CC_ROUNDS_LOG.append(rnd + 1)
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            "min-label CC did not reach fixpoint in 20 rounds — a "
+            "component with diameter > 20; switch _min_label_cc to the "
+            "large-star/small-star variant (O(log n) rounds) before "
+            "raising the cap"
+        )
     edges.unpersist()
     return labels
 
@@ -1728,6 +1745,11 @@ def _ensure_cluster_base(spark: SparkSession, sf: str) -> str:
         labels.select(
             F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
         ).write.mode("overwrite").parquet(f"{base}/labels")
+        # the parquet write materialized everything downstream of the
+        # loop's final persist — release it instead of leaving one
+        # cached labels DF behind per session build (r14 review)
+        if labels.is_cached:
+            labels.unpersist()
         _mark_ledger_built(base)
     return base
 
@@ -1920,6 +1942,11 @@ def _apply_label_updates(old_labels: DataFrame, new_pairs: DataFrame) -> DataFra
         .filter(F.col("doc_a") != F.col("doc_b"))
         .distinct()
     )
+    # qlab's final persist stays alive until the returned DataFrame is
+    # dropped (the result reads it lazily, so an eager unpersist here
+    # would force a recompute). It is QUOTIENT-sized — nodes bounded by
+    # the batch's pair endpoints, never the corpus — the same bounded-
+    # persist trade the d43 precedent documents (r14 review).
     qlab = _min_label_cc(contracted).select(
         F.col("doc").alias("node"), F.col("label").alias("qlabel")
     )
@@ -2030,9 +2057,12 @@ def x_cluster_label_update(spark: SparkSession, sf: str) -> DataFrame:
     old_dir, fresh = _cached_ledger_dir("clusterold", sf)
     if fresh:
         # doc_a < doc_b, so doc_b < 250 bounds both endpoints
-        _min_label_cc(pairs.filter(F.col("doc_b") < 250)).select(
+        hist = _min_label_cc(pairs.filter(F.col("doc_b") < 250))
+        hist.select(
             F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
         ).write.mode("overwrite").parquet(f"{old_dir}/labels")
+        if hist.is_cached:  # release the loop's final persist (r14 review)
+            hist.unpersist()
         _mark_ledger_built(old_dir)
     old_labels = spark.read.parquet(f"{old_dir}/labels")
     new_pairs = pairs.filter(F.col("doc_b") >= 250)

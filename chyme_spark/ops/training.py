@@ -701,22 +701,24 @@ def x_embedding_pq(
     # fail fast on a degenerate sample (ADVICE r13): pmod==0 hits are
     # probabilistic, so an empty (or sub-k) draw would otherwise surface
     # as an opaque rng.choice ValueError / silently train < k centroids
-    if len(smat) == 0:
-        raise ValueError(
-            f"PQ training sample is empty: pmod(xxhash64(vec_id), {mod}) == 0 "
-            f"matched none of {n_corpus} vectors — lower the sampling mod"
-        )
     if len(smat) < k:
+        # mod == 1 means the "sample" was already the whole corpus, so
+        # the only lever is k; otherwise the sampling mod is too coarse
+        lever = (
+            f"corpus has only {n_corpus} vectors — lower k"
+            if mod == 1
+            else f"lower the sampling mod (pmod(xxhash64(vec_id), {mod}) == 0 "
+            f"matched {len(smat)} of {n_corpus})"
+        )
         raise ValueError(
             f"PQ training sample ({len(smat)} vectors) is smaller than k={k}: "
-            f"codebooks would silently shrink — lower the sampling mod "
-            f"(pmod(xxhash64(vec_id), {mod})) or k"
+            f"codebooks would silently shrink — {lever}"
         )
     rng = np.random.RandomState(42)
     centroids = []  # m -> (k, sub) ndarray
     for m in range(m_sub):
         x = smat[:, m * sub : (m + 1) * sub]
-        init = rng.choice(len(x), size=min(k, len(x)), replace=False)
+        init = rng.choice(len(x), size=k, replace=False)  # len(x) >= k guarded above
         c = x[np.sort(init)].copy()
         for _ in range(10):
             d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
