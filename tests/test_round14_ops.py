@@ -148,3 +148,39 @@ def test_label_update_empty_batch_is_identity(spark):
     'unchanged' (the daily no-op run)."""
     got = _update(spark, [(1, 1), (2, 1)], [])
     assert got == {1: (1, "unchanged"), 2: (1, "unchanged")}
+
+
+def test_min_label_cc_raises_past_diameter_cap(spark):
+    """A path component with diameter > 20 must FAIL LOUD (r14 review:
+    the pre-fix loop silently returned non-minimal labels), and the
+    rounds log must record converged runs, not capped ones."""
+    import pytest
+
+    from chyme_spark.ops import llm
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="large-star/small-star"):
+        llm._min_label_cc(chain).count()
+
+
+def test_cc_rounds_log_appends_per_call(spark):
+    """_CC_ROUNDS_LOG appends one entry per converged CC (a clobbered
+    scalar misled multi-CC ops and warm-ledger calls — r14 review)."""
+    from chyme_spark.ops import llm
+
+    llm._CC_ROUNDS_LOG.clear()
+    tri = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    lab1 = llm._min_label_cc(tri)
+    assert {(r["doc"], r["label"]) for r in lab1.collect()} == {
+        (1, 1), (2, 1), (3, 1)
+    }
+    lab2 = llm._min_label_cc(tri)
+    lab2.count()
+    assert len(llm._CC_ROUNDS_LOG) == 2 and all(
+        1 <= r <= 20 for r in llm._CC_ROUNDS_LOG
+    )
+    for df in (lab1, lab2):
+        if df.is_cached:
+            df.unpersist()
