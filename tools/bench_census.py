@@ -87,9 +87,17 @@ def main() -> int:
     }
     if errors:
         out["errors"] = errors
-    path = args.out or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_census_r12.json"
-    )
+    if args.out:
+        path = args.out
+    else:
+        # default to the NEXT free round-numbered artifact — the r12
+        # hardcoded default silently overwrote the r12 census when the
+        # r14 run forgot --out (r14 lesson)
+        tooldir = os.path.dirname(os.path.abspath(__file__))
+        n = 12
+        while os.path.exists(os.path.join(tooldir, f"bench_census_r{n}.json")):
+            n += 1
+        path = os.path.join(tooldir, f"bench_census_r{n}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
