@@ -19,6 +19,8 @@ incremental cluster-label update.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from chyme_spark.ops import llm
 from chyme_spark.registry import REGISTRY, load_all
@@ -148,6 +150,64 @@ def test_label_update_empty_batch_is_identity(spark):
     'unchanged' (the daily no-op run)."""
     got = _update(spark, [(1, 1), (2, 1)], [])
     assert got == {1: (1, "unchanged"), 2: (1, "unchanged")}
+
+
+_EDGE = st.tuples(
+    st.integers(min_value=0, max_value=29), st.integers(min_value=0, max_value=29)
+).filter(lambda t: t[0] != t[1]).map(lambda t: (min(t), max(t)))
+# <= 12 edges per draw keeps every component diameter far under
+# _min_label_cc's 20-round cap (a path of E edges has diameter <= E)
+_EDGES = st.lists(_EDGE, min_size=0, max_size=12, unique=True)
+
+_PROPERTY_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _union_find(edges):
+    """Independent reference: min-label components by union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@_PROPERTY_SETTINGS
+@given(edges=_EDGES)
+def test_label_update_matches_union_find(spark, edges):
+    """Randomized exactness pin: on ANY graph, folding the batch edges
+    (those touching a node >= 15) into a union-find-built history
+    ledger must reproduce union-find over the whole edge set — labels
+    AND the new/relabeled/unchanged audit, row for row."""
+    old_edges = [e for e in edges if e[0] < 15 and e[1] < 15]
+    batch = [e for e in edges if not (e[0] < 15 and e[1] < 15)]
+    old = _union_find(old_edges)
+    expected = _union_find(edges)
+    got = _update(
+        spark,
+        [(int(n), int(l)) for n, l in sorted(old.items())],
+        [(int(a), int(b)) for a, b in sorted(batch)],
+    )
+    assert {n: c for n, (c, _) in got.items()} == expected
+    for n, (c, status) in got.items():
+        if n not in old:
+            assert status == "new"
+        elif old[n] != c:
+            assert status == "relabeled"
+        else:
+            assert status == "unchanged"
 
 
 def test_min_label_cc_raises_past_diameter_cap(spark):
