@@ -273,6 +273,29 @@ def test_readme_counts_match_registry():
     assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (total, n_oracle, n_rows_only)
 
 
+def test_queries_md_is_fresh():
+    """The committed QUERIES.md must be byte-identical to what the
+    generator emits at HEAD — its header promises the first 50 rows
+    are the CURRENT round's driver window, and the r14 self-review
+    caught a commit where the file predated a _FRONT_50 swap (row 1
+    was the previous round's window head). Regenerate with
+    `python tools/gen_queries_md.py` whenever the registry or
+    _FRONT_50 changes."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_queries_md", os.path.join(root, "tools", "gen_queries_md.py")
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    committed = open(os.path.join(root, "QUERIES.md")).read()
+    assert gen.render() == committed, (
+        "QUERIES.md is stale — run `python tools/gen_queries_md.py`"
+    )
+
+
 def test_ls_queries_prints_counts(capsys):
     from chyme_spark import cli
     from chyme_spark.cli import query_counts
