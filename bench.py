@@ -240,25 +240,26 @@ SF2_SKEW = [
 # round's entry in tools/bench_ledger.json (tests/test_bench_battery.py
 # asserts the two stay in sync and every member is registered).
 ROTATION = [
-    # round-14 cohort (VERDICT r13 #1/#4/#8): the decomposed dedup-
-    # cluster trio re-records the round it changes (shared-ledger
-    # stage, previously 28.5x/24.6x/20.2x time at 20x; first member
-    # pays the session build, the others read the ledger — same warm
-    # semantics as every persisted-ledger op), x_embedding_pq re-records
-    # after the ADVICE r13 sample guard, the streaming census top
-    # re-records alongside item 4's maxFilesPerTrigger A/B, and the
-    # remaining slots take the stalest census heavies (r9-r11 rotation
-    # stamps).
-    "x_dedup_clusters", "x_neardup_survivors", "x_dedup_report",
-    "x_embedding_pq",
-    "x_stream_tws_sessions", "x_stream_stream_join",
-    "x_stream_outer_join",
-    "x_winnowing_fingerprint",
-    "x_pagerank", "x_ngram_jaccard", "x_simhash_neardup",
-    "x_recursive_cte", "x_semdedup", "x_record_linkage",
-    # new-in-r14 op, timed the round it lands (the x_ivf_compaction
+    # round-15 cohort (VERDICT r14 #1/#6, "what's wrong" #2):
+    # new-in-r15 op, timed the round it lands (the x_ivf_compaction
     # precedent):
-    "x_cluster_label_update",
+    "x_cluster_label_retract",
+    # VERDICT r14 #6: x_winnowing_fingerprint stays on the scoreboard
+    # so the isolated-probe adjudication has a same-round driver
+    # number to compare against:
+    "x_winnowing_fingerprint",
+    # the four r14 census artifact movers (all adjudicated session
+    # artifacts after idle-host re-measures) get DRIVER-run numbers —
+    # closing the wolf-cry with rotation data rather than another
+    # round of hand re-measures:
+    "x_cross_source_leakage", "x_dataset_card",
+    "x_countmin_sketch", "x_zorder_layout",
+    # the heaviest never-rotated members by the r14 census (none has
+    # ever had a driver-run timing; census medians 2.26s .. 1.14s):
+    "x_market_basket", "x_ngram_novelty_curve",
+    "x_tpch_q16_supplier_count",
+    "x_ann_lsh_topk", "x_interpolate", "x_ccnet_buckets",
+    "x_tpch_q2_min_cost_supplier", "x_partial_agg_merge", "x_cube",
 ]
 
 

@@ -1709,6 +1709,12 @@ def _min_label_cc(pairs: DataFrame) -> DataFrame:
             break
     else:
         edges.unpersist()
+        # the final round's labels are persisted (or localCheckpointed,
+        # which is session-scoped and not freeable here) — release the
+        # persist case so the failure path doesn't leak executor
+        # storage in a long-lived session (ADVICE r14)
+        if labels.is_cached:
+            labels.unpersist()
         raise RuntimeError(
             "min-label CC did not reach fixpoint in 20 rounds — a "
             "component with diameter > 20; switch _min_label_cc to the "
@@ -2067,6 +2073,190 @@ def x_cluster_label_update(spark: SparkSession, sf: str) -> DataFrame:
     old_labels = spark.read.parquet(f"{old_dir}/labels")
     new_pairs = pairs.filter(F.col("doc_b") >= 250)
     return _apply_label_updates(old_labels, new_pairs)
+
+
+def _retract_labels(
+    old_labels: DataFrame, pairs: DataFrame, tomb: DataFrame
+) -> DataFrame:
+    """Retract a tombstone set from a cluster-label ledger WITHOUT
+    re-clustering the corpus — the split-capable complement of
+    :func:`_apply_label_updates` (VERDICT r14 #1). Merge-only quotient
+    contraction cannot express retraction: removing an articulation
+    doc SPLITS its component. Steps:
+
+    1. touch: components holding >= 1 tombstoned doc (semi-join the
+       ledger against the tombstones, distinct labels — broadcast,
+       retractions are rare relative to the corpus);
+    2. localized re-CC: pull ONLY the touched components' pairs from
+       the pair ledger (a pair's endpoints share a component, so
+       membership via ``doc_a`` suffices), drop pairs with a
+       tombstoned endpoint, re-run :func:`_min_label_cc` on that
+       bounded subgraph;
+    3. passthrough: untouched components keep their labels verbatim —
+       they never enter the CC loop (pinned by the sentinel-label
+       test in tests/test_round15_ops.py: wrong-on-purpose untouched
+       labels survive, which a corpus-wide re-CC would have fixed).
+
+    Exactness vs from-scratch CC over the surviving pairs: edge
+    removal never CONNECTS components, so the surviving pair list
+    partitions into untouched components' pairs (byte-unchanged) and
+    touched components' surviving pairs; CC labels are a
+    per-component function of that component's own edges, and an
+    untouched component's min doc cannot be tombstoned (it would be
+    touched) — so both sides agree componentwise. The DuckDB oracle
+    on x_cluster_label_retract pins exactly this equality.
+
+    Returns ``(doc_id, cluster_id, status)`` over every doc in the
+    OLD ledger — the audit a takedown/recrawl batch logs: status ∈
+    {'retracted' (tombstoned; cluster_id NULL), 'isolated' (survives
+    but lost its every edge, leaves the pair ledger; cluster_id
+    NULL), 'relabeled' (its component split or lost its min doc),
+    'unchanged'}.
+
+    100 TB shape: cost is O(tombstones + touched components) — two
+    broadcast semi/anti-joins over the ledger plus a CC whose input
+    is the touched subgraph, never the corpus; the untouched history
+    is a filter-only passthrough a real deployment wouldn't even
+    rewrite (partition-preserving no-op). The from-scratch
+    alternative re-pays the full candidate join plus a corpus-wide
+    CC per takedown batch."""
+    tomb_docs = tomb.select("doc_id")
+    touched = (
+        old_labels.join(F.broadcast(tomb_docs), "doc_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    untouched = old_labels.join(
+        F.broadcast(touched), "cluster_id", "left_anti"
+    ).select("doc_id", "cluster_id", F.lit("unchanged").alias("status"))
+    touched_docs = old_labels.join(F.broadcast(touched), "cluster_id", "left_semi")
+    sub_pairs = pairs.join(
+        touched_docs.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
+    )
+    surv_pairs = (
+        sub_pairs.join(
+            F.broadcast(tomb_docs.select(F.col("doc_id").alias("doc_a"))),
+            "doc_a",
+            "left_anti",
+        )
+        .join(
+            F.broadcast(tomb_docs.select(F.col("doc_id").alias("doc_b"))),
+            "doc_b",
+            "left_anti",
+        )
+        .select("doc_a", "doc_b")
+    )
+    # relab's final persist stays alive until the returned DataFrame is
+    # dropped (lazy read — same bounded, subgraph-sized trade as
+    # _apply_label_updates' qlab, r14 review). Tombstoned docs never
+    # appear in it: surv_pairs excludes their every edge.
+    relab = _min_label_cc(surv_pairs).select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("new_cluster")
+    )
+    touched_out = (
+        touched_docs.join(
+            F.broadcast(tomb_docs.withColumn("is_tomb", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        .join(relab, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("new_cluster").alias("cluster_id"),
+            F.when(F.col("is_tomb"), F.lit("retracted"))
+            .when(F.col("new_cluster").isNull(), F.lit("isolated"))
+            .when(F.col("new_cluster") != F.col("cluster_id"), F.lit("relabeled"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )
+    return untouched.unionByName(touched_out)
+
+
+_RETRACT_RESIDUE = 3  # deterministic takedown stand-in: doc_id % 7 == 3
+# (portable to the DuckDB oracle, unlike the band compactor's
+# xxhash64-pmod rule — that op is rows-only, this one is hash-pinned)
+
+
+@query(
+    "x_cluster_label_retract",
+    # Retraction/split maintenance (VERDICT r14 #1): tombstone ledger
+    # docs with doc_id % 7 == 3, re-CC ONLY the tombstone-touched
+    # components over their surviving pairs, pass every other
+    # component through verbatim. Oracle: the result must equal
+    # FROM-SCRATCH clustering of the SURVIVING pairs — one recursive
+    # CTE over all pairs for the old labels (status + row universe), a
+    # second over surviving pairs for the new labels — the same
+    # double-CTE pattern that pins x_cluster_label_update.
+    oracle=f"""
+    WITH RECURSIVE {_NG_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(doc, label) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.doc),
+    old_labels AS (SELECT doc AS doc_id, min(label) AS old_cluster FROM reach GROUP BY doc),
+    surv_pairs AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE doc_a % 7 <> 3 AND doc_b % 7 <> 3),
+    surv_edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM surv_pairs
+        UNION ALL SELECT doc_b, doc_a FROM surv_pairs),
+    reach_new(doc, label) AS (
+        SELECT s, s FROM surv_edges
+        UNION
+        SELECT e.s, r.label FROM surv_edges e JOIN reach_new r ON e.d = r.doc),
+    new_labels AS (SELECT doc AS doc_id, min(label) AS cluster_id FROM reach_new GROUP BY doc)
+    SELECT o.doc_id, n.cluster_id,
+           CASE WHEN o.doc_id % 7 = 3 THEN 'retracted'
+                WHEN n.cluster_id IS NULL THEN 'isolated'
+                WHEN n.cluster_id <> o.old_cluster THEN 'relabeled'
+                ELSE 'unchanged' END AS status
+    FROM old_labels o LEFT JOIN new_labels n ON n.doc_id = o.doc_id
+    """,
+    doc="cluster-label retraction: tombstoned docs leave the near-dup label ledger via localized re-CC over tombstone-touched components only (splits included — the maintenance the merge-only quotient update cannot express), pinned equal to from-scratch clustering of the surviving pairs",
+)
+def x_cluster_label_retract(spark: SparkSession, sf: str) -> DataFrame:
+    """Closes the near-dup label LIFECYCLE (VERDICT r14 #1): the gate
+    (x_incremental_neardup) admits batches, x_cluster_label_update
+    folds their pairs into the label ledger (merge-only), the band
+    compactor (x_neardup_compaction) tombstones docs out of the
+    SIGNATURE ledger — but until now nothing could take a tombstone
+    out of the LABEL ledger, and removing an articulation doc must
+    SPLIT its component, which quotient-graph contraction cannot
+    express. This op is that missing maintenance pass: localized
+    re-CC over tombstone-touched components only (the bounded
+    subgraph read back from the cluster ledger's pairs/), everything
+    else a verbatim passthrough — see :func:`_retract_labels` for the
+    componentwise-exactness argument and the 100 TB cost shape.
+
+    Fixture plumbing: ledger = the trio's shared cluster ledger
+    (_ensure_cluster_base, already materialized once per session);
+    tombstones = ledger docs with ``doc_id % 7 == 3`` — the band
+    compactor's deterministic-takedown convention, with a modulus
+    rule portable to the DuckDB oracle in place of its Spark-only
+    xxhash64 pmod. In production the tombstones arrive from the same
+    takedown/TTL feed x_neardup_compaction consumes, so one retraction
+    batch maintains both ledgers."""
+    base = _ensure_cluster_base(spark, sf)
+    pairs = spark.read.parquet(f"{base}/pairs").select("doc_a", "doc_b")
+    old_labels = spark.read.parquet(f"{base}/labels")
+    tomb = old_labels.filter(
+        F.col("doc_id") % 7 == _RETRACT_RESIDUE
+    ).select("doc_id")
+    return _retract_labels(old_labels, pairs, tomb)
 
 
 def band_signatures(

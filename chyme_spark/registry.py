@@ -67,29 +67,59 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # If the list exceeds 50, the tail (youngest backfill) rotates out and
 # returns next round.
 _FRONT_50 = [
-    # ---- Round-14 window (VERDICT r13 #2: apply the r13 stamps and
+    # ---- Round-15 window (VERDICT r14 #2: apply the r14 stamps,
+    # rotate the stale-stamp head — two r9 names then the r10 cohort —
+    # and refresh the r8 rows-only five, the ledger's oldest stamps,
+    # hand-placed per the no-sentinel rule) ----------------------------
+    # (a) new in round 15 — never driver-checked (the one-op budget,
+    # VERDICT r14 #1: cluster-label RETRACTION — localized re-CC over
+    # tombstone-touched components, the split maintenance the
+    # merge-only quotient update cannot express):
+    "x_cluster_label_retract",
+    # rows-only refresh (VERDICT r14 #2): the r8-stamped five — oldest
+    # stamps in the ledger; code unchanged, so no sentinel —
+    # hand-placed, displacing the five youngest backfill names
+    # (x_tpch_q3_shipping, x_tpch_q5_local_supplier, x_unpivot,
+    # x_url_canonicalize, x_variant_json — all r10, return next round):
+    "d16_approx_count_distinct", "d43_minhash_lsh",
+    "x_ann_ivf_topk", "x_ann_lsh_topk", "x_simhash_neardup",
+    # (b) changed in round 15: none — the round's only query-source
+    # edit is the new op above.
+    # (c) backfill oldest-stamp-first: the r9 tail (2 names), then the
+    # head of the r10 cohort in next_window.py's mechanical order
+    # (d12_star_join rides along — its r15 driver number feeds the
+    # VERDICT r14 "what's wrong #3" adjudication):
+    "x_text_normalize", "x_transpose_stats",
+    "d03_filter", "d04_regex_ext_filter", "d05_distinct",
+    "d06_keyed_dedup", "d07_inner_join", "d08_broadcast_join",
+    "d09_left_outer_join", "d10_left_semi_join", "d11_left_anti_join",
+    "d12_star_join", "d13_theta_join", "d14_hash_agg_q1",
+    "d15_count_distinct", "d17_rollup", "d18_having",
+    "d20_limit_topk", "d21_topk_per_group", "d24_running_sum",
+    "d27_string_fns", "d40_stream_watermark", "d41_stream_dedup",
+    "d42_exact_dedup", "d44_cosine_topk", "d45_token_counts",
+    "d50_pipeline_flagship",
+    "x_asof_join", "x_asof_join_tolerance", "x_auc_score",
+    "x_bloom_prefilter_prod", "x_cohort_retention",
+    "x_eval_contamination", "x_grouping_sets", "x_linear_probe_fit",
+    "x_record_linkage", "x_stream_outer_join",
+    "x_stream_session_timeout", "x_stream_stateful_counts",
+    "x_stream_static_join", "x_stream_stream_join",
+    "x_stream_tws_sessions", "x_time_rollup", "x_time_weighted_avg",
+]
+
+_FRONT_50_R14 = [
+    # ---- Round-14 window (retired; kept for the ledger audit trail)
+    # (VERDICT r13 #2: apply the r13 stamps and
     # clear the r8 cohort — the 12 r8-stamped names lead the backfill —
     # plus x_tokenizer_fertility, the ledger's oldest stamp (r7,
     # rows-only, hand-placed per the no-sentinel rule)) ----------------
-    # (a) new in round 14 — never driver-checked (the one-op budget,
-    # VERDICT r13 #8: incremental cluster-label maintenance, the
-    # union-find ledger update composing with the trio's shared stage):
     "x_cluster_label_update",
-    # (b) changed in round 14 — the driver must re-prove the new code
-    # (the dedup-cluster trio's shared-ledger decomposition, VERDICT
-    # r13 #1, and x_embedding_pq's sample-guard + docstring fix,
-    # ADVICE r13):
     "x_dedup_clusters",
     "x_dedup_report",
     "x_neardup_survivors",
     "x_embedding_pq",
-    # rows-only refresh (VERDICT r13 #2): oldest stamp in the ledger
-    # (r7); code unchanged, so no sentinel — hand-placed, displacing
-    # the youngest backfill name (x_text_normalize, returns next round):
     "x_tokenizer_fertility",
-    # (c) backfill oldest-stamp-first: the full r8 cohort (7 names),
-    # then the head of the r9 cohort in next_window.py's mechanical
-    # order:
     "x_quantile_normalize", "x_rrf_fusion", "x_spearman_corr",
     "x_sql_udf", "x_sql_variable", "x_token_budget_select",
     "x_winsorize",

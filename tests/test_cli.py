@@ -291,7 +291,7 @@ def test_queries_md_is_fresh():
     gen = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(gen)
     committed = open(os.path.join(root, "QUERIES.md")).read()
-    assert gen.render() == committed, (
+    assert gen.render()[0] == committed, (
         "QUERIES.md is stale — run `python tools/gen_queries_md.py`"
     )
 

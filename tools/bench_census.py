@@ -33,7 +33,22 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--out", default="")
+    ap.add_argument(
+        "--round",
+        type=int,
+        default=0,
+        help="round number for the artifact name (required unless --out is "
+        "given) — inferring it from directory contents misattributed a "
+        "same-round retry to a round that hadn't happened (ADVICE r14)",
+    )
+    ap.add_argument(
+        "--force",
+        action="store_true",
+        help="overwrite an existing artifact (refused by default)",
+    )
     args = ap.parse_args()
+    if not args.out and not args.round:
+        ap.error("--round is required when --out is not given")
 
     from chyme_spark.registry import load_all
     from chyme_spark.session import get_spark
@@ -78,6 +93,54 @@ def main() -> int:
             flush=True,
         )
 
+    tooldir = os.path.dirname(os.path.abspath(__file__))
+
+    # Mover adjudication (VERDICT r14 "what's wrong" #2): two rounds
+    # running, the sweep's per-query medians flagged >2x "movers" on
+    # untouched code that every idle-host re-measure cleared — the
+    # sequential 250-query sweep itself is the noise source (session
+    # memory churn, GC debt from neighbors). Fix the instrument: any
+    # query whose sweep median is >2x its previous-census median gets an
+    # END-OF-RUN 3-pass re-measure (the sweep's churn settled), and THAT
+    # median lands in queries_median; the adjudication block records
+    # both numbers so the artifact shows its work.
+    adjudication: dict[str, dict[str, float]] = {}
+    prev_path = None
+    for n in range(200, 11, -1):
+        cand = os.path.join(tooldir, f"bench_census_r{n}.json")
+        if os.path.exists(cand) and (not args.round or n < args.round):
+            prev_path = cand
+            break
+    if prev_path:
+        prev = json.load(open(prev_path))["queries_median"]
+        movers = sorted(
+            name
+            for name, med in medians.items()
+            if name in prev
+            and med >= 0.3
+            and prev[name] > 0
+            and med / prev[name] > 2.0
+        )
+        for name in movers:
+            try:
+                run(name)  # re-warm after the sweep
+                iso = sorted(run(name) for _ in range(3))[1]
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"adjudication: {type(e).__name__}: {e}"[:300]
+                revive_if_dead()
+                continue
+            adjudication[name] = {
+                "prev_census": prev[name],
+                "sweep_median": medians[name],
+                "isolated_median": round(iso, 3),
+            }
+            medians[name] = round(iso, 3)
+            print(
+                f"[adjudicate] {name}: sweep {adjudication[name]['sweep_median']}"
+                f" vs prev {prev[name]} -> isolated {medians[name]}",
+                flush=True,
+            )
+
     out = {
         "sf_dir": args.sf,
         "passes": args.passes,
@@ -85,19 +148,23 @@ def main() -> int:
         "total_median_sec": round(sum(medians.values()), 3),
         "queries_median": dict(sorted(medians.items())),
     }
+    if adjudication:
+        out["mover_adjudication"] = {
+            "vs": os.path.basename(prev_path),
+            "rule": "sweep median > 2x prev census and >= 0.3s -> 3-pass end-of-run re-measure replaces it",
+            "movers": adjudication,
+        }
     if errors:
         out["errors"] = errors
     if args.out:
         path = args.out
     else:
-        # default to the NEXT free round-numbered artifact — the r12
-        # hardcoded default silently overwrote the r12 census when the
-        # r14 run forgot --out (r14 lesson)
-        tooldir = os.path.dirname(os.path.abspath(__file__))
-        n = 12
-        while os.path.exists(os.path.join(tooldir, f"bench_census_r{n}.json")):
-            n += 1
-        path = os.path.join(tooldir, f"bench_census_r{n}.json")
+        path = os.path.join(tooldir, f"bench_census_r{args.round}.json")
+    if os.path.exists(path) and not args.force:
+        raise SystemExit(
+            f"refusing to overwrite {path} — pass --force for a deliberate "
+            "re-run of the same round (ADVICE r14)"
+        )
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
