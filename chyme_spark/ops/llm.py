@@ -1709,10 +1709,14 @@ def _min_label_cc(pairs: DataFrame) -> DataFrame:
             break
     else:
         edges.unpersist()
-        # the final round's labels are persisted (or localCheckpointed,
-        # which is session-scoped and not freeable here) — release the
-        # persist case so the failure path doesn't leak executor
-        # storage in a long-lived session (ADVICE r14)
+        # At the CURRENT cap (20, a multiple of the checkpoint cadence
+        # 5) the final round's labels are always localCheckpointed:
+        # is_cached is False for those (they live outside the cache
+        # manager) and their blocks are released by the ContextCleaner
+        # once this raise drops the last reference — so today there is
+        # no persist leak on this path. The guard exists for the
+        # persist case, which becomes reachable the moment the cap or
+        # cadence changes (ADVICE r14; case precision: r15 review).
         if labels.is_cached:
             labels.unpersist()
         raise RuntimeError(
@@ -2120,7 +2124,11 @@ def _retract_labels(
     rewrite (partition-preserving no-op). The from-scratch
     alternative re-pays the full candidate join plus a corpus-wide
     CC per takedown batch."""
-    tomb_docs = tomb.select("doc_id")
+    # distinct: a real takedown/TTL feed can deliver the same doc_id
+    # twice (retry, overlapping sources); without it the left join at
+    # the status stage would fan out duplicate 'retracted' rows and
+    # break the one-row-per-ledger-doc audit invariant (r15 review)
+    tomb_docs = tomb.select("doc_id").distinct()
     touched = (
         old_labels.join(F.broadcast(tomb_docs), "doc_id", "left_semi")
         .select("cluster_id")

@@ -83,8 +83,14 @@ _FRONT_50 = [
     # x_url_canonicalize, x_variant_json — all r10, return next round):
     "d16_approx_count_distinct", "d43_minhash_lsh",
     "x_ann_ivf_topk", "x_ann_lsh_topk", "x_simhash_neardup",
-    # (b) changed in round 15: none — the round's only query-source
-    # edit is the new op above.
+    # (b) changed in round 15 — _min_label_cc gained a failure-path
+    # guard + comment; per the shared-helper convention its callers
+    # are ledger-sentineled by hand and the driver re-proves them
+    # (displacing the 4 youngest backfill names —
+    # x_stream_stream_join, x_stream_tws_sessions, x_time_rollup,
+    # x_time_weighted_avg — all r10, return next round):
+    "x_cluster_label_update", "x_dedup_clusters",
+    "x_dedup_report", "x_neardup_survivors",
     # (c) backfill oldest-stamp-first: the r9 tail (2 names), then the
     # head of the r10 cohort in next_window.py's mechanical order
     # (d12_star_join rides along — its r15 driver number feeds the
@@ -104,8 +110,7 @@ _FRONT_50 = [
     "x_eval_contamination", "x_grouping_sets", "x_linear_probe_fit",
     "x_record_linkage", "x_stream_outer_join",
     "x_stream_session_timeout", "x_stream_stateful_counts",
-    "x_stream_static_join", "x_stream_stream_join",
-    "x_stream_tws_sessions", "x_time_rollup", "x_time_weighted_avg",
+    "x_stream_static_join",
 ]
 
 _FRONT_50_R14 = [

@@ -103,6 +103,19 @@ def test_retract_isolates_edge_starved_survivor(spark):
     assert got == {1: (None, "isolated"), 2: (None, "retracted")}
 
 
+def test_retract_duplicate_tombstones_no_fanout(spark):
+    """A takedown feed can deliver the same doc_id twice (retry,
+    overlapping TTL+takedown) — the audit must stay one row per ledger
+    doc, not fan out duplicate 'retracted' rows (r15 review)."""
+    old = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, cluster_id long")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    tomb = spark.createDataFrame([(2,), (2,), (2,)], "doc_id long")
+    rows = llm._retract_labels(old, pairs, tomb).collect()
+    assert len(rows) == 2
+    got = {r["doc_id"]: (r["cluster_id"], r["status"]) for r in rows}
+    assert got == {1: (None, "isolated"), 2: (None, "retracted")}
+
+
 def test_retract_empty_tombstones_is_identity(spark):
     """No tombstones -> the ledger comes back verbatim, every row
     'unchanged' (the daily no-op run)."""

@@ -126,6 +126,17 @@ def main() -> int:
                 run(name)  # re-warm after the sweep
                 iso = sorted(run(name) for _ in range(3))[1]
             except Exception as e:  # noqa: BLE001
+                # the suspect sweep median stays in queries_median (a
+                # number beats a hole), but the artifact must SAY it is
+                # unadjudicated — otherwise next round's census uses it
+                # as prev_census and the >2x rule can never re-fire on
+                # this query (r15 review)
+                adjudication[name] = {
+                    "prev_census": prev[name],
+                    "sweep_median": medians[name],
+                    "isolated_median": None,
+                    "note": f"re-measure failed: {type(e).__name__}",
+                }
                 errors[name] = f"adjudication: {type(e).__name__}: {e}"[:300]
                 revive_if_dead()
                 continue

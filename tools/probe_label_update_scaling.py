@@ -110,8 +110,15 @@ def main() -> int:
         n_quot = q.count()
 
         def one() -> float:
+            # time CONSTRUCTION + sink together: _apply_label_updates
+            # runs the quotient CC eagerly (per-round count() actions)
+            # at construction, so a sink-only timer would exclude the
+            # very batch-dependent cost under test (r15 self-review) —
+            # symmetric with the from-scratch comparator above
+            t0 = time.time()
             out = llm._apply_label_updates(old, batch)
-            sec = noop(out)
+            out.write.format("noop").mode("overwrite").save()
+            sec = time.time() - t0
             # drop the update's quotient-CC persist between passes
             for rdd_id, rdd in list(
                 spark.sparkContext._jsc.getPersistentRDDs().items()  # noqa: SLF001
