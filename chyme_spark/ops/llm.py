@@ -4361,6 +4361,188 @@ def x_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_incremental_index",
+    # Incremental inverted-index maintenance — the gate of the
+    # text-index family (the lifecycle sibling of x_incremental_dedup /
+    # x_incremental_ann / x_incremental_neardup, closing the family
+    # symmetry for x_inverted_index / x_tfidf / x_bm25_score /
+    # x_phrase_search, which until now only had a from-scratch build).
+    # Fixture: docs < 250 are already indexed (the history segment);
+    # a maintenance delivery arrives carrying docs >= 240 (at-least-once
+    # redelivery overlaps 10 already-indexed docs, which the doc-ledger
+    # gate must drop) plus a takedown feed tombstoning indexed docs with
+    # doc_id % 25 == 3 (the deterministic-takedown convention the
+    # compactor family uses, so the oracle can replay it). The op emits
+    # the DELTA a segment writer applies: 'add' rows at postings grain
+    # for gated batch docs, 'delete' rows at DOC grain for takedowns —
+    # doc-grain deletes are the Lucene tombstone model: recording a
+    # takedown costs O(1), with the doc->postings lookup deferred to
+    # segment compaction (x_index_compaction).
+    oracle="""
+    WITH indexed AS (SELECT doc_id FROM documents WHERE doc_id < 250),
+    gated AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id >= 240
+        AND doc_id NOT IN (SELECT doc_id FROM indexed)),
+    tk AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM gated),
+    adds AS (
+      SELECT 'add' AS action, doc_id, w AS term,
+             CAST(count(*) AS BIGINT) AS tf,
+             array_to_string(list_sort(list(CAST(pos AS BIGINT))), '|')
+                 AS positions
+      FROM tk GROUP BY doc_id, w),
+    dels AS (
+      SELECT 'delete' AS action, doc_id,
+             CAST(NULL AS VARCHAR) AS term,
+             CAST(NULL AS BIGINT) AS tf,
+             CAST(NULL AS VARCHAR) AS positions
+      FROM indexed WHERE doc_id % 25 = 3)
+    SELECT * FROM adds UNION ALL SELECT * FROM dels
+    """,
+    doc="incremental inverted-index gate: postings-grain 'add' delta for ledger-gated new docs + doc-grain 'delete' tombstones for takedowns (Lucene delete model: O(1) tombstone record, physical removal deferred to compaction)",
+)
+def x_incremental_index(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan, three bounded pieces. (1) The doc-ledger gate is a
+    left_anti join of the delivery against ONE narrow column (distinct
+    indexed doc_id) — columnar pruning reads nothing else off the
+    history segment, and the join co-partitions both sides on doc_id
+    (AQE broadcasts the smaller at fixture scale). This is the
+    reference's Redis-SET membership test (ref
+    internal/core/resource.go:54-108) applied to index membership.
+    (2) The add path is x_inverted_index's one (term, doc_id) shuffle
+    restricted to the GATED BATCH — bounded by delivery size, never
+    corpus size, and doc-sharded so a stopword never has to fit one
+    task. (3) The delete path never touches the index at all: a
+    takedown is recorded as a doc-grain tombstone in O(1) — the Lucene
+    insight that makes deletes affordable at 100 TB, where the
+    doc->postings lookup would be a full index scan; x_index_compaction
+    pays that cost once, physically, at segment-merge time."""
+    docs = load_table(spark, sf, "documents")
+    indexed = docs.filter(F.col("doc_id") < 250).select("doc_id")
+    gated = docs.filter(F.col("doc_id") >= 240).join(indexed, "doc_id", "left_anti")
+    toks = gated.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    )
+    adds = (
+        toks.groupBy("doc_id", F.col("w").alias("term"))
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.array_join(
+                F.sort_array(F.collect_list((F.col("pos0") + 1).cast("long"))),
+                "|",
+            ).alias("positions"),
+        )
+        .select(F.lit("add").alias("action"), "doc_id", "term", "tf", "positions")
+    )
+    dels = indexed.filter(F.col("doc_id") % 25 == 3).select(
+        F.lit("delete").alias("action"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("long").alias("tf"),
+        F.lit(None).cast("string").alias("positions"),
+    )
+    return adds.unionByName(dels)
+
+
+@query(
+    "x_index_compaction",
+    # Segment compaction — the GC half of the text-index lifecycle
+    # (gate = x_incremental_index). Segments are doc_id ranges of 100
+    # (the doc-partitioned segment layout the gate's doc-sharded builds
+    # produce); the accumulated tombstone ledger is doc_id % 25 == 3
+    # (same deterministic-takedown convention as the gate and
+    # x_neardup_compaction, replayable by the oracle). A tiered merge
+    # folds segment pairs (merged = doc_id div 200) and PHYSICALLY
+    # drops tombstoned docs' postings — the deferred cost the gate's
+    # O(1) doc-grain tombstones postponed. Output is the merge
+    # MANIFEST a compactor reports, segment-grain: surviving
+    # docs/terms/postings/tf, dropped docs/postings, doc range.
+    oracle="""
+    WITH post AS (
+      SELECT doc_id, w, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+      GROUP BY doc_id, w),
+    tagged AS (
+      SELECT doc_id, w, tf,
+             CAST(FLOOR(doc_id / 200) AS BIGINT) AS segment,
+             CAST(FLOOR(doc_id / 100) AS BIGINT) AS src_seg,
+             (doc_id % 25 = 3) AS tomb
+      FROM post)
+    SELECT segment,
+      CAST(count(DISTINCT src_seg) AS BIGINT) AS n_src_segments,
+      CAST(count(DISTINCT CASE WHEN NOT tomb THEN doc_id END) AS BIGINT)
+          AS n_docs,
+      CAST(count(DISTINCT CASE WHEN NOT tomb THEN w END) AS BIGINT)
+          AS n_terms,
+      CAST(count(CASE WHEN NOT tomb THEN 1 END) AS BIGINT) AS n_postings,
+      CAST(sum(CASE WHEN NOT tomb THEN tf ELSE 0 END) AS BIGINT)
+          AS total_tf,
+      CAST(count(DISTINCT CASE WHEN tomb THEN doc_id END) AS BIGINT)
+          AS dropped_docs,
+      CAST(count(CASE WHEN tomb THEN 1 END) AS BIGINT)
+          AS dropped_postings,
+      CAST(min(CASE WHEN NOT tomb THEN doc_id END) AS BIGINT) AS min_doc,
+      CAST(max(CASE WHEN NOT tomb THEN doc_id END) AS BIGINT) AS max_doc
+    FROM tagged GROUP BY segment
+    """,
+    doc="inverted-index segment compaction: tiered pairwise merge of doc-range segments with physical tombstone GC; emits the segment-grain merge manifest (surviving docs/terms/postings/tf, dropped docs/postings, doc range)",
+)
+def x_index_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """100 TB plan: ONE shuffle builds postings at (doc_id, term)
+    grain — doc-sharded, so hot terms spread across reducers — and the
+    manifest aggregation reduces to segment grain, whose cardinality is
+    bounded by the doc-id key space div 200, not by corpus size
+    (map-side combine collapses almost everything before the exchange).
+    The tombstone set here is a replayable modulus filter (zero cost);
+    at a real corpus it is a doc-grain ledger applied as a broadcast
+    anti-join or a roaring bitmap per segment — either way doc-keyed,
+    never a postings scan, which is exactly the cost model the gate's
+    O(1) delete records rely on. Compaction is where df/idf statistics
+    become exact again after deletes: the manifest's n_docs/n_postings
+    are the post-GC truth that x_tfidf / x_bm25_score would refresh
+    from. Degenerate edge: a merged segment whose docs are ALL
+    tombstoned keeps its row (n_docs 0, NULL doc range) so the
+    manifest conserves the source-segment census."""
+    docs = load_table(spark, sf, "documents")
+    post = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("segment", F.floor(F.col("doc_id") / 200).cast("long"))
+        .withColumn("src_seg", F.floor(F.col("doc_id") / 100).cast("long"))
+        .withColumn("tomb", F.col("doc_id") % 25 == 3)
+    )
+    return _index_merge_manifest(post)
+
+
+def _index_merge_manifest(post: DataFrame) -> DataFrame:
+    """Segment-grain merge manifest over a tagged postings DataFrame
+    ``(doc_id, w, tf, segment, src_seg, tomb)`` — the core of
+    x_index_compaction, factored so contract tests can pin topologies
+    the fixture's modulus tombstones never produce (an all-tombstoned
+    merged segment must KEEP its manifest row with n_docs 0 and a NULL
+    doc range, conserving the source-segment census)."""
+    tomb = F.col("tomb")
+    surv = ~tomb
+    return post.groupBy("segment").agg(
+        F.countDistinct("src_seg").cast("long").alias("n_src_segments"),
+        F.countDistinct(F.when(surv, F.col("doc_id"))).cast("long").alias("n_docs"),
+        F.countDistinct(F.when(surv, F.col("w"))).cast("long").alias("n_terms"),
+        F.count(F.when(surv, F.lit(1))).cast("long").alias("n_postings"),
+        F.sum(F.when(surv, F.col("tf")).otherwise(F.lit(0))).cast("long").alias("total_tf"),
+        F.countDistinct(F.when(tomb, F.col("doc_id"))).cast("long").alias("dropped_docs"),
+        F.count(F.when(tomb, F.lit(1))).cast("long").alias("dropped_postings"),
+        F.min(F.when(surv, F.col("doc_id"))).cast("long").alias("min_doc"),
+        F.max(F.when(surv, F.col("doc_id"))).cast("long").alias("max_doc"),
+    )
+
+
+@query(
     "x_dup_span_scrub",
     # ExactSubstr-style duplicated-span accounting (Lee et al. 2021,
     # "Deduplicating Training Data Makes Language Models Better",

@@ -76,6 +76,14 @@ _FRONT_50 = [
     # tombstone-touched components, the split maintenance the
     # merge-only quotient update cannot express):
     "x_cluster_label_retract",
+    # also new in round 15: the text-index lifecycle pair (gate +
+    # compactor, the family symmetry x_inverted_index lacked — every
+    # other index family already had incremental maintenance:
+    # dedup/neardup/ANN). Added after the bracket was recorded; they
+    # displace the 2 youngest backfill names
+    # (x_stream_stateful_counts, x_stream_static_join — both r10,
+    # return next round):
+    "x_incremental_index", "x_index_compaction",
     # rows-only refresh (VERDICT r14 #2): the r8-stamped five — oldest
     # stamps in the ledger; code unchanged, so no sentinel —
     # hand-placed, displacing the five youngest backfill names
@@ -109,8 +117,7 @@ _FRONT_50 = [
     "x_bloom_prefilter_prod", "x_cohort_retention",
     "x_eval_contamination", "x_grouping_sets", "x_linear_probe_fit",
     "x_record_linkage", "x_stream_outer_join",
-    "x_stream_session_timeout", "x_stream_stateful_counts",
-    "x_stream_static_join",
+    "x_stream_session_timeout",
 ]
 
 _FRONT_50_R14 = [

@@ -68,6 +68,12 @@ EXPECTED = {
     # 4 exchanges = unigram + bigram count shuffles + two 1-row totals;
     # top-k must stay TakeOrderedAndProject
     "x_pmi_collocations": (4, 4, 0, True),
+    # r15: the index gate is ONE keyed shuffle (batch-bounded postings
+    # build) + the doc-ledger anti-join AQE-promoted to broadcast; the
+    # compactor is the postings shuffle + the multi-countDistinct
+    # expand's two-phase agg at segment grain (tiny rows)
+    "x_incremental_index": (1, 1, 0, False),
+    "x_index_compaction": (3, 0, 0, False),
     # narrow explode + dim-table broadcast; exactly one shuffle (the
     # per-dimension min/max aggregate)
     "x_embedding_quantize": (1, 1, 0, False),

@@ -83,6 +83,12 @@ AUDIT = [
     # winnowing fingerprint index (dup_ngram's shuffle pattern over a
     # ~3x smaller selected set)
     "x_eval_contamination", "x_winnowing_fingerprint",
+    # round-15 additions: the text-index lifecycle pair — the gate must
+    # stay 1 keyed shuffle (the batch-bounded postings build) with the
+    # doc-ledger anti-join AQE-broadcast at this SF; the compactor is
+    # the postings shuffle plus the distinct-agg expand at segment
+    # grain (tiny rows), never a corpus-wide extra pass
+    "x_incremental_index", "x_index_compaction",
     # (x_dedup_report and x_tokenizer_fertility excluded with the other
     # iterative consumers: CC labels / BPE merge-loop lineage make the
     # one-shot exchange counts mis-state per-round work;
