@@ -4345,18 +4345,26 @@ def x_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     posexplode gives 0-based ordinals; +1 matches the oracle's
     generate_subscripts."""
     docs = load_table(spark, sf, "documents")
+    return _postings(docs).select("term", "doc_id", "tf", "positions")
+
+
+def _postings(docs: DataFrame) -> DataFrame:
+    """Positional postings ``(doc_id, term, tf, positions)`` over any
+    ``(doc_id, text)`` DataFrame — the shared tokenize-and-group of
+    x_inverted_index and x_incremental_index's add path (r15 review:
+    one build, not two copies that must change in lockstep; the
+    replay-contract test keeps its own independent copy on purpose).
+    One shuffle on (term, doc_id); positions are sorted 1-based token
+    ordinals joined with '|'."""
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
     )
-    return (
-        toks.groupBy(F.col("w").alias("term"), F.col("doc_id"))
-        .agg(
-            F.count("*").cast("long").alias("tf"),
-            F.array_join(
-                F.sort_array(F.collect_list((F.col("pos0") + 1).cast("long"))),
-                "|",
-            ).alias("positions"),
-        )
+    return toks.groupBy("doc_id", F.col("w").alias("term")).agg(
+        F.count("*").cast("long").alias("tf"),
+        F.array_join(
+            F.sort_array(F.collect_list((F.col("pos0") + 1).cast("long"))),
+            "|",
+        ).alias("positions"),
     )
 
 
@@ -4424,19 +4432,8 @@ def x_incremental_index(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     indexed = docs.filter(F.col("doc_id") < 250).select("doc_id")
     gated = docs.filter(F.col("doc_id") >= 240).join(indexed, "doc_id", "left_anti")
-    toks = gated.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
-    )
-    adds = (
-        toks.groupBy("doc_id", F.col("w").alias("term"))
-        .agg(
-            F.count("*").cast("long").alias("tf"),
-            F.array_join(
-                F.sort_array(F.collect_list((F.col("pos0") + 1).cast("long"))),
-                "|",
-            ).alias("positions"),
-        )
-        .select(F.lit("add").alias("action"), "doc_id", "term", "tf", "positions")
+    adds = _postings(gated).select(
+        F.lit("add").alias("action"), "doc_id", "term", "tf", "positions"
     )
     dels = indexed.filter(F.col("doc_id") % 25 == 3).select(
         F.lit("delete").alias("action"),

@@ -84,6 +84,11 @@ _FRONT_50 = [
     # (x_stream_stateful_counts, x_stream_static_join — both r10,
     # return next round):
     "x_incremental_index", "x_index_compaction",
+    # changed with them (r15 post-bracket review): x_inverted_index now
+    # reads the shared _postings helper — same plan, hash-identical
+    # output, but the source hash flips, so the driver re-proves it
+    # (displacing x_stream_session_timeout — r10, returns next round):
+    "x_inverted_index",
     # rows-only refresh (VERDICT r14 #2): the r8-stamped five — oldest
     # stamps in the ledger; code unchanged, so no sentinel —
     # hand-placed, displacing the five youngest backfill names
@@ -117,7 +122,6 @@ _FRONT_50 = [
     "x_bloom_prefilter_prod", "x_cohort_retention",
     "x_eval_contamination", "x_grouping_sets", "x_linear_probe_fit",
     "x_record_linkage", "x_stream_outer_join",
-    "x_stream_session_timeout",
 ]
 
 _FRONT_50_R14 = [
