@@ -4540,6 +4540,101 @@ def _index_merge_manifest(post: DataFrame) -> DataFrame:
 
 
 @query(
+    "x_index_overlay_search",
+    # The READ path of the text-index lifecycle (gate =
+    # x_incremental_index, GC = x_index_compaction): serve BM25 top-20
+    # THROUGH the base+delta overlay — base postings minus the doc-grain
+    # tombstone ledger, union the gate's admitted adds — without
+    # re-indexing and without waiting for compaction. Same fixture
+    # conventions as the gate (history < 250, admitted batch >= 250,
+    # tombstones doc_id % 25 == 3) and the same unlowered tokenization
+    # as x_inverted_index (the index being served). The oracle is the
+    # from-scratch BM25 (x_bm25_score's decimal-pinned arithmetic) over
+    # the SURVIVING corpus: overlay serving must equal reindexing.
+    oracle=f"""
+    WITH surv AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id >= 250 OR doc_id % 25 <> 3),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM surv),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, tok AS term, count(*) AS tf
+        FROM t CROSS JOIN LATERAL unnest(toks) AS u(tok)
+        WHERE tok IN {_BM25_TERMS!r}
+        GROUP BY doc_id, tok),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                    * tf.tf * ({_BM25_K1} + 1)
+                    / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+                    AS DECIMAL(18,8)) AS term_score
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+    SELECT doc_id, CAST(ROUND(SUM(term_score), 4) AS DOUBLE) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 top-20 served through the base+delta index overlay (base postings - doc tombstones + gate adds), pinned equal to from-scratch BM25 over the surviving corpus — search stays correct between compactions",
+)
+def x_index_overlay_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Why this op exists: the gate's O(1) doc-grain deletes and
+    postings-grain adds are only a win if search can USE them before
+    the compactor runs. This is segment-overlay serving (the Lucene
+    read model): base postings are read with the tombstone ledger
+    applied as a doc-keyed anti-join, the delta's admitted adds are
+    unioned on top, and BM25's df/dl/avgdl statistics are computed
+    over the overlay — so scores equal a from-scratch reindex of the
+    surviving corpus (the oracle pins exactly that).
+
+    100 TB shape: both postings reads are filtered to the query's
+    terms BEFORE any shuffle (term pruning at the scan — a term-
+    partitioned segment layout makes that a partition prune), so
+    everything downstream is |query|-bounded per doc. The tombstone
+    anti-join is doc-keyed against the doc-grain ledger (tiny,
+    broadcast); df/avgdl are small aggregates broadcast back; one
+    doc-keyed agg then a global top-k (TakeOrderedAndProject). The
+    base/delta split adds ONE unionByName over the same-shaped
+    postings — no term ever pays more than its posting lists."""
+    docs = load_table(spark, sf, "documents")
+    hist_docs = docs.filter(F.col("doc_id") < 250)
+    batch_docs = docs.filter(F.col("doc_id") >= 250)
+    tombs = hist_docs.filter(F.col("doc_id") % 25 == 3).select("doc_id")
+    base = _postings(hist_docs).filter(F.col("term").isin(*_BM25_TERMS))
+    delta = _postings(batch_docs).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = (
+        base.join(tombs, "doc_id", "left_anti")
+        .unionByName(delta)
+        .select("doc_id", "term", "tf")
+    )
+    surviving = hist_docs.join(tombs, "doc_id", "left_anti").unionByName(batch_docs)
+    dl = surviving.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    )
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                * F.col("tf") * (_BM25_K1 + 1)
+                / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
+            ).cast("decimal(18,8)").alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
     "x_dup_span_scrub",
     # ExactSubstr-style duplicated-span accounting (Lee et al. 2021,
     # "Deduplicating Training Data Makes Language Models Better",

@@ -84,6 +84,11 @@ _FRONT_50 = [
     # (x_stream_stateful_counts, x_stream_static_join — both r10,
     # return next round):
     "x_incremental_index", "x_index_compaction",
+    # and the READ path that completes the lifecycle (write -> GC ->
+    # serve): BM25 through the base+delta overlay, pinned equal to a
+    # from-scratch reindex of the surviving corpus (displacing
+    # x_stream_outer_join — r10, returns next round):
+    "x_index_overlay_search",
     # changed with them (r15 post-bracket review): x_inverted_index now
     # reads the shared _postings helper — same plan, hash-identical
     # output, but the source hash flips, so the driver re-proves it
@@ -121,7 +126,7 @@ _FRONT_50 = [
     "x_asof_join", "x_asof_join_tolerance", "x_auc_score",
     "x_bloom_prefilter_prod", "x_cohort_retention",
     "x_eval_contamination", "x_grouping_sets", "x_linear_probe_fit",
-    "x_record_linkage", "x_stream_outer_join",
+    "x_record_linkage",
 ]
 
 _FRONT_50_R14 = [

@@ -74,6 +74,11 @@ EXPECTED = {
     # expand's two-phase agg at segment grain (tiny rows)
     "x_incremental_index": (1, 1, 0, False),
     "x_index_compaction": (3, 0, 0, False),
+    # the read path's top-k must compile to TakeOrderedAndProject; its
+    # 7 exchanges are all query-term-bounded postings/stats aggs (two
+    # term-pruned postings builds + df/dl/stats + final doc agg), and
+    # the 7 broadcasts are the tombstone/df/dl/stats small sides
+    "x_index_overlay_search": (7, 7, 0, True),
     # narrow explode + dim-table broadcast; exactly one shuffle (the
     # per-dimension min/max aggregate)
     "x_embedding_quantize": (1, 1, 0, False),

@@ -125,6 +125,25 @@ def test_compaction_manifest_conserves_postings(spark, sf_dir):
         assert r["max_doc"] < (r["segment"] + 1) * 200
 
 
+def test_overlay_search_serves_both_sides_and_excludes_tombstones(spark, sf_dir):
+    """The read path must serve base AND delta: the fixture's top-20
+    contains docs from the history segment and from the gate's
+    admitted batch, never a tombstoned doc — and never a redelivered
+    doc counted twice (a double-served doc would double its tf and
+    the DuckDB oracle equality would break; here we pin the
+    composition directly)."""
+    rows = REGISTRY["x_index_overlay_search"].fn(spark, sf_dir).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == 20 and len(set(ids)) == 20
+    assert any(i < 250 for i in ids), "base segment must be served"
+    assert any(i >= 250 for i in ids), "delta adds must be served"
+    assert not [i for i in ids if i < 250 and i % 25 == 3], (
+        "tombstoned docs must not be served"
+    )
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_all_tombstoned_segment_keeps_manifest_row(spark):
     """A merged segment whose docs are ALL tombstoned must keep its
     row — n_docs 0, zero survivors, NULL doc range — so the manifest

@@ -89,6 +89,11 @@ AUDIT = [
     # the postings shuffle plus the distinct-agg expand at segment
     # grain (tiny rows), never a corpus-wide extra pass
     "x_incremental_index", "x_index_compaction",
+    # and the read path: two term-pruned postings builds (base+delta),
+    # tombstone anti-join + df/dl/stats joins AQE-broadcast at this SF,
+    # global top-k as TakeOrderedAndProject — every exchange is
+    # query-term-bounded, none is corpus-wide
+    "x_index_overlay_search",
     # (x_dedup_report and x_tokenizer_fertility excluded with the other
     # iterative consumers: CC labels / BPE merge-loop lineage make the
     # one-shot exchange counts mis-state per-round work;
