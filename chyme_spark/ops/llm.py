@@ -2993,6 +2993,32 @@ _BM25_TERMS = ("table", "join", "filter")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
+# ONE copy of the pinned BM25 per-(doc, term) arithmetic, shared by
+# x_bm25_score / x_rrf_fusion / x_index_overlay_search on BOTH sides of
+# the oracle boundary (r15 review: three verbatim copies of a
+# DECIMAL(18,8)-pinned formula must change in lockstep or hash parity
+# breaks silently for the un-updated op). The SQL fragment assumes the
+# conventional CTE aliases tf/df/dl/stats; the Spark expression assumes
+# bound columns tf/df/dl/n/avgdl.
+_BM25_TERM_SCORE_SQL = (
+    f"CAST(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)"
+    f" * tf.tf * ({_BM25_K1} + 1)"
+    f" / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))"
+    f" AS DECIMAL(18,8))"
+)
+
+
+def _bm25_term_score() -> Column:
+    """Classic BM25 (Robertson/Spärck Jones) per-(doc, term)
+    contribution over bound columns ``tf``/``df``/``dl``/``n``/
+    ``avgdl``, DECIMAL(18,8)-pinned so a 1-3-term sum is exact and
+    order-insensitive across engines."""
+    return (
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * F.col("tf") * (_BM25_K1 + 1)
+        / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
+    ).cast("decimal(18,8)")
+
 
 @query(
     "x_bm25_score",
@@ -3013,10 +3039,7 @@ _BM25_B = 0.75
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     scored AS (
         SELECT tf.doc_id,
-               CAST(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
-                    * tf.tf * ({_BM25_K1} + 1)
-                    / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
-                    AS DECIMAL(18,8)) AS term_score
+               {_BM25_TERM_SCORE_SQL} AS term_score
         FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
     SELECT doc_id, CAST(ROUND(SUM(term_score), 4) AS DOUBLE) AS bm25
     FROM scored GROUP BY doc_id
@@ -3051,14 +3074,7 @@ def x_bm25_score(spark: SparkSession, sf: str) -> DataFrame:
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            (
-                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-                * F.col("tf") * (_BM25_K1 + 1)
-                / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
-            ).cast("decimal(18,8)").alias("term_score"),
-        )
+        .select("doc_id", _bm25_term_score().alias("term_score"))
     )
     return (
         scored.groupBy("doc_id")
@@ -4566,10 +4582,7 @@ def _index_merge_manifest(post: DataFrame) -> DataFrame:
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     scored AS (
         SELECT tf.doc_id,
-               CAST(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
-                    * tf.tf * ({_BM25_K1} + 1)
-                    / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
-                    AS DECIMAL(18,8)) AS term_score
+               {_BM25_TERM_SCORE_SQL} AS term_score
         FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
     SELECT doc_id, CAST(ROUND(SUM(term_score), 4) AS DOUBLE) AS bm25
     FROM scored GROUP BY doc_id
@@ -4617,14 +4630,7 @@ def x_index_overlay_search(spark: SparkSession, sf: str) -> DataFrame:
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            (
-                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-                * F.col("tf") * (_BM25_K1 + 1)
-                / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
-            ).cast("decimal(18,8)").alias("term_score"),
-        )
+        .select("doc_id", _bm25_term_score().alias("term_score"))
     )
     return (
         scored.groupBy("doc_id")
@@ -5726,10 +5732,7 @@ _RRF_TOPN = 50  # per-system candidate list length
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     joined AS (
         SELECT tf.doc_id,
-               CAST(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
-                    * tf.tf * ({_BM25_K1} + 1)
-                    / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
-                    AS DECIMAL(18,8)) AS sa_term,
+               {_BM25_TERM_SCORE_SQL} AS sa_term,
                CAST(CAST(tf.tf AS DOUBLE) / dl.dl * ln(CAST(stats.n AS DOUBLE) / df.df)
                     AS DECIMAL(18,8)) AS sb_term
         FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
@@ -5773,11 +5776,7 @@ def x_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    sa_term = (
-        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-        * F.col("tf") * (_BM25_K1 + 1)
-        / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
-    ).cast("decimal(18,8)")
+    sa_term = _bm25_term_score()
     sb_term = (
         F.col("tf").cast("double") / F.col("dl")
         * F.log(F.col("n").cast("double") / F.col("df"))

@@ -90,10 +90,14 @@ _FRONT_50 = [
     # x_stream_outer_join — r10, returns next round):
     "x_index_overlay_search",
     # changed with them (r15 post-bracket review): x_inverted_index now
-    # reads the shared _postings helper — same plan, hash-identical
-    # output, but the source hash flips, so the driver re-proves it
-    # (displacing x_stream_session_timeout — r10, returns next round):
-    "x_inverted_index",
+    # reads the shared _postings helper, and x_bm25_score /
+    # x_rrf_fusion the shared _bm25_term_score arithmetic (one copy of
+    # the DECIMAL(18,8)-pinned formula on both sides of the oracle
+    # boundary) — same plans, hash-identical output, but the source
+    # hashes flip, so the driver re-proves all three (displacing
+    # x_stream_session_timeout, x_linear_probe_fit, x_record_linkage —
+    # r10, return next round):
+    "x_inverted_index", "x_bm25_score", "x_rrf_fusion",
     # rows-only refresh (VERDICT r14 #2): the r8-stamped five — oldest
     # stamps in the ledger; code unchanged, so no sentinel —
     # hand-placed, displacing the five youngest backfill names
@@ -125,8 +129,7 @@ _FRONT_50 = [
     "d50_pipeline_flagship",
     "x_asof_join", "x_asof_join_tolerance", "x_auc_score",
     "x_bloom_prefilter_prod", "x_cohort_retention",
-    "x_eval_contamination", "x_grouping_sets", "x_linear_probe_fit",
-    "x_record_linkage",
+    "x_eval_contamination", "x_grouping_sets",
 ]
 
 _FRONT_50_R14 = [
