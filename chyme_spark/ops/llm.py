@@ -749,6 +749,62 @@ def _cell_quantizer(c_mat, np_: int, payload: bool = False):
     return quantize
 
 
+def _ensure_ann_ledger(spark: SparkSession, sf: str, k: int | None = None) -> str:
+    """Build (or reuse, session-cached per (sf, k)) the ingest gate's
+    IVF ledger — the "yesterday" side: a centroid codebook
+    ``centroids/ (cell, centroid)`` trained on the proportional history
+    half (vec_id < (max_id+1)//2), and the history vectors
+    hive-partitioned BY CELL under ``cells/`` — and return its
+    directory. Factored out of x_incremental_ann (r15) so the overlay
+    read path (x_ann_overlay_search) serves the SAME session geometry
+    the gate admits against, instead of a second drifting build.
+
+    Same session-cache discipline as every persisted-ledger fixture
+    (_cached_ledger_dir): content is deterministic per (sf, k) (KMeans
+    seed-pinned), the dir is reused across calls, and removal is
+    deferred to exit because consumers lazily READ it. ``k`` is in the
+    cache key — an explicit-k call must never reuse an adaptive-k
+    ledger. ``k=None`` applies the shared occupancy policy
+    (_adaptive_k over the history count; one bounded scalar action)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf, "embeddings")
+    # proportional split (bounded driver action: one scalar) — see
+    # x_incremental_ann's docstring for why the hist/batch boundary
+    # scales with the corpus instead of staying a fixed constant
+    split = (emb.agg(F.max("vec_id")).first()[0] + 1) // 2
+    hist = emb.select(
+        "vec_id", "embedding",
+        array_to_vector("embedding").alias("features"),
+        _norm(F.col("embedding")).alias("nrm"),
+    ).filter(F.col("vec_id") < split)
+    if k is None:
+        # adaptive cell count (bounded driver action: one scalar count
+        # over a column-pruned scan) — the clamp floor keeps the tiny
+        # fixtures at the measured k=16 geometry and the cap bounds
+        # codebook training. Policy shared with the compactor
+        # (_adaptive_k).
+        k = _adaptive_k(hist.count())
+    ledger_dir, fresh = _cached_ledger_dir(f"ann_k{k}", sf)
+    if fresh:
+        model = KMeans(k=k, seed=42, maxIter=10).fit(hist)
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "cell int, centroid array<double>",
+        )
+        centroids.write.mode("overwrite").parquet(f"{ledger_dir}/centroids")
+        (
+            model.transform(hist)
+            .select(F.col("prediction").alias("cell"), "vec_id", "embedding", "nrm")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{ledger_dir}/cells")
+        )
+        _mark_ledger_built(ledger_dir)
+    return ledger_dir
+
+
 @query(
     "x_incremental_ann",
     oracle=None,  # rows-only: the IVF cell geometry (MLlib KMeans,
@@ -807,26 +863,17 @@ def x_incremental_ann(
     fixture floor; nprobe is the recall-vs-scan-cost knob (k ~
     sqrt(corpus) sizing, same as x_ann_ivf_topk's docstring).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     emb = load_table(spark, sf, "embeddings")
     vecs = emb.select(
-        "vec_id", "embedding",
-        array_to_vector("embedding").alias("features"),
-        _norm(F.col("embedding")).alias("nrm"),
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
     # proportional split (bounded driver action: one scalar)
     split = (vecs.agg(F.max("vec_id")).first()[0] + 1) // 2
-    hist = vecs.filter(F.col("vec_id") < split)
     batch = vecs.filter(F.col("vec_id") >= split)
 
     # --- build + persist the IVF ledger (the "yesterday" side) --------
-    # same session-scoped cache as the MinHash gate: dir reused across
-    # calls, content deterministic per (sf, k) (KMeans seed-pinned),
-    # removal deferred to exit because the returned DataFrame lazily
-    # reads it. k is in the key: an explicit-k call must never reuse an
-    # adaptive-k ledger. A caller-provided ledger_dir (x_ivf_compaction's
+    # the build lives in _ensure_ann_ledger (shared with the overlay
+    # read path, r15). A caller-provided ledger_dir (x_ivf_compaction's
     # replay contract) skips the build entirely — the dir's codebook IS
     # the geometry, so k is read from it, never recomputed.
     if ledger_dir is not None and k is not None:
@@ -841,31 +888,8 @@ def x_incremental_ann(
             "IVF ledger (build one via x_incremental_ann's default "
             "path or x_ivf_compaction)",
         )
-    if ledger_dir is None:
-        if k is None:
-            # adaptive cell count (bounded driver action: one scalar
-            # count over a column-pruned scan) — see the docstring's
-            # occupancy argument; the clamp floor keeps the tiny
-            # fixtures at the measured k=16 geometry and the cap bounds
-            # codebook training. Policy shared with the compactor
-            # (_adaptive_k).
-            k = _adaptive_k(hist.count())
-        ledger_dir, fresh = _cached_ledger_dir(f"ann_k{k}", sf)
-        if fresh:
-            model = KMeans(k=k, seed=42, maxIter=10).fit(hist)
-            centroids = spark.createDataFrame(
-                [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-                "cell int, centroid array<double>",
-            )
-            centroids.write.mode("overwrite").parquet(f"{ledger_dir}/centroids")
-            (
-                model.transform(hist)
-                .select(F.col("prediction").alias("cell"), "vec_id", "embedding", "nrm")
-                .write.mode("overwrite")
-                .partitionBy("cell")
-                .parquet(f"{ledger_dir}/cells")
-            )
-            _mark_ledger_built(ledger_dir)
+    else:
+        ledger_dir = _ensure_ann_ledger(spark, sf, k)
     led_cent = spark.read.parquet(f"{ledger_dir}/centroids")
     led_cells = spark.read.parquet(f"{ledger_dir}/cells")
 
@@ -1182,6 +1206,180 @@ def x_ivf_compaction(spark: SparkSession, sf: str) -> DataFrame:
         .join(occ, "cell", "left")
         .fillna(0, ["n_vecs", "n_hist", "n_admitted"])
         .orderBy("cell")
+    )
+
+
+@query(
+    "x_ann_overlay_search",
+    # The READ path of the vector-store lifecycle (gate =
+    # x_incremental_ann, GC = x_ivf_compaction), the embedding sibling
+    # of x_index_overlay_search: serve cosine top-3 THROUGH the
+    # base+delta overlay — the IVF ledger's cell layout with a
+    # vec-grain tombstone ledger applied as an anti-join, plus the
+    # gate's ADMITTED batch as a flat buffer scanned exhaustively (the
+    # FAISS/Lucene delta model: new vectors are brute-forced until the
+    # compactor folds them into cells) — without re-quantizing and
+    # without waiting for compaction. Fixture conventions: queries =
+    # vec_id < 10 (d44's), history < 250 (the gate's proportional
+    # split at the driver SFs), tombstones vec_id % 7 == 3 (the
+    # retraction family's deterministic-takedown modulus), admission
+    # replayed at tau = 0.45 (x_embedding_neardup's threshold). The
+    # default serve is EXHAUSTIVE (nprobe=None probes every cell), so
+    # the oracle can pin overlay serving equal to exact top-k over the
+    # surviving corpus — the overlay PLUMBING (tombstone anti-join,
+    # delta union, admission replay) is what the hash checks; the
+    # finite-nprobe production path reuses the gate's probe machinery
+    # and is pinned by recall/pruning contracts in pytest.
+    oracle="""
+    WITH rej AS (
+        SELECT DISTINCT b.vec_id
+        FROM embeddings b JOIN embeddings a ON a.vec_id < b.vec_id
+        WHERE b.vec_id >= 250
+          AND list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              >= 0.45),
+    surv AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE (vec_id < 250 AND vec_id % 7 <> 3)
+           OR (vec_id >= 250 AND vec_id NOT IN (SELECT vec_id FROM rej))),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+        SELECT q.qid, s.vec_id,
+               list_sum(list_transform(list_zip(q.qe, s.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(s.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+        FROM q JOIN surv s ON s.vec_id <> q.qid)
+    SELECT qid, vec_id, CAST(ROUND(cosine, 4) AS DOUBLE) AS cosine
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY ROUND(cosine, 4) DESC, vec_id) <= 3
+    """,
+    doc="cosine top-3 served through the base+delta vector overlay (IVF cell ledger - vec tombstones + the gate's admitted flat buffer), pinned equal to exact top-k over the surviving corpus — vector search stays correct between compactions",
+)
+def x_ann_overlay_search(
+    spark: SparkSession, sf: str, nprobe: int | None = None,
+    topk: int = 3, tau: float = 0.45,
+) -> DataFrame:
+    """Why this op exists: the gate's O(cell-read) admissions and the
+    retraction family's O(1) vec-grain tombstones are only a win if
+    SEARCH can use them before the compactor runs. This is the vector
+    twin of x_index_overlay_search (the Lucene read model, as FAISS
+    deployments do it): the base is the IVF ledger's hive cell layout
+    read with the tombstone ledger applied as a vec-keyed anti-join;
+    the delta is the gate's admitted batch held in a FLAT buffer that
+    every query scans exhaustively (quantizing delta vectors into
+    cells is exactly the work compaction exists to batch up); the two
+    sides union into one scoring pass. Serving equals a from-scratch
+    rebuild of the surviving corpus — the oracle pins exactly that.
+
+    Default nprobe=None serves EXHAUSTIVELY (every cell probed), which
+    is what makes the driver fixture hash-checkable: at exhaustive
+    probing the gate's admission is the exact earlier-wins rule (the
+    recall suite's exhaustive == exact contract) and overlay top-k is
+    exact top-k, both SQL-expressible. Finite nprobe is the production
+    knob: queries quantize against the ledger codebook with the gate's
+    own _cell_quantizer gemm, and the probed-cell set (<= k ints) is
+    pushed as a LITERAL cell IN (...) onto the base read so the hive
+    layout prunes at plan time (PartitionFilters — the gate's 100 TB
+    story, pinned for this op by tests/test_round15_ann_overlay.py).
+    The flat
+    delta is scanned by every query in BOTH modes — that is the FAISS
+    trade: the buffer stays small because compaction folds it in.
+
+    100 TB shape: base candidates cost ~|queries| x nprobe x (cell
+    occupancy) with the adaptive-k bound; delta candidates cost
+    |queries| x |buffer| (bounded by compaction cadence, not corpus);
+    the tombstone anti-join is vec-keyed against a metadata-sized
+    takedown ledger (broadcast); top-k is a per-query window over a
+    query-bounded candidate set. Nothing touches unprobed history. In
+    production the admitted set is READ from the gate's disposition
+    output rather than recomputed — the in-line replay here is fixture
+    plumbing, same as every incremental op's history build."""
+    ledger_dir = _ensure_ann_ledger(spark, sf)
+    led_cells = spark.read.parquet(f"{ledger_dir}/cells")
+    emb = load_table(spark, sf, "embeddings")
+    vecs = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    split = (vecs.agg(F.max("vec_id")).first()[0] + 1) // 2
+
+    # vec-grain tombstone ledger over history — the retraction family's
+    # deterministic-takedown modulus, replayable by the oracle. The
+    # gate ran at ingest time, BEFORE these takedowns, so admission
+    # verdicts stand (a tombstoned history vector still rejected its
+    # batch duplicates); only SERVING drops the tombstoned vectors.
+    tombs = vecs.filter(
+        (F.col("vec_id") < split) & (F.col("vec_id") % 7 == _RETRACT_RESIDUE)
+    ).select("vec_id")
+
+    # the delta buffer: the gate's ADMITTED batch. Exhaustive probing
+    # (nprobe >= k after the clamp) makes the disposition exact, which
+    # the oracle's rej CTE replays as "any earlier vector at >= tau".
+    disp = x_incremental_ann(spark, sf, nprobe=1024, tau=tau)
+    admitted = disp.filter(F.col("kept")).select("vec_id")
+    delta = vecs.filter(F.col("vec_id") >= split).join(
+        F.broadcast(admitted), "vec_id", "left_semi"
+    )
+
+    q = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+
+    base = led_cells.select("vec_id", "embedding", "nrm").join(
+        F.broadcast(tombs), "vec_id", "left_anti"
+    )
+    if nprobe is None:
+        # exhaustive serve: every cell is a candidate source — the
+        # oracle-checkable mode, and the recall ceiling the finite
+        # path's contract measures against
+        cand = base.unionByName(delta).join(
+            F.broadcast(q), F.col("vec_id") != F.col("qid")
+        )
+    else:
+        import numpy as np
+
+        led_cent = spark.read.parquet(f"{ledger_dir}/centroids")
+        # codebook to the driver: bounded by the clamp (<= 1024 x dim)
+        cent_rows = led_cent.orderBy("cell").collect()
+        c_mat = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+        np_ = min(int(nprobe), len(c_mat))
+        # persist: feeds the probed-cell collect AND the per-query
+        # probe join (the gate's probe_cells precedent)
+        pc = (
+            q.select(F.col("qid").alias("vec_id"), F.col("qe").alias("embedding"))
+            .mapInPandas(_cell_quantizer(c_mat, np_), "vec_id long, cell int, pr int")
+            .persist()
+        )
+        # literal cell IN (...) pushed onto the hive layout so the scan
+        # prunes at plan time (bounded driver action: <= k ints)
+        probed = sorted(r.cell for r in pc.select("cell").distinct().collect())
+        probes = pc.select(F.col("vec_id").alias("qid"), "cell")
+        base_cand = (
+            led_cells.filter(F.col("cell").isin(probed))
+            .join(F.broadcast(tombs), "vec_id", "left_anti")
+            # per-query restriction: a base vector is a candidate for
+            # exactly the queries that probed its cell; a query's probe
+            # cells are distinct and a vector rests in ONE cell, so no
+            # (qid, vec_id) duplicates arise
+            .join(F.broadcast(probes), "cell")
+            .join(F.broadcast(q), "qid")
+            .select("vec_id", "embedding", "nrm", "qid", "qe", "qnrm")
+        )
+        delta_cand = delta.join(F.broadcast(q), F.lit(True)).select(
+            "vec_id", "embedding", "nrm", "qid", "qe", "qnrm"
+        )
+        cand = base_cand.unionByName(delta_cand).filter(
+            F.col("vec_id") != F.col("qid")
+        )
+    cos = _dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm"))
+    scored = cand.select("qid", "vec_id", F.round(cos, 4).cast("double").alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .drop("rn")
     )
 
 

@@ -89,6 +89,20 @@ _FRONT_50 = [
     # from-scratch reindex of the surviving corpus (displacing
     # x_stream_outer_join — r10, returns next round):
     "x_index_overlay_search",
+    # the vector twin of that read path (ANN lifecycle write -> GC ->
+    # serve): cosine top-3 through the IVF base + tombstones + the
+    # gate's admitted flat buffer, pinned equal to exact top-k over
+    # the surviving corpus (displacing x_grouping_sets — r10, returns
+    # next round):
+    "x_ann_overlay_search",
+    # changed with it: the gate's IVF ledger build is now the shared
+    # _ensure_ann_ledger (one session geometry for gate and overlay) —
+    # same plan, same ledger bytes, but x_incremental_ann's source
+    # hash flips, and x_ivf_compaction transitively runs the moved
+    # build so it is hand-sentineled per the shared-helper convention
+    # (displacing x_eval_contamination and x_cohort_retention — both
+    # r10, return next round):
+    "x_incremental_ann", "x_ivf_compaction",
     # changed with them (r15 post-bracket review): x_inverted_index now
     # reads the shared _postings helper, and x_bm25_score /
     # x_rrf_fusion the shared _bm25_term_score arithmetic (one copy of
@@ -128,8 +142,7 @@ _FRONT_50 = [
     "d42_exact_dedup", "d44_cosine_topk", "d45_token_counts",
     "d50_pipeline_flagship",
     "x_asof_join", "x_asof_join_tolerance", "x_auc_score",
-    "x_bloom_prefilter_prod", "x_cohort_retention",
-    "x_eval_contamination", "x_grouping_sets",
+    "x_bloom_prefilter_prod",
 ]
 
 _FRONT_50_R14 = [

@@ -79,6 +79,12 @@ EXPECTED = {
     # term-pruned postings builds + df/dl/stats + final doc agg), and
     # the 7 broadcasts are the tombstone/df/dl/stats small sides
     "x_index_overlay_search": (7, 7, 0, True),
+    # the vector twin serves through a per-query window top-k (row_number
+    # over qid — not a global limit, so no TakeOrdered): 1 qid window
+    # exchange + the in-line admission replay's gate shuffles (probe/
+    # resident cogroup by cell, disposition agg); the 6 broadcasts are
+    # the query set, tombstone/admitted small sides, and the gate's own
+    "x_ann_overlay_search": (5, 6, 0, False),
     # narrow explode + dim-table broadcast; exactly one shuffle (the
     # per-dimension min/max aggregate)
     "x_embedding_quantize": (1, 1, 0, False),

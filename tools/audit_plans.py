@@ -94,6 +94,12 @@ AUDIT = [
     # global top-k as TakeOrderedAndProject — every exchange is
     # query-term-bounded, none is corpus-wide
     "x_index_overlay_search",
+    # its vector twin: the serve side is broadcast-only (query set,
+    # tombstones, admitted semi-join) + ONE qid window exchange; the
+    # other exchanges are the in-line admission replay's gate cogroup
+    # (probe/resident by cell) and disposition agg, which a production
+    # deployment reads from the gate's output instead of recomputing
+    "x_ann_overlay_search",
     # (x_dedup_report and x_tokenizer_fertility excluded with the other
     # iterative consumers: CC labels / BPE merge-loop lineage make the
     # one-shot exchange counts mis-state per-round work;
