@@ -2956,21 +2956,35 @@ def x_winnowing_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_grams") >= 1)
     )
-    e = with_fps.select("doc_id", F.explode("fps").alias("fp"))
-    shared = (
-        e.groupBy("fp").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
-    )
+    # r15 (spark_optimization_guide §2.4 — remove shuffles/passes
+    # outright): the former shape consumed `with_fps` THREE times (the
+    # shared-fp aggregate, the probe side of its own left join, and a
+    # separate n_grams readback join), so the md5+window-min selection —
+    # the whole per-doc cost — ran 3x per query (plan: 4 parquet scans
+    # of documents, 3 with the winnow expression). Carrying n_grams
+    # through the explode (lossless: every surviving doc has >= 1 fp,
+    # since n_grams >= 1 forces a non-empty fps array) and computing
+    # each fingerprint's corpus count as a count-over-window BY fp
+    # instead of aggregate-then-self-join makes the selection run ONCE:
+    # scan -> winnow -> explode -> one fp exchange (window count) ->
+    # one doc_id exchange (per-doc agg) -> broadcast back to docs.
+    # At 100 TB the removed work is two full corpus tokenize+digest
+    # passes; the added work is the window's per-partition sort of the
+    # (already ~3x-sub-gram-sized) winnowed set, which rides the same
+    # exchange the removed aggregate paid anyway.
+    e = with_fps.select("doc_id", "n_grams", F.explode("fps").alias("fp"))
+    nd = F.count("*").over(Window.partitionBy("fp"))
     per = (
-        e.join(shared.select("fp").withColumn("is_shared", F.lit(1)), "fp", "left")
+        e.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
+            F.max("n_grams").alias("n_grams"),
             F.count("*").alias("n_fps"),
-            F.count("is_shared").alias("n_shared_fps"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_shared_fps"),
         )
     )
     return (
         docs.select("doc_id")
-        .join(with_fps.select("doc_id", "n_grams"), "doc_id", "left")
         .join(per, "doc_id", "left")
         .select(
             "doc_id",

@@ -18,6 +18,7 @@ reference's ShouldCreate stub, ref ``internal/tasker/service.go:68-83``).
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 import os
 import tempfile
@@ -276,19 +277,90 @@ def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
     return raw
 
 
-def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def _state_partitions(sf: str) -> int:
+    """Streaming state-partition count derived from INPUT SIZE, not a
+    constant (spark_optimization_guide §2: make partitioning
+    scale-adaptive rather than a constant tuned for either local mode
+    or the cluster).
+
+    A stateful streaming query spins up one state store per shuffle
+    partition per stateful operator per micro-batch; the r14 A/B pinned
+    that spin-up as the whole cost of the fixture-scale heavies
+    (x_stream_stream_join 10.6 s @32 partitions / 3.4 s @8 / 2.4 s @4 on
+    fresh checkpoints — identical emitted rows). A fixed 32 is the wrong
+    constant in BOTH regimes: at 2 MB of events it pays 32 store
+    spin-ups to shuffle a few thousand rows, and at 100 TB/day it would
+    cap state parallelism far below the cluster. Derive instead:
+    one state partition per 64 MiB of source bytes (well under the
+    guide's 100 MB-1 GB post-shuffle advisory, so per-store state stays
+    memory-light), floored at 4 (keeps the Python stateful per-key loops
+    parallel at fixture scale — the A/B's fastest measured point) and
+    capped at the session's shuffle parallelism (on a real cluster
+    SPARK_GRAFT_CPUS / conf carries 2-3x total executor cores, so a
+    100 TB stream saturates the cluster exactly as before).
+    ``SPARK_GRAFT_STREAM_PARTITIONS`` overrides for deployments that
+    size state stores explicitly. Results are partition-count-invariant
+    (keyed state, watermark eviction, and join semantics do not depend
+    on the shuffle layout); the oracles and the stream==batch pytest
+    contracts pin that.
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    from chyme_spark.session import default_parallelism
+
+    src = f"{sf}/events.parquet"
+    try:
+        if os.path.isdir(src):  # scaled/partitioned table: sum the parts
+            nbytes = sum(
+                e.stat().st_size for e in os.scandir(src) if e.is_file()
+            )
+        else:
+            nbytes = os.path.getsize(src)
+    except OSError:
+        return default_parallelism()
+    per_part = 64 << 20
+    return max(4, min(default_parallelism(), -(-nbytes // per_part)))
+
+
+@contextlib.contextmanager
+def _scaled_state_conf(spark: SparkSession, sf: str):
+    """Pin spark.sql.shuffle.partitions to the input-derived state
+    partition count for the duration of one streaming query (the count
+    is captured into the stream's state layout at planning time), then
+    restore the session value so batch queries keep the session-wide
+    parallelism."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(_state_partitions(sf)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str, sf: str | None = None) -> DataFrame:
     """Drain a bounded stream into a memory sink and return its contents."""
     name = f"chyme_stream_sink_{next(_mem_counter)}"
     ckpt = tempfile.mkdtemp(prefix="chyme_ckpt_")
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    ctx = (
+        _scaled_state_conf(stream_df.sparkSession, sf)
+        if sf is not None
+        else contextlib.nullcontext()
     )
-    q.awaitTermination()
+    with ctx:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
@@ -330,7 +402,7 @@ def d40_stream_watermark(spark: SparkSession, sf: str) -> DataFrame:
             "n_events",
         )
     )
-    return _run_to_memory(agg, "append")
+    return _run_to_memory(agg, "append", sf)
 
 
 @query(
@@ -358,7 +430,7 @@ def x_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
     # static side beyond that instead of OOMing a pinned build
     joined = ev.join(cust, ev.user_id == cust.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(F.count("*").alias("n_events"))
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(agg, "complete", sf)
 
 
 @query(
@@ -401,7 +473,7 @@ def x_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("v_ts"))
         & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
     ).select("view_id", "click_id", F.col("v_user").alias("user_id"))
-    return _run_to_memory(pairs, "append")
+    return _run_to_memory(pairs, "append", sf)
 
 
 @query(
@@ -449,7 +521,7 @@ def x_stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sink = _run_to_memory(out, "update")
+    sink = _run_to_memory(out, "update", sf)
     # keep the final state row per user (multiple micro-batches emit updates)
     from pyspark.sql.window import Window
 
@@ -482,7 +554,7 @@ def d41_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
-    sink = _run_to_memory(deduped, "append")
+    sink = _run_to_memory(deduped, "append", sf)
     return sink.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
 
@@ -595,7 +667,7 @@ def x_stream_session_timeout(spark: SparkSession, sf: str) -> DataFrame:
     )
     # stateStructType keeps total as LONG ten-thousandths (integer-cents
     # discipline): stream == batch d37 exactly, no float accumulation
-    sink = _run_to_memory(closed, "append")
+    sink = _run_to_memory(closed, "append", sf)
     return sink.select(
         "user_id",
         ts_str(F.timestamp_micros(F.col("start_us"))).alias("session_start"),
@@ -673,13 +745,17 @@ def x_stream_upsert(spark: SparkSession, sf: str) -> DataFrame:
         os.replace(stage, state_dir)
 
     ckpt = tempfile.mkdtemp(prefix="chyme_upsert_ckpt_")
-    q = (
-        ev.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the foreachBatch merge's keyed shuffle (and the state table's file
+    # count) follow the same input-derived partition count as the
+    # stateful ops — the merge result is key-deterministic either way
+    with _scaled_state_conf(spark, sf):
+        q = (
+            ev.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(state_dir)
         .select(
@@ -773,7 +849,7 @@ def x_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("v_user").alias("user_id"),
         F.col("click_id").isNotNull().alias("matched"),
     )
-    return _run_to_memory(pairs, "append")
+    return _run_to_memory(pairs, "append", sf)
 
 
 @query(
@@ -928,7 +1004,7 @@ def stateful_running_counts_tws(spark: SparkSession, sf: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        sink = _run_to_memory(out, "update")
+        sink = _run_to_memory(out, "update", sf)
     finally:
         if prev_provider is None:
             spark.conf.unset(provider_key)
@@ -1085,7 +1161,7 @@ def stream_tws_sessions(spark: SparkSession, sf: str) -> DataFrame:
             outputMode="Append",
             timeMode="EventTime",
         )
-        sink = _run_to_memory(closed, "append")
+        sink = _run_to_memory(closed, "append", sf)
     finally:
         if prev_provider is None:
             spark.conf.unset(provider_key)

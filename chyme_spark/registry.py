@@ -127,6 +127,27 @@ _FRONT_50 = [
     # x_time_weighted_avg — all r10, return next round):
     "x_cluster_label_update", "x_dedup_clusters",
     "x_dedup_report", "x_neardup_survivors",
+    # (b') changed in round 15 (OPTIMIZATION round): the streaming
+    # stateful family's fn sources changed when _run_to_memory gained
+    # the input-derived state-partition pin (spark_optimization_guide
+    # §2 — scale-adaptive partitioning; results are partition-count
+    # invariant and the oracles re-prove it). d40/d41 changed too but
+    # already sit in the backfill cohort below. Displaces the 8
+    # youngest backfill names (x_asof_join, x_asof_join_tolerance,
+    # x_auc_score, x_bloom_prefilter_prod, d42_exact_dedup,
+    # d44_cosine_topk, d45_token_counts, d50_pipeline_flagship — all
+    # unchanged and green; return next round):
+    "x_stream_outer_join", "x_stream_session_timeout",
+    "x_stream_stateful_counts", "x_stream_static_join",
+    "x_stream_stream_join", "x_stream_tws_counts",
+    "x_stream_tws_sessions", "x_stream_upsert",
+    # (b'') changed in round 15 (OPTIMIZATION round): the winnowing
+    # selection now runs ONCE (explode carries n_grams; shared-fp
+    # counts via count-over-window by fp instead of the
+    # aggregate-then-self-join — guide §2.4), hash-identical at
+    # sf0.001/sf0.01; displaces d27_string_fns (unchanged, r10,
+    # returns next round):
+    "x_winnowing_fingerprint",
     # (c) backfill oldest-stamp-first: the r9 tail (2 names), then the
     # head of the r10 cohort in next_window.py's mechanical order
     # (d12_star_join rides along — its r15 driver number feeds the
@@ -138,11 +159,7 @@ _FRONT_50 = [
     "d12_star_join", "d13_theta_join", "d14_hash_agg_q1",
     "d15_count_distinct", "d17_rollup", "d18_having",
     "d20_limit_topk", "d21_topk_per_group", "d24_running_sum",
-    "d27_string_fns", "d40_stream_watermark", "d41_stream_dedup",
-    "d42_exact_dedup", "d44_cosine_topk", "d45_token_counts",
-    "d50_pipeline_flagship",
-    "x_asof_join", "x_asof_join_tolerance", "x_auc_score",
-    "x_bloom_prefilter_prod",
+    "d40_stream_watermark", "d41_stream_dedup",
 ]
 
 _FRONT_50_R14 = [
