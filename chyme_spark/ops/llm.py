@@ -3178,13 +3178,23 @@ def x_duplicate_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
     still hash-matches)."""
     docs = load_table(spark, sf, "documents")
     grams = doc_ngrams(spark, sf, n=5).select("doc_id", F.xxhash64("g").alias("g"))
-    shared = grams.groupBy("g").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
+    # r15 (guide §2.4, the x_winnowing_fingerprint restructure): the
+    # former shared-gram aggregate fed a broadcast join back onto its
+    # own input, so the corpus tokenize+gram pass ran TWICE (the
+    # broadcast build recomputes the subtree — no exchange to reuse).
+    # Counting each gram's document frequency as count-over-window BY g
+    # evaluates the gram pass once; the per-doc rollup reads the same
+    # exploded table. The window's per-partition sort rides the one
+    # g-keyed exchange, which at 100 TB replaces BOTH the former
+    # distinct-gram exchange and the (then non-broadcastable)
+    # shared-gram join shuffle.
+    nd = F.count("*").over(Window.partitionBy("g"))
     per_doc = (
-        grams.join(shared.select("g").withColumn("is_shared", F.lit(1)), "g", "left")
+        grams.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
-            F.count("is_shared").alias("n_shared"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_shared"),
         )
     )
     return (

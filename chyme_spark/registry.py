@@ -148,6 +148,12 @@ _FRONT_50 = [
     # sf0.001/sf0.01; displaces d27_string_fns (unchanged, r10,
     # returns next round):
     "x_winnowing_fingerprint",
+    # (b''') changed in round 15 (OPTIMIZATION round): same §2.4
+    # restructure for the 5-gram contamination score (gram pass ran
+    # twice via the broadcast shared-gram join; now once via
+    # count-over-window by g), hash-identical at sf0.001/sf0.01;
+    # displaces d24_running_sum (unchanged, r10, returns next round):
+    "x_duplicate_ngram_fraction",
     # (c) backfill oldest-stamp-first: the r9 tail (2 names), then the
     # head of the r10 cohort in next_window.py's mechanical order
     # (d12_star_join rides along — its r15 driver number feeds the
@@ -158,7 +164,7 @@ _FRONT_50 = [
     "d09_left_outer_join", "d10_left_semi_join", "d11_left_anti_join",
     "d12_star_join", "d13_theta_join", "d14_hash_agg_q1",
     "d15_count_distinct", "d17_rollup", "d18_having",
-    "d20_limit_topk", "d21_topk_per_group", "d24_running_sum",
+    "d20_limit_topk", "d21_topk_per_group",
     "d40_stream_watermark", "d41_stream_dedup",
 ]
 

@@ -39,10 +39,11 @@ EXPECTED = {
     # qid exchange (partial agg first), broadcast eval suite, and NO
     # corpus-wide shuffle ever
     "x_eval_contamination": (1, 1, 0, False),
-    # r10: winnowing = narrow per-doc selection, then exactly
-    # dup_ngram's 2-shuffle index pattern (fp count + doc agg) with the
-    # small joins AQE-promoted to broadcast at this SF
-    "x_winnowing_fingerprint": (2, 3, 0, False),
+    # r15 (OPTIMIZATION round, guide §2.4): the shared-fp aggregate +
+    # self-join pair became count-over-window BY fp riding the same
+    # exchange — winnow selection now evaluates ONCE (2 scans, was 4);
+    # the one remaining broadcast is the bare doc_id spine left join
+    "x_winnowing_fingerprint": (2, 1, 0, False),
     "d14_hash_agg_q1": (1, 0, 0, False),
     "d20_limit_topk": (0, 0, 0, True),
     "d44_cosine_topk": (1, 1, 0, False),
@@ -51,7 +52,10 @@ EXPECTED = {
     "x_tpch_q15_top_supplier": (2, 2, 0, False),
     "x_tpch_q18_big_orders": (2, 1, 1, True),  # smj>=1 is the point
     "x_tpch_q21_waiting_supplier": (4, 4, 0, True),
-    "x_duplicate_ngram_fraction": (2, 2, 0, False),
+    # r15 (OPTIMIZATION round, guide §2.4): shared-gram broadcast join
+    # replaced by count-over-window BY g — the 5-gram pass evaluates
+    # once, and the only broadcast left is the doc_id spine left join
+    "x_duplicate_ngram_fraction": (2, 1, 0, False),
     # round-6: the chunker must stay a 0-exchange narrow map; the scrub
     # must stay 2 shuffles (seg-text min + doc_id rebuild) with the
     # un-hinted join AQE-promoted to broadcast at this SF
