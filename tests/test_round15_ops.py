@@ -204,3 +204,23 @@ def test_retract_matches_union_find(spark, edges):
         [int(t) for t in tomb],
     )
     assert got == expected
+
+
+def test_min_label_cc_returns_cached_frame_with_scratch_column(spark):
+    """r15 OPTIMIZATION-round contract: the convergence check reads the
+    SAME per-round materialization as the label update (the old_label
+    scratch column replaced a free-standing labels-join per round), and
+    the returned frame IS the cached final round — is_cached visible —
+    so callers that release the persist (_ensure_cluster_base) still
+    can. Labels must stay exact min-label CC across components."""
+    from chyme_spark.ops import llm
+
+    g = spark.createDataFrame(
+        [(5, 9), (9, 2), (7, 8)], "doc_a long, doc_b long"
+    )
+    lab = llm._min_label_cc(g)
+    assert set(lab.columns) == {"doc", "old_label", "label"}
+    assert lab.is_cached, "final round's persist must be visible to callers"
+    got = {(r["doc"], r["label"]) for r in lab.collect()}
+    assert got == {(5, 2), (9, 2), (2, 2), (7, 7), (8, 7)}
+    lab.unpersist()
