@@ -1841,7 +1841,12 @@ def x_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # r15 (OPTIMIZATION round, guide §2.4): deg is STATIC across the
+    # rank iterations but was re-aggregated from edges inside every
+    # round's contrib join — persist it once (per-node rows, the same
+    # bounded table the ranks vector is; at 100 TB recomputing a
+    # corpus-wide groupBy 4x is 3 wasted shuffles)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     n = nodes.count()  # bounded driver scalar: one long
     rinit = _PR_SCALE // n
     tele = (rinit * 15) // 100
@@ -1865,7 +1870,11 @@ def x_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         )
         if it % 2 == 1:
             ranks = ranks.localCheckpoint(eager=True)
+    # final ranks are checkpointed (4 iterations, even cadence), so the
+    # loop inputs can be released eagerly
     edges.unpersist()
+    deg.unpersist()
+    nodes.unpersist()
     return ranks.select(F.col("node").alias("nationkey"), F.col("pr").alias("rank_ppt"))
 
 
@@ -3706,38 +3715,60 @@ def x_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
     """The declarative-iteration surface: where x_pagerank and
     x_dedup_clusters UNROLL their iterations as DataFrame loops with
     localCheckpoint lineage cuts, this runs the engine's own recursive
-    CTE executor on the IDENTICAL SQL text the DuckDB oracle runs —
-    the strongest cross-engine form a recursive query can take.
+    CTE executor on the IDENTICAL recursion text the DuckDB oracle
+    runs — the strongest cross-engine form a recursive query can take.
 
-    100 TB shape: the edge CTE is the expensive part (two fact joins +
-    a 625-row-max aggregate — dimension joins broadcast, one orderkey
-    shuffle); the recursion then iterates over aggregate-sized frontier
-    tables only. The hop cap (r.hops < 3) is load-bearing: it bounds
-    UNION ALL path enumeration on a cyclic graph, the same discipline
-    as pagerank's fixed iteration count. Spark's recursion guard
-    (spark.sql.cteRecursionLevelLimit, default 100) never triggers at
-    depth 3."""
+    r15 (OPTIMIZATION round, guide §2.4/§1): the edge list is STAGED
+    once before the recursion. With edges inlined as a plain CTE item,
+    Spark 4.1's UnionLoop re-executes the whole edge pipeline (two
+    fact joins + the aggregate) inside EVERY expansion round — the
+    executed plan showed the lineitem/orders/customer/supplier joins
+    under the loop body, 39 jobs and 5.6 s/run at sf0.1 for a <=625-row
+    edge table rebuilt three times. An eager localCheckpoint of that
+    table (one job, aggregate-sized) hands the recursion an in-memory
+    leaf: 5.6 s -> 3.3 s median at sf0.1 (edge staging 1.4 s, loop
+    1.9 s — the residue is the UnionLoop executor's per-iteration
+    machinery over tiny frontiers, the declared surface's floor),
+    result hash-identical at sf0.001/sf0.01 (the oracle's
+    WITH RECURSIVE text is unchanged — only where the engine reads the
+    edge relation from moved). At 100 TB this staging IS the shape a
+    recursive query needs: the fact-join prologue must not re-run per
+    round.
+
+    100 TB shape: the edge build is the expensive part (two fact joins
+    + a 625-row-max aggregate — dimension joins broadcast, one orderkey
+    shuffle), paid once; the recursion then iterates over
+    aggregate-sized frontier tables only. The hop cap (r.hops < 3) is
+    load-bearing: it bounds UNION ALL path enumeration on a cyclic
+    graph, the same discipline as pagerank's fixed iteration count.
+    Spark's recursion guard (spark.sql.cteRecursionLevelLimit, default
+    100) never triggers at depth 3."""
     for t in ("lineitem", "orders", "customer", "supplier", "nation"):
         load_table(spark, sf, t).createOrReplaceTempView(f"__rc_{t}")
-    q = REGISTRY_SQL_RC
-    return spark.sql(q)
+    # localCheckpoint keeps until-dropped blocks only; aggregate-sized
+    # (<=625 rows — the 25x25 nation matrix bound)
+    edges = spark.sql(REGISTRY_SQL_RC_EDGES).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("__rc_edges")
+    return spark.sql(REGISTRY_SQL_RC)
 
+
+REGISTRY_SQL_RC_EDGES = """
+SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+FROM __rc_lineitem l
+JOIN __rc_orders o ON o.o_orderkey = l.l_orderkey
+JOIN __rc_customer c ON c.c_custkey = o.o_custkey
+JOIN __rc_supplier s ON s.s_suppkey = l.l_suppkey
+GROUP BY c.c_nationkey, s.s_nationkey
+HAVING count(*) >= 20
+"""
 
 REGISTRY_SQL_RC = """
-WITH RECURSIVE edges AS (
-    SELECT c.c_nationkey AS src, s.s_nationkey AS dst
-    FROM __rc_lineitem l
-    JOIN __rc_orders o ON o.o_orderkey = l.l_orderkey
-    JOIN __rc_customer c ON c.c_custkey = o.o_custkey
-    JOIN __rc_supplier s ON s.s_suppkey = l.l_suppkey
-    GROUP BY c.c_nationkey, s.s_nationkey
-    HAVING count(*) >= 20),
-reach AS (
+WITH RECURSIVE reach AS (
     SELECT n_nationkey AS start, n_nationkey AS node, 0 AS hops
     FROM __rc_nation
     UNION ALL
     SELECT r.start, e.dst AS node, r.hops + 1 AS hops
-    FROM reach r JOIN edges e ON e.src = r.node
+    FROM reach r JOIN __rc_edges e ON e.src = r.node
     WHERE r.hops < 3)
 SELECT CAST(start AS BIGINT) AS start_nation,
        CAST(node AS BIGINT) AS node,

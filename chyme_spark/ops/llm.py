@@ -3650,10 +3650,21 @@ def x_semdedup(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    vec = emb.select("vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+    # r15 (OPTIMIZATION round, guide §2.4): carry the float64 embedding
+    # THROUGH the KMeans transform instead of joining assignments back
+    # onto the embeddings table — transform only appends the prediction
+    # column, so the former emb-join-assigned paid a vec_id shuffle of
+    # both sides (per feats consumer) for rows transform already held.
+    # Same fit sample, same seed, same model -> identical clusters and
+    # survivors (collect-compared byte-equal at all three SFs); A/B at
+    # sf0.1: 3.87 s -> 3.17 s median (the residue is the KMeans fit).
+    vec = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
     fit_df = vec if n <= max_fit_rows else vec.sample(fraction=max_fit_rows / n, seed=42)
     model = KMeans(k=k, seed=42, maxIter=5).fit(fit_df)
-    assigned = model.transform(vec).select("vec_id", F.col("prediction").alias("cluster"))
     # float64 embeddings BEFORE the pair math: float32 products would
     # disagree at the tau boundary with the float64 cosine the contract
     # test (and every other cosine op via _dot/_norm) computes —
@@ -3663,10 +3674,10 @@ def x_semdedup(
     # arrays for every candidate pair — 2/3 of the pair math was
     # redundant). float64 stays intact, so the tau boundary is
     # unchanged and the output is identical.
-    feats = emb.join(assigned, "vec_id").select(
+    feats = model.transform(vec).select(
         "vec_id",
-        "cluster",
-        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.col("prediction").alias("cluster"),
+        "embedding",
     ).withColumn("nrm", _norm(F.col("embedding")))
     a = feats.alias("a")
     b = feats.alias("b")
