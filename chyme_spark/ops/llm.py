@@ -3732,13 +3732,13 @@ def x_segment_dedup_scrub(spark: SparkSession, sf: str) -> DataFrame:
     occurrence (min doc_id, then min segment index) so both engines pick
     the same survivor.
 
-    Scale shape (100 TB): two shuffles total — one on the segment text to
-    find each segment's global first occurrence (map-side partial min),
-    one on doc_id to reassemble. The join back is un-hinted on the same
-    key: AQE promotes it to broadcast at small SF (audited plan: bcast=1)
-    and keeps it a co-partitioned shuffle join at corpus scale where the
-    firsts table is fact-sized. No window over the whole corpus, no
-    collect. At production scale the join key becomes
+    Scale shape (100 TB): two shuffles total — one on the segment text
+    whose window computes each segment's global first occurrence in
+    place (r15: formerly a groupBy + join-back whose broadcast build
+    re-ran the segment explode), one on doc_id to reassemble. The
+    window partitions by seg_text — each partition is one duplicate
+    group, bounded by a segment's repetition count, never corpus-sized.
+    No collect. At production scale the window key becomes
     xxhash64(seg_text) (8-byte shuffle rows instead of ~50-byte strings;
     the repo's x_duplicate_ngram_fraction measured -24% from the same
     swap) — kept as full text here so the oracle equality is exact rather
@@ -3780,8 +3780,17 @@ def segment_scrub(docs: DataFrame, seg_words: int = 8) -> DataFrame:
     # the survivor beyond it (round-6 review finding) — struct
     # comparison has no such bound on either engine
     key = F.struct("doc_id", "seg")
-    firsts = segs.groupBy("seg_text").agg(F.min(key).alias("first_rc"))
-    joined = segs.join(firsts, "seg_text")
+    # r15 (guide §2.4): the former groupBy(seg_text) + join-back shape
+    # evaluated the corpus segment explode TWICE — the firsts table's
+    # broadcast build recomputes its subtree from the scan. min-struct
+    # over a seg_text-partitioned window runs the explode ONCE; its
+    # per-partition sort rides the same seg_text exchange the removed
+    # aggregate paid, and every row still flows to the doc_id rollup
+    # (no selective pre-shuffle filter here, so the x_dup_span_scrub
+    # counter-case does not apply). Identical survivor per segment.
+    joined = segs.withColumn(
+        "first_rc", F.min(key).over(Window.partitionBy("seg_text"))
+    )
     kept = (key == F.col("first_rc")).cast("int")
     return (
         joined.groupBy("doc_id")
@@ -3902,14 +3911,13 @@ def x_lm_surprisal_score(spark: SparkSession, sf: str) -> DataFrame:
     with the LM trained on the corpus being scored — one extra pass, no
     external model artifact.
 
-    Scale shape (100 TB): bigram fan-out is a narrow map; then exactly
-    two shuffles — one groupBy(bigram) for counts (map-side partial),
-    one groupBy(doc_id) for the score — plus a 1-row total broadcast.
-    The count join back is un-hinted: AQE broadcasts the bigram table at
-    small SF and keeps the co-partitioned shuffle join at corpus scale.
-    Quantizing surprisal to whole bits is what buys exactness; the
-    un-quantized double-log variant is the same plan with F.log2 and a
-    rows-only check.
+    Scale shape (100 TB): ONE bigram fan-out (narrow map), then exactly
+    two shuffles — the b-keyed exchange whose window computes each
+    bigram's corpus frequency in place, and the groupBy(doc_id) for the
+    score — plus a 1-row total broadcast whose branch never explodes
+    (T comes from per-doc word counts). Quantizing surprisal to whole
+    bits is what buys exactness; the un-quantized double-log variant is
+    the same plan with F.log2 and a rows-only check.
     """
     docs = load_table(spark, sf, "documents")
     # materialize the split ONCE: referencing F.split(...) inside the
@@ -3932,11 +3940,24 @@ def x_lm_surprisal_score(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("b"),
     )
-    cnt = bg.groupBy("b").agg(F.count("*").alias("c"))
-    tot = bg.agg(F.count("*").alias("T"))
+    # r15 (guide §2.4, the x_duplicate_ngram_fraction restructure): the
+    # former count-then-join-back shape evaluated the corpus bigram
+    # explode THREE times — the count aggregate's broadcast build, the
+    # global-total branch, and the join probe each recomputed it from
+    # the scan. Per-bigram frequency as count-over-window BY b runs the
+    # explode ONCE (the window's sort rides the b-keyed exchange that
+    # the former aggregate paid anyway), and the global total T — a
+    # pure function of per-doc word counts — is computed from the split
+    # WITHOUT the explode (size(ws) - 1 per doc, map-side partial sum),
+    # so the light branch never fans out. Same T, same c per row, same
+    # integer-bits arithmetic: hash-identical on the DuckDB oracle.
+    c = F.count("*").over(Window.partitionBy("b"))
+    tot = docs.agg(
+        F.sum(F.when(n >= 2, n - 1).otherwise(0)).cast("long").alias("T")
+    )
     bits = F.length(F.bin(F.expr("T div c"))) - 1
     return (
-        bg.join(cnt, "b")
+        bg.withColumn("c", c)
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -4149,12 +4170,12 @@ def x_boilerplate_scrub(spark: SparkSession, sf: str) -> DataFrame:
     documents to be template text?" (keep none). Production corpus prep
     runs BOTH — dedup against copies, this against templates.
 
-    100 TB shape: identical to the scrub — one shuffle on seg_text for
-    the document-frequency table (count-distinct with map-side partial
-    aggregation) and one on doc_id to reassemble; the df table joins
-    back un-hinted so AQE picks broadcast vs co-partitioned by size. At
-    production scale the seg_text join key becomes xxhash64 (same note
-    as the scrub)."""
+    100 TB shape: identical to the scrub — one shuffle on seg_text
+    whose window computes each segment's document frequency in place
+    (r15: formerly a countDistinct aggregate joined back, whose
+    broadcast build re-ran the segment explode) and one on doc_id to
+    reassemble. At production scale the seg_text window key becomes
+    xxhash64 (same note as the scrub)."""
     return boilerplate_scrub(load_table(spark, sf, "documents"))
 
 
@@ -4165,10 +4186,18 @@ def boilerplate_scrub(
     factored out (like segment_scrub) so property tests can drive it
     with adversarial synthetic corpora."""
     segs = doc_segments(docs, seg_words)
-    dfreq = segs.groupBy("seg_text").agg(
-        F.countDistinct("doc_id").alias("df")
+    # r15 (guide §2.4, the segment_scrub restructure): the former
+    # countDistinct aggregate fed a join back onto its own input, so
+    # the corpus segment explode ran twice (broadcast build recomputes
+    # its subtree). size(collect_set(doc_id)) over a seg_text window is
+    # the same document frequency computed in place on ONE explode —
+    # the unbounded frame evaluates the set once per partition, and a
+    # partition is one segment's occurrence list (bounded by template
+    # spread, never corpus-sized). Every row still flows to the doc_id
+    # rollup, so no selective pre-shuffle filter is lost.
+    joined = segs.withColumn(
+        "df", F.size(F.collect_set("doc_id").over(Window.partitionBy("seg_text")))
     )
-    joined = segs.join(dfreq, "seg_text")
     keep = (F.col("df") < min_df).cast("int")
     return joined.groupBy("doc_id").agg(
         F.coalesce(
@@ -5740,9 +5769,10 @@ def x_dedup_report(spark: SparkSession, sf: str) -> DataFrame:
 def x_corpus_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """100 TB plan: ONE token pass computes every per-row signal
     (narrow array algebra, no UDF), and the only shuffle is the
-    duplicate grouping — md5(text) content keys with a min(doc_id)
-    aggregate joined back on the hash (two fact exchanges on an 8-byte
-    key; AQE broadcasts the survivor table at small SF). Precedence
+    duplicate grouping — min(doc_id) over a window keyed on the
+    md5(text) content hash, computed in place on the signal pass (r15:
+    formerly an aggregate joined back on the hash, whose broadcast
+    build re-scanned the corpus for a second digest pass). Precedence
     order mirrors cost order: dedup kills the most bytes first, the
     rule gate is free, language-ID is free — exactly the CCNet-style
     staging where expensive model scoring (x_lm_surprisal_score)
@@ -5771,7 +5801,6 @@ def x_corpus_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         marker(("el", "la", "los", "que")).alias("s_es"),
         marker(("le", "et", "les", "des")).alias("s_fr"),
     )
-    keeper = s.groupBy("h").agg(F.min("doc_id").alias("keeper"))
     mean_len = F.col("n_tok_chars") * 1.0 / F.col("n_words")
     gopher_keep = (
         F.col("n_words").between(20, 100000)
@@ -5792,7 +5821,15 @@ def x_corpus_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .when(F.col("s_es") >= F.col("s_fr"), "es")
         .otherwise("fr")
     )
-    scored = s.join(keeper, "h").select(
+    # r15 (guide §2.4): the survivor table was a groupBy(h) + join-back;
+    # its broadcast build re-scanned documents and recomputed md5 for
+    # every row (column pruning spares the token algebra, not the
+    # digest). min(doc_id) over an h-partitioned window computes the
+    # keeper in place on the one signal pass — each partition is one
+    # exact-dup cluster, bounded by copy count, never corpus-sized.
+    scored = s.withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("h"))
+    ).select(
         "doc_id",
         "n_words",
         predicted.alias("predicted_lang"),

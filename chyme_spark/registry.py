@@ -154,6 +154,30 @@ _FRONT_50 = [
     # count-over-window by g), hash-identical at sf0.001/sf0.01;
     # displaces d24_running_sum (unchanged, r10, returns next round):
     "x_duplicate_ngram_fraction",
+    # (b'''') changed in round 15 (OPTIMIZATION round): the same §2.4
+    # single-pass restructure applied to the rest of the
+    # aggregate-then-join-back family — bigram surprisal counts via
+    # count-over-window by b (+ an explode-free total branch), the two
+    # segment scrubs via min-struct / collect_set-size over seg_text
+    # windows, and the flagship's exact-dup keeper via min-over-window
+    # by content hash. All hash-identical at sf0.001/sf0.01; displace
+    # the 4 youngest unchanged backfill names (d17_rollup, d18_having,
+    # d20_limit_topk, d21_topk_per_group — all r10, return next round):
+    "x_lm_surprisal_score", "x_segment_dedup_scrub",
+    "x_boilerplate_scrub", "x_corpus_filter_pipeline",
+    # (b''''') changed in round 15 (OPTIMIZATION round) by the
+    # interrupted session's last two commits, rotated in here when the
+    # window guard flagged them at round resume (the mid-build red this
+    # round inherited): the one-pass cross-source leakage restructure,
+    # the CC-loop job-count cut (x_semdedup rode the same commit —
+    # assignment join dropped), the staged recursive-CTE edge table,
+    # and pagerank's persisted out-degree table. All hash-green at
+    # sf0.001/sf0.01 (x_semdedup rows-only, collect-compared at three
+    # SFs); displace the 4 youngest unchanged backfill names
+    # (d11_left_anti_join, d13_theta_join, d14_hash_agg_q1,
+    # d15_count_distinct — all r10, return next round):
+    "x_cross_source_leakage", "x_pagerank",
+    "x_recursive_cte", "x_semdedup",
     # (c) backfill oldest-stamp-first: the r9 tail (2 names), then the
     # head of the r10 cohort in next_window.py's mechanical order
     # (d12_star_join rides along — its r15 driver number feeds the
@@ -161,10 +185,8 @@ _FRONT_50 = [
     "x_text_normalize", "x_transpose_stats",
     "d03_filter", "d04_regex_ext_filter", "d05_distinct",
     "d06_keyed_dedup", "d07_inner_join", "d08_broadcast_join",
-    "d09_left_outer_join", "d10_left_semi_join", "d11_left_anti_join",
-    "d12_star_join", "d13_theta_join", "d14_hash_agg_q1",
-    "d15_count_distinct", "d17_rollup", "d18_having",
-    "d20_limit_topk", "d21_topk_per_group",
+    "d09_left_outer_join", "d10_left_semi_join",
+    "d12_star_join",
     "d40_stream_watermark", "d41_stream_dedup",
 ]
 

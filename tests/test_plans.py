@@ -57,15 +57,20 @@ EXPECTED = {
     # once, and the only broadcast left is the doc_id spine left join
     "x_duplicate_ngram_fraction": (2, 1, 0, False),
     # round-6: the chunker must stay a 0-exchange narrow map; the scrub
-    # must stay 2 shuffles (seg-text min + doc_id rebuild) with the
-    # un-hinted join AQE-promoted to broadcast at this SF
-    "x_segment_dedup_scrub": (2, 1, 0, False),
+    # must stay 2 shuffles (seg-text + doc_id rebuild). r15 (guide
+    # §2.4): the firsts aggregate + join-back became min-struct over a
+    # seg_text window riding the same exchange — the segment explode
+    # evaluates ONCE (1 scan, was 2) and the broadcast join is gone
+    "x_segment_dedup_scrub": (2, 0, 0, False),
     "x_mixture_temperature": (2, 1, 0, False),
     "x_doc_chunk_windows": (0, 0, 0, False),
     "x_zorder_layout": (1, 0, 0, False),
-    # 3 exchanges = bigram-count groupBy + doc_id groupBy + the 1-row
-    # total's partial agg; 2 broadcasts = AQE-promoted count join + tot
-    "x_lm_surprisal_score": (3, 2, 0, False),
+    # r15 (guide §2.4): bigram counts via count-over-window BY b — the
+    # corpus bigram explode evaluates ONCE (1 explode, was 3; 2 scans,
+    # was 3). 3 exchanges = b window + doc_id groupBy + the 1-row
+    # total's partial agg (whose branch is now explode-free); the one
+    # broadcast left is the 1-row total crossJoin
+    "x_lm_surprisal_score": (3, 1, 0, False),
     # 2 corpus-side lang shuffles + tiny scalar aggs; 4 broadcasts are
     # the rate-table dim join plus the 1-row total/max scalars
     "x_mixture_resample": (6, 4, 0, False),
@@ -110,9 +115,11 @@ EXPECTED = {
     # 1-row sparsifier aggregate's final merge — partial-combine then
     # one row, the recommended global-scalar shape, not a window)
     "x_triangle_count": (4, 6, 0, False),
-    # boilerplate: seg_text df-count shuffle + doc_id rebuild shuffle
-    # + count-distinct expand; df table joins back un-hinted (AQE)
-    "x_boilerplate_scrub": (3, 1, 0, False),
+    # boilerplate: seg_text shuffle + doc_id rebuild shuffle. r15
+    # (guide §2.4): document frequency via collect_set-size over the
+    # seg_text window — the countDistinct expand exchange and the
+    # join-back broadcast are gone; the segment explode evaluates ONCE
+    "x_boilerplate_scrub": (2, 0, 0, False),
     # cms: token-count shuffle + (d,b) cell shuffle + probe top-k
     # (TakeOrdered) + broadcast probe join
     "x_countmin_sketch": (3, 1, 0, True),
@@ -262,10 +269,11 @@ EXPECTED = {
     # AQE-broadcast at this SF (shuffle at corpus scale, un-hinted);
     # NO SinglePartition anywhere
     "x_image_phash_neardup": (4, 4, 0, False),
-    # filter pipeline flagship: ONE content-hash dedup shuffle + the
-    # survivor join (AQE-broadcast here, shuffle at scale) + output
-    # sort; every quality/lang signal is narrow array algebra
-    "x_corpus_filter_pipeline": (2, 1, 0, False),
+    # filter pipeline flagship: ONE content-hash dedup shuffle (r15:
+    # min-over-window keeper, no join-back — the second scan's digest
+    # pass is gone) + output sort; every quality/lang signal is narrow
+    # array algebra on the single pass
+    "x_corpus_filter_pipeline": (2, 0, 0, False),
     # dataset card: md5-window dup flag shuffle + the rollup
     # grouping-sets agg + |langs|+1-row output sort
     "x_dataset_card": (3, 0, 0, False),
