@@ -5959,7 +5959,8 @@ def x_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """100 TB plan: the surprisal score costs its two corpus shuffles
-    (bigram counts + doc rollup, see x_lm_surprisal_score); the tercile
+    (the b-keyed window + doc rollup, see x_lm_surprisal_score — one
+    bigram explode since r15, was three); the tercile
     is then one lang-keyed window over the per-doc score table — a
     KEYED partition (|langs| tasks over doc-count rows), never a
     global window; the surprisal mean is integer 1e4-scaled floor
@@ -5981,11 +5982,17 @@ def x_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("b"),
     )
-    cnt = bg.groupBy("b").agg(F.count("*").alias("c"))
-    tot = bg.agg(F.count("*").alias("T"))
+    # r15 (guide §2.4, same restructure as x_lm_surprisal_score): the
+    # count-then-join-back shape ran the bigram explode three times;
+    # count-over-window BY b runs it once, and the total T comes from
+    # per-doc word counts without the explode. Hash-identical.
+    c = F.count("*").over(Window.partitionBy("b"))
+    tot = docs.agg(
+        F.sum(F.when(n >= 2, n - 1).otherwise(0)).cast("long").alias("T")
+    )
     bits = F.length(F.bin(F.expr("T div c"))) - 1
     score = (
-        bg.join(cnt, "b")
+        bg.withColumn("c", c)
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -6466,18 +6473,24 @@ def x_dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
     doc="corpus novelty curve: per doc_id-decile share of 3-grams first seen there (integer ppm) — the marginal-information audit for crawl sizing",
 )
 def x_ngram_novelty_curve(spark: SparkSession, sf: str) -> DataFrame:
-    """100 TB shape: one gram shuffle builds first-occurrence owners
-    (min doc_id per gram — map-side combined), a second joins them back
-    to per-doc gram counts; the decile rollup is 10 rows. 'First seen'
+    """100 TB shape: one gram shuffle whose window computes each
+    gram's first-occurrence owner in place (r15: formerly an aggregate
+    joined back, re-running the gram explode), then the per-doc
+    rollup; the decile rollup is 10 rows. 'First seen'
     is defined by the stable doc_id order, so the curve is deterministic
     and incremental refreshes (new docs get higher ids) only APPEND
     deciles — no historical bucket ever changes."""
     ng = doc_ngrams(spark, sf)  # distinct (doc_id, g), 3-grams
     docs = load_table(spark, sf, "documents")
     mx = docs.agg((F.max("doc_id") + 1).alias("m"))
-    firsts = ng.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    # r15 (guide §2.4): the first-occurrence table was an aggregate
+    # joined back onto its own input — the gram explode ran twice (the
+    # broadcast build recomputes its subtree). min(doc_id) over a
+    # g-keyed window computes the owner in place on ONE gram pass,
+    # riding the same exchange the aggregate paid; every row still
+    # flows to the per-doc rollup. Hash-identical.
     per_doc = (
-        ng.join(firsts, "g")
+        ng.withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("g")))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

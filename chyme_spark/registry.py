@@ -178,6 +178,14 @@ _FRONT_50 = [
     # d15_count_distinct — all r10, return next round):
     "x_cross_source_leakage", "x_pagerank",
     "x_recursive_cte", "x_semdedup",
+    # (b'''''') changed in round 15 (OPTIMIZATION round), second sweep
+    # of the same §2.4 family: ccnet's embedded surprisal score (the
+    # same three-explode shape x_lm_surprisal_score carried) and the
+    # novelty curve's first-occurrence join-back. Hash-green at
+    # sf0.001/sf0.01; displace the 2 youngest unchanged backfill names
+    # (d09_left_outer_join, d10_left_semi_join — r10, return next
+    # round):
+    "x_ccnet_buckets", "x_ngram_novelty_curve",
     # (c) backfill oldest-stamp-first: the r9 tail (2 names), then the
     # head of the r10 cohort in next_window.py's mechanical order
     # (d12_star_join rides along — its r15 driver number feeds the
@@ -185,7 +193,6 @@ _FRONT_50 = [
     "x_text_normalize", "x_transpose_stats",
     "d03_filter", "d04_regex_ext_filter", "d05_distinct",
     "d06_keyed_dedup", "d07_inner_join", "d08_broadcast_join",
-    "d09_left_outer_join", "d10_left_semi_join",
     "d12_star_join",
     "d40_stream_watermark", "d41_stream_dedup",
 ]

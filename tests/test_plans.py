@@ -277,11 +277,13 @@ EXPECTED = {
     # dataset card: md5-window dup flag shuffle + the rollup
     # grouping-sets agg + |langs|+1-row output sort
     "x_dataset_card": (3, 0, 0, False),
-    # ccnet buckets: the surprisal pair of corpus shuffles + the
-    # lang-keyed tercile window + output sort; its SinglePartition is
-    # the 1-row bigram-total partial->merge->broadcast (the accepted
-    # global-scalar shape, identical to x_lm_surprisal_score's)
-    "x_ccnet_buckets": (5, 3, 0, False),
+    # ccnet buckets: the surprisal pair of corpus shuffles (r15: bigram
+    # frequency via count-over-window BY b — one explode, was three;
+    # the broadcast count join is gone) + the lang-keyed tercile window
+    # + output sort; its SinglePartition is the 1-row bigram-total
+    # partial->merge->broadcast (the accepted global-scalar shape,
+    # identical to x_lm_surprisal_score's, now explode-free)
+    "x_ccnet_buckets": (5, 2, 0, False),
     # round-9: the four SQL surfaces (r8 VERDICT #6). All must keep the
     # literal-equivalent shape — agg shuffle + output range sort, no
     # joins: parameter binding, the SET VAR literal, the inlined SQL
