@@ -2116,10 +2116,12 @@ def x_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
             F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
         )
     )
-    corners = (
-        tri.select(F.col("x").alias("node"))
-        .unionByName(tri.select(F.col("y").alias("node")))
-        .unionByName(tri.select(F.col("z").alias("node")))
+    # r15 (guide §2.4): the former three-branch union re-executed the
+    # wedge joins — the op's only super-linear term — once per corner
+    # column. One explode credits all three corners in a single
+    # evaluation of tri; same multiset of (node) rows, hash-identical.
+    corners = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("node")
     )
     return corners.groupBy(F.col("node").alias("nationkey")).agg(
         F.count("*").cast("long").alias("n_triangles")

@@ -186,13 +186,20 @@ _FRONT_50 = [
     # (d09_left_outer_join, d10_left_semi_join — r10, return next
     # round):
     "x_ccnet_buckets", "x_ngram_novelty_curve",
+    # (b''''''') changed in round 15 (OPTIMIZATION round): the corners
+    # union re-ran the wedge joins (the op's super-linear term) once
+    # per corner column — now one explode over a single tri evaluation.
+    # Hash-green at sf0.001/sf0.01, 3.7x at sf0.1; displaces
+    # d08_broadcast_join (unchanged r10 green, plan-pinned by
+    # test_plans regardless, returns next round):
+    "x_triangle_count",
     # (c) backfill oldest-stamp-first: the r9 tail (2 names), then the
     # head of the r10 cohort in next_window.py's mechanical order
     # (d12_star_join rides along — its r15 driver number feeds the
     # VERDICT r14 "what's wrong #3" adjudication):
     "x_text_normalize", "x_transpose_stats",
     "d03_filter", "d04_regex_ext_filter", "d05_distinct",
-    "d06_keyed_dedup", "d07_inner_join", "d08_broadcast_join",
+    "d06_keyed_dedup", "d07_inner_join",
     "d12_star_join",
     "d40_stream_watermark", "d41_stream_dedup",
 ]
