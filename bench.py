@@ -235,6 +235,17 @@ SF2_SKEW = [
     "x_ppjoin_setsim",
 ]
 
+# Core-scaling pair membership (VERDICT r15 #2): the five heaviest
+# SF1_HEAVY members by BENCH_r15 steady medians, re-run at sf1 on a
+# quarter-core session so the low/high ratio measures parallelism on
+# multi-second queries instead of fixed overhead. Module-scope so
+# tests can guard every member is registered AND in SF1_HEAVY (the
+# high-core denominator comes from the sf1 probe block).
+CORE_SCALE = [
+    "d06_keyed_dedup", "d12_star_join", "x_duplicate_ngram_fraction",
+    "x_dup_span_scrub", "x_segment_dedup_scrub",
+]
+
 # Bench-battery rotation (VERDICT r8 #5): ~10 slots per round through
 # the never/stalest-benched registry members. MUST match the current
 # round's entry in tools/bench_ledger.json (tests/test_bench_battery.py
@@ -525,6 +536,66 @@ def main() -> None:
             sf1_block = {"error": f"{type(e).__name__}: {e}"}
             revive_if_dead()
 
+    # --- core-scaling pair at sf1 (VERDICT r15 #2) ----------------------
+    # The driver's own 8-core re-run at sf0.1 cannot distinguish serial
+    # from parallel: every headline query is 0.1-2 s there, where per-job
+    # fixed overhead dominates and ratios sit at ~1 regardless
+    # (PERF_r15 "suspect_cpus_ignored"). Re-run the five heaviest
+    # SF1_HEAVY members at sf1 (10x data, multi-second queries) on a
+    # quarter-core session and record low/high ratios: a genuinely
+    # parallel op should show a ratio well above 1 once the work
+    # dwarfs fixed overhead. Disable: SPARK_GRAFT_CORE_PROBE=0.
+    core_block = None
+    main_master = spark.sparkContext.master
+    main_shuffle_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (
+        os.environ.get("SPARK_GRAFT_CORE_PROBE", "1") != "0"
+        and sf1_block is not None
+        and "queries_median" in sf1_block
+    ):
+        try:
+            high = spark.sparkContext.defaultParallelism
+            low = max(2, high // 4)
+            spark.stop()
+            spark = get_spark(
+                "chyme_bench_lowcore",
+                master=f"local[{low}]",
+                extra_conf={"spark.sql.shuffle.partitions": str(low)},
+            )
+            low_med, low_errors = probe_block(
+                [n for n in CORE_SCALE if n in registry],
+                sf1_block["dir"],
+                n_passes=2,
+            )
+            high_med = sf1_block["queries_median"]
+            core_block = {
+                "dir": sf1_block["dir"],
+                "cpus_high": high,
+                "cpus_low": low,
+                "queries_median_low": low_med,
+                "queries_median_high": {
+                    n: high_med.get(n) for n in low_med
+                },
+                # >1 = the op ran faster with more cores; ~1 = fixed
+                # overhead still dominates even at sf1
+                "speedup_high_over_low": {
+                    n: round(v / high_med[n], 2)
+                    for n, v in low_med.items()
+                    if high_med.get(n)
+                },
+            }
+            if low_errors:
+                core_block["errors"] = low_errors
+        except Exception as e:  # noqa: BLE001 — probe must never sink the bench
+            core_block = {"error": f"{type(e).__name__}: {e}"}
+        finally:
+            # restore the contract session for the sf2 probe + calibration
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001
+                pass
+            spark = get_spark("chyme_bench")
+
     # --- 20x skew probe (VERDICT r7 #7) --------------------------------
     # The candidate-generation ops whose cost is most sensitive to
     # key-frequency skew (LSH bucket sizes, hot-gram postings) get a
@@ -610,12 +681,19 @@ def main() -> None:
         "queries_median_calibrated": calibrated,
         "steady_total_calibrated": round(sum(calibrated.values()), 2),
     }
+    # scaling-contract fields (VERDICT r15 #2): the effective master and
+    # shuffle-partition count the headline battery actually ran under,
+    # so the driver can verify $SPARK_GRAFT_CPUS is honored mechanically
+    out["master"] = main_master
+    out["shuffle_partitions"] = main_shuffle_parts
     if base_block is not None:
         out["probe_base"] = base_block
     if sf1_block is not None:
         out["sf1"] = sf1_block
     if sf2_block is not None:
         out["sf2"] = sf2_block
+    if core_block is not None:
+        out["core_scaling"] = core_block
     if rot_block is not None:
         out["rotation"] = rot_block
     print(json.dumps(out))
@@ -631,7 +709,15 @@ def main() -> None:
         "value": out["value"],
         "unit": "sec",
         "sf": out["sf"],
+        "master": main_master,
+        "shuffle_partitions": main_shuffle_parts,
     }
+    if core_block and "speedup_high_over_low" in core_block:
+        sp = core_block["speedup_high_over_low"].values()
+        summary["core_scaling_speedup_max"] = max(sp) if sp else None
+        summary["core_scaling_cpus"] = (
+            f"{core_block['cpus_low']}->{core_block['cpus_high']}"
+        )
     for key, blk in (("sf1", sf1_block), ("sf2", sf2_block)):
         if blk and "ratio_vs_sf0.1" in blk:
             ratios = [r for r in blk["ratio_vs_sf0.1"].values() if r is not None]

@@ -2103,6 +2103,8 @@ def x_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
+        # until-dropped; dim-sized (<= |nation|^2 undirected pairs),
+        # consumed by all three wedge-join sides
         .persist()
     )
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")

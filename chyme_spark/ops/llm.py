@@ -289,6 +289,8 @@ def d43_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # persist = the in-session analog of staging the shingle-set table to
     # storage (which is what a 100 TB run would do): the scan+shingle pass
     # runs once, and the candidate branch + both verify joins reuse it
+    # (until-dropped: blocks live while the returned frame is referenced,
+    # the x_tpch_q15 persist convention)
     sets = doc_shingle_sets(spark, sf).persist()
     cand = lsh_candidates(sets)
     # Verify candidates with exact Jaccard over per-doc shingle-set
@@ -1346,7 +1348,8 @@ def x_ann_overlay_search(
         c_mat = np.array([r.centroid for r in cent_rows], dtype=np.float64)
         np_ = min(int(nprobe), len(c_mat))
         # persist: feeds the probed-cell collect AND the per-query
-        # probe join (the gate's probe_cells precedent)
+        # probe join (the gate's probe_cells precedent); until-dropped,
+        # bounded by |queries| rows
         pc = (
             q.select(F.col("qid").alias("vec_id"), F.col("qe").alias("embedding"))
             .mapInPandas(_cell_quantizer(c_mat, np_), "vec_id long, cell int, pr int")
@@ -2361,19 +2364,19 @@ def _retract_labels(
     # bounded trade relab documents below. Measured on the sf0.1
     # fixture the re-evaluations were most of the op's wall clock
     # (every consumer re-paid the broadcast-join pipeline).
-    tomb_docs = tomb.select("doc_id").distinct().persist()
+    tomb_docs = tomb.select("doc_id").distinct().persist()  # until-dropped
     touched = (
         old_labels.join(F.broadcast(tomb_docs), "doc_id", "left_semi")
         .select("cluster_id")
         .distinct()
-        .persist()
+        .persist()  # until-dropped; see the block note above
     )
     untouched = old_labels.join(
         F.broadcast(touched), "cluster_id", "left_anti"
     ).select("doc_id", "cluster_id", F.lit("unchanged").alias("status"))
     touched_docs = old_labels.join(
         F.broadcast(touched), "cluster_id", "left_semi"
-    ).persist()
+    ).persist()  # until-dropped; see the block note above
     sub_pairs = pairs.join(
         touched_docs.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
     )
@@ -2650,6 +2653,7 @@ def x_incremental_neardup(
     the freshly-built one — the same maintenance loop as the ANN
     sibling's ``ledger_dir=``; the dir must carry the ``.built``
     sentinel (same fail-fast rule)."""
+    # until-dropped (the d43 staging analog; x_tpch_q15 convention)
     sets = doc_shingle_sets(spark, sf).persist()
     batch_sets = sets.filter(F.col("doc_id") >= 250)
 
@@ -6255,14 +6259,17 @@ def x_cross_source_leakage(spark: SparkSession, sf: str) -> DataFrame:
         "transform(slice(ss, i + 2, size(ss)), "
         "b -> named_struct('sa', a, 'sb', b)))))"
     )
-    # bounded: <= |sources|^2 + |sources| rows; persisted because the
-    # totals side is read twice (na, nb) and the pairs side once — the
-    # same until-dropped trade the ledger ops document
+    # bounded: <= |sources|^2 + |sources| rows, read three times (pairs
+    # once, totals twice as na/nb). r16 (VERDICT r15 #4): an eager
+    # localCheckpoint instead of a bare persist — same
+    # evaluate-once-within-the-query behavior, but the blocks are
+    # released by the ContextCleaner when the frame is dropped instead
+    # of leaking until session exit (the x_pagerank consistency fix).
     counts = (
         per_gram.select(F.explode(combos).alias("c"))
         .groupBy(F.col("c.sa").alias("sa"), F.col("c.sb").alias("sb"))
         .agg(F.count("*").alias("n"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     pairs = counts.filter(F.col("sb").isNotNull()).select(
         F.col("sa").alias("source_a"),

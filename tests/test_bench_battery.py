@@ -44,7 +44,7 @@ def test_every_battery_member_is_a_registered_query():
     from chyme_spark.registry import load_all
 
     registry = load_all()
-    for list_name in ("HEADLINE", "ROTATION", "SF1_HEAVY", "SF2_SKEW"):
+    for list_name in ("HEADLINE", "ROTATION", "SF1_HEAVY", "SF2_SKEW", "CORE_SCALE"):
         members = getattr(bench, list_name)
         missing = [n for n in members if n not in registry]
         assert not missing, (
@@ -52,6 +52,14 @@ def test_every_battery_member_is_a_registered_query():
             "the `in registry` filter would silently drop them from the "
             "battery while the ledger still claims they were benched"
         )
+
+
+def test_core_scale_members_have_sf1_denominators():
+    # the core-scaling block divides low-core sf1 medians by the sf1
+    # probe's high-core medians — every member must be in SF1_HEAVY or
+    # the ratio silently drops out
+    missing = [n for n in bench.CORE_SCALE if n not in bench.SF1_HEAVY]
+    assert not missing, f"CORE_SCALE members without sf1 denominators: {missing}"
 
 
 def test_rotation_does_not_overlap_the_fixed_battery():
