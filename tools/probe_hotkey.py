@@ -50,8 +50,10 @@ def main() -> int:
 
     def run(name: str, d: str) -> float:
         spark.sparkContext.setJobDescription(f"hotkey:{name}:{os.path.basename(d)}")
-        df = registry[name].fn(spark, d)
+        # time construction + noop (bench.py's convention): queries with
+        # eager staging (localCheckpoint) must charge it to the timing
         t0 = time.time()
+        df = registry[name].fn(spark, d)
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
